@@ -1,0 +1,9 @@
+"""Query modules — importing this package populates the registry."""
+
+from ua2sql_spark.queries import (  # noqa: F401
+    relational,
+    aggregates,
+    windows,
+    funcs,
+    events_analytics,
+)

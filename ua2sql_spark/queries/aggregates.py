@@ -1,0 +1,257 @@
+"""Aggregation surface: SURVEY.md §2.4 (A2–A9).
+
+The reference's only aggregate is a running ingest row-count
+(ua2sql.py:218,238-246); everything else is the analytic surface the
+landed tables exist for. Catalyst performs partial (map-side) + final
+aggregation automatically — the distributed analog of the reference's
+hand-rolled 1000-row batch flush (ua2sql.py:238-242).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.queries.common import davg, dsum, sql_davg, sql_dsum
+from ua2sql_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# A2 full basic-aggregate set + A9 HAVING post-filter.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_groupby_having",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           {sql_davg('o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 10
+    """,
+)
+def q13_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: distinct + count-distinct (exact). DAU-style: distinct users per
+# event_type. Exact count-distinct shuffles by (group, user); at 100 TB
+# switch to q15's approx variant.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS unique_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q14_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: approximate count-distinct (HyperLogLog++). The 100 TB path for
+# DAU — no exact-distinct shuffle. Spark's HLL++ and DuckDB's approx
+# sketches differ by design, so the oracle checks the *exact* bound and
+# this query emits both exact and approx plus their relative error: the
+# hashable contract is "approx within 5% of exact" encoded as a boolean.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_approx_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * F.lit(0.05), F.lit(5.0))
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: ROLLUP — platform×date-style revenue rollup on status×priority.
+# grouping() flags disambiguate NULL-as-subtotal from NULL data.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders", "total_price"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5b: CUBE over two independent dimensions.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q17_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n_lines")
+
+
+# ---------------------------------------------------------------------------
+# A6: exact continuous percentiles / median over order values.
+# Both engines sort-and-interpolate with the same definition
+# (linear interpolation at p*(n-1)).
+# ---------------------------------------------------------------------------
+@query(
+    "q18_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: max_by / min_by — the exact semantics of the reference's checkpoint
+# lookup (SELECT … ORDER BY ts DESC LIMIT 1, ua2sql.py:165-176): latest
+# event id per user. Tie-broken on event_id so the answer is total-order
+# deterministic; the oracle states the same thing as a window query.
+# ---------------------------------------------------------------------------
+@query(
+    "q19_max_by_checkpoint",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q19_max_by_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.max_by("event_type", key).alias("last_event_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: collect_list / collect_set — session event sequences. Emitted as a
+# sorted, joined string so the value is deterministic and hashable.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_collect_set",
+    oracle="""
+    SELECT user_id,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(event_type))), ',') AS event_types,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q20_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 variant: variance/stddev from exact decimal sums (deterministic
+# across partitionings, unlike streaming moment aggregates).
+# ---------------------------------------------------------------------------
+@query(
+    "q21_variance_exact",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(value) AS n,
+           ROUND(({sql_dsum('value * value')} - {sql_dsum('value')} * {sql_dsum('value')} / COUNT(value))
+                 / (COUNT(value) - 1), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q21_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    n = F.count("value")
+    s1 = dsum("value")
+    s2 = dsum(F.col("value") * F.col("value"))
+    return e.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 4).alias("var_value"),
+    )

@@ -1,0 +1,276 @@
+"""Event analytics: SURVEY.md §2.3 J7/J8 and §2.11 X7.
+
+As-of join, range join, sessionization, funnel and retention over the
+``events`` table — the analytics the reference's landed event feeds
+(appStart/custom/transaction, ua2sql.py:46-86) exist to enable.
+
+Scale notes
+-----------
+* The as-of join avoids any non-equi join entirely: union both sides and
+  run one ``last(..., ignorenulls)`` window pass — a single shuffle by
+  (user), linear in input, the idiomatic distributed as-of.
+* The range join pre-filters on an equi key (user_id) so Spark executes
+  hash join + residual range predicate, never a nested-loop over the
+  full cross product.
+* Sessionization is the lag-gap-cumsum composition — two window passes,
+  no state, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.queries.common import dsum, sql_dsum
+from ua2sql_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# J8: as-of join — for every purchase, the nearest prior (or same-instant)
+# signup ts of the same user. Implemented as union + last(ignorenulls)
+# window: tag sides, order by (ts, side), carry the last signup forward.
+# The reference's checkpoint lookup (ua2sql.py:165-176) is the degenerate
+# single-key case. Oracle uses DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@query(
+    "q35_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts"), F.lit(1).alias("is_probe"), F.lit(None).cast("timestamp").alias("signup_ts_src")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("is_probe"),
+        F.col("ts").alias("signup_ts_src"),
+    )
+    # Order signups before probes at identical ts so "same-instant" matches
+    # (ASOF's >= semantics).
+    unioned = purchases.unionByName(signups)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("signup_ts", F.last("signup_ts_src", ignorenulls=True).over(w))
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "signup_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: range join — pairs of events of the same user within a 10-minute
+# forward window. Equi key (user_id) drives the hash join; the range
+# condition is a residual filter.
+# ---------------------------------------------------------------------------
+@query(
+    "q36_range_join",
+    oracle="""
+    SELECT a.user_id,
+           COUNT(*) AS pair_count,
+           CAST(MAX(EPOCH_US(b.ts) - EPOCH_US(a.ts)) AS BIGINT) AS max_gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(F.col("user_id"), F.col("ts").alias("a_ts"))
+    b = e.select(F.col("user_id").alias("b_user_id"), F.col("ts").alias("b_ts"))
+    joined = a.join(
+        b,
+        (a.user_id == b.b_user_id)
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("pair_count"),
+        F.max(F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))).alias("max_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7a: sessionization — 30-minute inactivity gap sessions via
+# lag → gap flag → running sum (two window passes, no state).
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSIONIZE_SQL = f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           {sql_dsum('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+"""
+
+
+@query("q37_sessionize", oracle=_SESSIONIZE_SQL)
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new_session",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.withColumn("session_no", F.sum("is_new_session").over(w2))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7b: funnel — per user, ordered progression view → click → purchase
+# (each stage's first ts must follow the previous stage's). One
+# aggregation pass: min-ts per stage, then ordering checks.
+# ---------------------------------------------------------------------------
+@query(
+    "q38_funnel",
+    oracle="""
+    WITH stage_ts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+            AS stage_click,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                 THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM stage_ts
+    """,
+)
+def q38_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("int")).cast("long").alias("stage_view"),
+        F.sum(reached_click.cast("int")).cast("long").alias("stage_click"),
+        F.sum(reached_purchase.cast("int")).cast("long").alias("stage_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7c: N-day retention — of users first seen on day D, how many returned
+# on D+1..D+7. Self-join on user with day arithmetic; first-seen is an
+# aggregation, not a window, so the plan is two shuffles total.
+# ---------------------------------------------------------------------------
+@query(
+    "q39_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(MIN(DATE_TRUNC('day', ts)) AS TIMESTAMP) AS d0
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d
+        FROM events
+    )
+    SELECT f.d0 AS cohort_day,
+           COUNT(DISTINCT f.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN a.d > f.d0 AND a.d <= f.d0 + INTERVAL 7 DAY
+                               THEN a.user_id END) AS retained_7d
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.d0
+    """,
+)
+def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("d0"))
+    activity = e.select("user_id", day.alias("d")).distinct()
+    joined = first_seen.join(activity, "user_id")
+    retained = F.when(
+        (F.col("d") > F.col("d0")) & (F.col("d") <= F.col("d0") + F.expr("INTERVAL 7 DAYS")),
+        F.col("user_id"),
+    )
+    return joined.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(retained).alias("retained_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7d: event-time tumbling window aggregation (the batch shape of
+# SURVEY §2.9 T8; the streaming variant lives in ua2sql_spark.streaming).
+# ---------------------------------------------------------------------------
+@query(
+    "q40_tumbling_window",
+    oracle=f"""
+    SELECT CAST(TIME_BUCKET(INTERVAL 6 HOUR, ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the driver's local[32] harness but every setting is the one
+you'd also want on a 1000-executor cluster:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+* Arrow for any pandas interchange (the slow path, when we must take it)
+* UTC session timezone so timestamp semantics match the reference's
+  ``time.gmtime`` handling (reference ``ua2sql.py:232-233``) and the
+  DuckDB oracle's naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "ua2sql_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-provided session.
+
+    The driver harness constructs its own SparkSession and hands it to
+    ``__spark_entry__.entry``; this applies the confs that are safely
+    mutable at runtime (timezone, AQE, shuffle partitions).
+    """
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the harness; engine works either way
+    return spark
