@@ -35,6 +35,10 @@ HEADLINE = [
     "q37_sessionize",
     "q39_retention",
     "q40_tumbling_window",
+    "x41_exact_dedup",
+    "x43_minhash_lsh_neardup",
+    "x45_cosine_topk",
+    "x49_quality_score",
 ]
 
 

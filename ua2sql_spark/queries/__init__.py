@@ -6,4 +6,8 @@ from ua2sql_spark.queries import (  # noqa: F401
     windows,
     funcs,
     events_analytics,
+    dedup,
+    similarity,
+    text_analysis,
+    multimodal,
 )

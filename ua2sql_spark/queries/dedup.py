@@ -1,0 +1,310 @@
+"""Deduplication operators: SURVEY.md §2.11 X1/X2 (exact, fingerprint,
+MinHash-LSH, SimHash) over the ``documents`` table.
+
+Everything is a DataFrame composition — explode/groupBy/join — with
+md5/sha2 as the hash family so the DuckDB oracle can run the *identical*
+algorithm (both engines produce identical lowercase hex digests, and
+lexicographic MIN over uniformly-distributed hex strings is a valid
+min-hash permutation).
+
+Scale notes
+-----------
+* Exact dedup is one hash-groupBy: shuffle on the content hash, never on
+  the raw text (project the hash first; at 100 TB raw-text shuffle is
+  the classic mistake).
+* MinHash-LSH candidates come from an equi-join on (band_no, band_hash)
+  — no cross join anywhere; candidate volume is tunable via bands×rows.
+* The re-ingest union in x41 mirrors the reference's at-least-once
+  duplication semantics (ua2sql.py:274-278: crash between insert and
+  checkpoint → duplicates): dedup-by-content-hash is the upgrade path
+  (SURVEY §2.9 T4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.registry import query
+
+# 2 bands of 8: P(candidate) ≈ 1-(1-J^8)^2 — steep around J≈0.9, so the
+# verify stage sees ~J≥0.8 candidates only. This corpus is adversarially
+# self-similar (tiny vocabulary, mean pairwise J≈0.6); wider bands are
+# what keeps candidate volume ~linear in the true-duplicate count.
+NUM_MINHASHES = 16
+BAND_SIZE = 8
+NUM_BANDS = NUM_MINHASHES // BAND_SIZE
+JACCARD_THRESHOLD = 0.9
+REINGEST_OFFSET = 1_000_000
+
+
+def _band_ranges() -> list[tuple[int, list[int]]]:
+    return [
+        (b + 1, list(range(b * BAND_SIZE, (b + 1) * BAND_SIZE))) for b in range(NUM_BANDS)
+    ]
+
+
+def _docs_with_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a simulated second ingest run that re-landed the even
+    half under fresh surrogate ids (at-least-once duplication, T4)."""
+    d = load_table(spark, sf_dir, "documents")
+    reingest = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(REINGEST_OFFSET)
+    )
+    return d.unionByName(reingest)
+
+
+_REINGEST_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {REINGEST_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup by content hash — survivor = min doc_id per sha256(text).
+# ---------------------------------------------------------------------------
+@query(
+    "x41_exact_dedup",
+    oracle=f"""
+    SELECT sha256(text) AS content_sha,
+           MIN(doc_id) AS survivor_doc_id,
+           COUNT(*) AS n_copies
+    FROM ({_REINGEST_SQL})
+    GROUP BY sha256(text)
+    """,
+)
+def x41_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_reingest(spark, sf_dir)
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1b: canonical fingerprint dedup — md5 of the sorted distinct word set;
+# catches word-order permutations exact dedup misses. Emits only groups
+# with >1 member (the actual duplicate families in the data).
+# ---------------------------------------------------------------------------
+@query(
+    "x42_fingerprint_dedup",
+    oracle="""
+    SELECT fingerprint, n_docs, first_doc_id, last_doc_id FROM (
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fingerprint,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM documents
+        GROUP BY 1
+    ) WHERE n_docs > 1
+    """,
+)
+def x42_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    return (
+        d.select(fingerprint.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash + LSH near-dup pairs.
+#   shingle→minhash: h_j(doc) = MIN(md5('<j>|' || word)) over distinct words
+#   band→bucket:     band hash = md5(h0||h1||h2||h3), md5(h4||...||h7)
+#   bucket-join:     equi-join on (band_no, band_hash), doc_a < doc_b
+#   verify:          exact word-set Jaccard ≥ 0.9
+# Identical algorithm in the oracle — a deterministic approximation,
+# exactly mirrored (candidate recall is the LSH's, not ground truth's).
+# ---------------------------------------------------------------------------
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("word")))).alias(f"h{j}")
+        for j in range(NUM_MINHASHES)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "x43_minhash_lsh_neardup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents
+    ),
+    mh AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(md5('{j}|' || word)) AS h{j}" for j in range(NUM_MINHASHES))}
+        FROM w GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {no} AS band_no, md5({' || '.join(f'h{j}' for j in js)}) AS band_hash FROM mh"
+            for no, js in _band_ranges()
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ws, y.ws))) AS jaccard
+        FROM cand
+        JOIN sets x ON doc_a = x.doc_id
+        JOIN sets y ON doc_b = y.doc_id
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def x43_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_df(spark, sf_dir)
+    bands = None
+    for no, js in _band_ranges():
+        band = mh.select(
+            "doc_id",
+            F.lit(no).alias("band_no"),
+            F.md5(F.concat(*[f"h{j}" for j in js])).alias("band_hash"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_no", "band_hash"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_no").alias("band_no_r"),
+        F.col("band_hash").alias("band_hash_r"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left.band_no == right.band_no_r)
+            & (left.band_hash == right.band_hash_r)
+            & (left.doc_a < right.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+    )
+    # Adaptive set representation for the verify stage (AQE-style runtime
+    # choice): dictionary-encode the vocabulary; when it fits in 64 bits,
+    # represent each word set as a long bitmask and compute Jaccard via
+    # popcount — O(1) per candidate pair instead of O(|set|) string
+    # hashing. Jaccard is invariant under the encoding, so results (and
+    # the oracle) are identical. Real corpora take the array path.
+    vocab = words.select("word").distinct()
+    n_vocab = vocab.count()
+    if n_vocab <= 64:
+        from pyspark.sql import Window
+
+        vocab_ids = vocab.select(
+            "word", (F.row_number().over(Window.orderBy("word")) - 1).alias("wid")
+        )
+        masks = (
+            words.join(F.broadcast(vocab_ids), "word")
+            .groupBy("doc_id")
+            .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), wid)")).alias("mask"))
+        )
+        x = masks.select(F.col("doc_id").alias("xid"), F.col("mask").alias("mask_a"))
+        y = masks.select(F.col("doc_id").alias("yid"), F.col("mask").alias("mask_b"))
+        inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+        union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+        jaccard = inter.cast("double") / union
+    else:
+        sets = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws"))
+        x = sets.select(F.col("doc_id").alias("xid"), F.col("ws").alias("ws_a"))
+        y = sets.select(F.col("doc_id").alias("yid"), F.col("ws").alias("ws_b"))
+        jaccard = F.size(F.array_intersect("ws_a", "ws_b")).cast("double") / F.size(
+            F.array_union("ws_a", "ws_b")
+        )
+    # The per-doc side is tiny relative to the candidate-pair volume —
+    # broadcast it so the (possibly huge) pair set never shuffles.
+    return (
+        cand.join(F.broadcast(x), cand.doc_a == F.col("xid"))
+        .join(F.broadcast(y), cand.doc_b == F.col("yid"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b: SimHash — 16-bit signature from per-word md5 digests; documents
+# sharing a signature are near-dup candidates. The bit arithmetic is the
+# same scalar SQL in both engines (instr-based hex-digit decode).
+# ---------------------------------------------------------------------------
+def _simhash_bit_sql(k: int, shift_op: str) -> str:
+    """Contribution of bit k (0..15): +1 if bit set in the word's digest
+    nibble, else -1. shift_op differs: Spark `shiftright`, DuckDB `>>`."""
+    pos = k // 4 + 1  # hex digit position (1-based)
+    bit = k % 4
+    digit_val = f"(instr('0123456789abcdef', substring(md5(word), {pos}, 1)) - 1)"
+    if shift_op == "spark":
+        bit_expr = f"(shiftright({digit_val}, {bit}) & 1)"
+    else:
+        bit_expr = f"(({digit_val} >> {bit}) & 1)"
+    return f"SUM(2 * {bit_expr} - 1)"
+
+
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
+)
+
+
+@query(
+    "x44_simhash",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents
+    ),
+    sums AS (
+        SELECT doc_id,
+               {', '.join(f"{_simhash_bit_sql(k, 'duckdb')} AS s{k}" for k in range(16))}
+        FROM w GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash16 FROM sums
+    )
+    SELECT doc_id, simhash16,
+           COUNT(*) OVER (PARTITION BY simhash16) AS cluster_size
+    FROM sig
+    """,
+)
+def x44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+    )
+    sums = words.groupBy("doc_id").agg(
+        *[F.expr(_simhash_bit_sql(k, "spark")).alias(f"s{k}") for k in range(16)]
+    )
+    sig = sums.select("doc_id", F.expr(_SIMHASH_ASSEMBLE).cast("bigint").alias("simhash16"))
+    return sig.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("simhash16"))
+    )

@@ -1,0 +1,94 @@
+"""Multimodal columns: SURVEY.md §2.11 X6.
+
+Media are opaque ``binary`` payload columns plus typed metadata. The
+container has no image/audio codecs, so the *decode* step is a
+deterministic stand-in (documented stub — see
+``ua2sql_spark.functions.media`` for the real-codec seam); everything
+Spark-side — binary schema, Arrow batching through ``mapInPandas``,
+partition-preserving metadata extraction — is real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# X6a: binary payload + typed metadata, all in-plan (no Python). The
+# payload here is the utf-8 encoding of `text` standing in for image
+# bytes; at scale this column comes from `binaryFile` reads.
+# ---------------------------------------------------------------------------
+@query(
+    "x52_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           sha256(text) AS payload_sha,
+           substring(sha256(text), 1, 8) AS shard_key,
+           (octet_length(encode(text)) % 640) AS fake_width,
+           (octet_length(encode(text)) % 480) AS fake_height
+    FROM documents
+    """,
+)
+def x52_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    nbytes = F.octet_length(payload)
+    sha = F.sha2(payload, 256)
+    return d.select(
+        "doc_id",
+        nbytes.alias("payload_bytes"),
+        sha.alias("payload_sha"),
+        F.substring(sha, 1, 8).alias("shard_key"),
+        (nbytes % 640).alias("fake_width"),
+        (nbytes % 480).alias("fake_height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6b: the decode path — Arrow-batched mapInPandas over binary payloads.
+# The "decoder" is a deterministic stub (real codecs are not in this
+# container); the oracle replicates its arithmetic in SQL, so what's
+# verified is the full Spark plumbing: binary column in, typed schema
+# out, batch-wise pandas execution.
+# ---------------------------------------------------------------------------
+_DECODE_SCHEMA = "doc_id BIGINT, width INT, height INT, mean_pixel DOUBLE"
+
+
+def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for an image decoder: derives dimensions and
+    a 'mean pixel' from payload length alone. Replace the body with a real
+    codec (PIL/ffmpeg) when available — signature and schema stay put."""
+    for pdf in batches:
+        nbytes = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (nbytes % 640).astype("int32"),
+                "height": (nbytes % 480).astype("int32"),
+                "mean_pixel": ((nbytes * 37) % 256).astype("float64") / 255.0,
+            }
+        )
+
+
+@query(
+    "x53_decode_mapinpandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) * 37 % 256 AS DOUBLE) / 255.0 AS mean_pixel
+    FROM documents
+    """,
+)
+def x53_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return with_payload.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)

