@@ -1,0 +1,201 @@
+"""Ingest-parity tests (SURVEY §5.3/§5.4, FIXTURES.md §2).
+
+Fixture cases: (a) happy path, (b) missing fields → NULL, (c) extra
+fields dropped, (d) sub-second ts truncation parity, (e) empty file,
+(f) duplicate rows across runs → at-least-once, plus checkpoint
+resume-from-offset semantics.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+
+from ua2sql_spark.sources.checkpoint import JobIdCheckpoint
+from ua2sql_spark.sources.ingest import (
+    LocalFileExportClient,
+    parquet_sink,
+    run_ingest,
+)
+from ua2sql_spark.sources.jdbc import jdbc_writer_options
+from ua2sql_spark.sources.unity import FEEDS, landed_schema, read_feed
+
+
+def write_jsonl_gz(path: str, rows: list[dict]) -> str:
+    with gzip.open(path, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return path
+
+
+BASE_MS = 1_700_000_000_123  # 2023-11-14 22:13:20.123 UTC
+
+
+def custom_rows():
+    return [
+        {  # happy path
+            "ts": BASE_MS,
+            "submit_time": BASE_MS + 5_000,
+            "userid": "u1",
+            "remote_ip": "203.0.113.7",
+            "platform": "iOS",
+            "user_agent": "ua/1",
+            "sdk_ver": "5.0",
+            "sessionid": 42,
+            "name": "level_up",
+            "custom_params": {"level": 3, "tags": ["a", "b"]},
+        },
+        {  # missing most fields → NULLs (ua2sql.py:229)
+            "ts": BASE_MS + 60_000,
+            "userid": "u2",
+            "name": "ping",
+            "unknown_extra_key": "dropped silently",  # ua2sql.py:226-235
+        },
+    ]
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    return str(d)
+
+
+def test_happy_path_and_projection(spark, landing):
+    write_jsonl_gz(os.path.join(landing, "dump.txt.gz"), custom_rows())
+    df = read_feed(spark, landing, "custom")
+    assert df.schema == landed_schema("custom")
+    rows = {r["userid"]: r for r in df.collect()}
+    r1 = rows["u1"]
+    assert r1["ts"] == datetime(2023, 11, 14, 22, 13, 20, 123000)
+    assert r1["submit_time"] == datetime(2023, 11, 14, 22, 13, 25, 123000)
+    assert r1["sessionid"] == 42
+    # JSONB island carried as raw JSON text (ua2sql.py:68)
+    assert json.loads(r1["custom_params"]) == {"level": 3, "tags": ["a", "b"]}
+    r2 = rows["u2"]
+    # missing keys → NULL; extra keys dropped (no such column exists)
+    assert r2["remote_ip"] is None and r2["sessionid"] is None
+    assert "unknown_extra_key" not in df.columns
+
+
+def test_ts_truncation_parity(spark, landing):
+    write_jsonl_gz(os.path.join(landing, "dump.txt.gz"), custom_rows())
+    df = read_feed(spark, landing, "custom", parity_ts=True)
+    r1 = [r for r in df.collect() if r["userid"] == "u1"][0]
+    # reference truncates to whole seconds (ua2sql.py:232-233)
+    assert r1["ts"] == datetime(2023, 11, 14, 22, 13, 20)
+    assert r1["submit_time"] == datetime(2023, 11, 14, 22, 13, 25)
+
+
+def test_transaction_amount_is_exact_decimal(spark, landing):
+    rows = [
+        {
+            "ts": BASE_MS,
+            "userid": "u1",
+            "sessionid": 1,
+            "currency": "USD",
+            "amount": 19.99,
+            "transactionid": "t-1",
+            "productid": "p-1",
+            "receipt": {"store": "apple", "sig": "abc"},
+        }
+    ]
+    write_jsonl_gz(os.path.join(landing, "tx.txt.gz"), rows)
+    df = read_feed(spark, landing, "transaction")
+    r = df.collect()[0]
+    assert r["amount"] == Decimal("19.99")  # never a float (ua2sql.py:82)
+    assert json.loads(r["receipt"])["store"] == "apple"
+
+
+def test_empty_file(spark, landing):
+    write_jsonl_gz(os.path.join(landing, "empty.txt.gz"), [])
+    df = read_feed(spark, landing, "appStart")
+    # the reference executes an empty INSERT here (documented bug,
+    # ua2sql.py:244-245); we land zero rows cleanly
+    assert df.count() == 0
+
+
+def test_checkpoint_protocol(spark, tmp_path):
+    cp = JobIdCheckpoint(spark, str(tmp_path / "jobid"))
+    assert cp.find_previous_job_id("custom") is None
+    cp.append("custom-0", "custom", ts=datetime(2024, 1, 1, 10))
+    cp.append("custom-1", "custom", ts=datetime(2024, 1, 2, 10))
+    cp.append("appStart-7", "appStart", ts=datetime(2024, 1, 3, 10))
+    assert cp.find_previous_job_id("custom") == "custom-1"  # max_by ts
+    assert cp.find_previous_job_id("appStart") == "appStart-7"
+    assert cp.find_previous_job_id("transaction") is None
+
+
+def test_full_ingest_resume_and_at_least_once(spark, tmp_path):
+    """Two ingest cycles: run 2 resumes from the checkpoint (continueFrom
+    semantics, ua2sql.py:101-104) and re-delivers an overlapping row —
+    landed duplicates are expected (at-least-once, T4)."""
+    fixtures = tmp_path / "fixtures"
+    fixtures.mkdir()
+    shared_row = {"ts": BASE_MS, "userid": "dup", "name": "overlap"}
+    run0 = write_jsonl_gz(
+        str(fixtures / "c0.txt.gz"),
+        [shared_row, {"ts": BASE_MS + 1, "userid": "a", "name": "x"}],
+    )
+    run1 = write_jsonl_gz(
+        str(fixtures / "c1.txt.gz"),
+        [shared_row, {"ts": BASE_MS + 2, "userid": "b", "name": "y"}],
+    )
+    client = LocalFileExportClient(exports={"custom": [[run0], [run1]]})
+    cp = JobIdCheckpoint(spark, str(tmp_path / "jobid"))
+    sink = parquet_sink(str(tmp_path / "warehouse"))
+
+    r1 = run_ingest(
+        spark, client, str(tmp_path / "staging"), cp, sink,
+        feeds=("custom",), backup_root=str(tmp_path / "backup"),
+        poll_interval_s=0.01,
+    )
+    assert r1[0].rows == 2 and r1[0].job_id == "custom-0"
+    assert cp.find_previous_job_id("custom") == "custom-0"
+
+    r2 = run_ingest(
+        spark, client, str(tmp_path / "staging"), cp, sink,
+        feeds=("custom",), poll_interval_s=0.01,
+    )
+    assert r2[0].rows == 2 and r2[0].job_id == "custom-1"
+
+    landed = spark.read.parquet(str(tmp_path / "warehouse" / "custom"))
+    assert landed.count() == 4  # at-least-once: the overlap row is duplicated
+    assert landed.filter("userid = 'dup'").count() == 2
+
+    # third run: no new exports → clean no-op (reference would crash here)
+    r3 = run_ingest(
+        spark, client, str(tmp_path / "staging"), cp, sink,
+        feeds=("custom",), poll_interval_s=0.01,
+    )
+    assert r3[0].job_id is None and r3[0].rows == 0
+
+    # backup archive kept the raw dump partitioned by feed/date (S9)
+    backup_feed_dir = tmp_path / "backup" / "custom"
+    assert backup_feed_dir.is_dir() and any(backup_feed_dir.iterdir())
+
+    # staging was wiped after each successful ingest (S10)
+    staging_files = [
+        f for f in (tmp_path / "staging" / "custom").iterdir() if f.is_file()
+    ]
+    assert staging_files == []
+
+
+def test_jdbc_options_parity():
+    opts = jdbc_writer_options("transaction")
+    assert opts["batchsize"] == "1000"  # ua2sql.py:238
+    ddl = opts["createTableColumnTypes"]
+    assert "remote_ip INET" in ddl and "receipt JSONB" in ddl
+    assert "amount NUMERIC(38,18)" in ddl
+    assert "createTableColumnTypes" not in jdbc_writer_options("JobId")
+
+
+def test_all_feed_schemas_declared():
+    for feed in FEEDS:
+        s = landed_schema(feed)
+        assert {"ts", "submit_time", "userid", "remote_ip"} <= set(s.names)

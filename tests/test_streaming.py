@@ -1,0 +1,158 @@
+"""Streaming-path tests (SURVEY §5.4, §2.9 T1–T10).
+
+All tests use the file source + Trigger.AvailableNow so they run
+deterministically and fast; the checkpoint-resume test is the streaming
+equivalent of the reference's continueFrom semantics.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ua2sql_spark.streaming.ingest import (
+    dedup_within_watermark,
+    session_windows,
+    stream_feed,
+    windowed_event_counts,
+)
+
+BASE_MS = 1_700_000_000_000
+
+
+def write_rows(path, rows):
+    with gzip.open(path, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def land(landing, name, n0, count):
+    rows = [
+        {"ts": BASE_MS + i * 60_000, "userid": f"u{i}", "name": f"e{i}"}
+        for i in range(n0, n0 + count)
+    ]
+    write_rows(os.path.join(landing, name), rows)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    return str(landing), str(out), str(ckpt)
+
+
+def test_stream_ingest_and_offset_resume(spark, dirs):
+    """T1/T3: availableNow drains pending files; the checkpoint dir is
+    the offset log — a second run reprocesses nothing, a third run picks
+    up only newly landed files (continueFrom parity, ua2sql.py:101-104)."""
+    landing, out, ckpt = dirs
+    land(landing, "a.txt.gz", 0, 3)
+
+    def sink(df, epoch_id):
+        df.persist()
+        df.write.mode("append").parquet(out)
+        df.unpersist()
+
+    q = stream_feed(spark, landing, "custom", ckpt, sink)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+    # run again with nothing new → no duplicate processing
+    q = stream_feed(spark, landing, "custom", ckpt, sink)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+    # land a second dump → only its rows are processed
+    land(landing, "b.txt.gz", 10, 2)
+    q = stream_feed(spark, landing, "custom", ckpt, sink)
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    assert landed.count() == 5
+    assert landed.select("userid").distinct().count() == 5
+
+
+def _events_stream(spark, tmp_path, rows):
+    src = tmp_path / "events_src"
+    src.mkdir(exist_ok=True)
+    with open(src / "part.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    return spark.readStream.schema(schema).json(str(src))
+
+
+def _run_to_memory(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+    {"event_id": 2, "ts": "2024-01-01 10:04:00", "user_id": 1, "value": 2.0},
+    {"event_id": 3, "ts": "2024-01-01 11:00:00", "user_id": 1, "value": 3.0},
+    {"event_id": 4, "ts": "2024-01-01 10:01:00", "user_id": 2, "value": 4.0},
+    # duplicate delivery of event 2 (at-least-once re-ingest)
+    {"event_id": 2, "ts": "2024-01-01 10:04:00", "user_id": 1, "value": 2.0},
+]
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path, EVENTS)
+    agg = windowed_event_counts(stream, window="10 minutes", watermark="1 hour", key_col="user_id")
+    # append mode would emit only watermark-expired windows; complete mode
+    # lets the test observe every window after the availableNow drain
+    _run_to_memory(agg, "win_counts", "complete")
+    got = {
+        (str(r["window_start"]), r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[("2024-01-01 10:00:00", 1)] == 3  # includes the dup delivery
+    assert got[("2024-01-01 11:00:00", 1)] == 1
+    assert got[("2024-01-01 10:00:00", 2)] == 1
+
+
+def test_session_windows(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path, EVENTS)
+    sess = session_windows(stream, gap="30 minutes", watermark="2 hours")
+    _run_to_memory(sess, "sessions", "complete")
+    rows = spark.sql(
+        "SELECT user_id, n_events FROM sessions ORDER BY user_id, session_start"
+    ).collect()
+    # user 1: events at 10:00/10:04 (+dup) then 11:00 → two sessions
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 3), (1, 1), (2, 1)]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path, EVENTS)
+    deduped = dedup_within_watermark(stream, keys=["event_id"], watermark="1 hour")
+    _run_to_memory(deduped, "deduped", "append")
+    n = spark.sql("SELECT count(*) AS n FROM deduped").collect()[0]["n"]
+    assert n == 4  # the re-delivered event 2 is dropped (T10)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from ua2sql_spark.streaming.stateful import running_user_totals
+
+    stream = _events_stream(spark, tmp_path, EVENTS).select("user_id", "value")
+    totals = running_user_totals(stream)
+    _run_to_memory(totals, "totals", "update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM totals").collect()
+    }
+    assert got[1] == (4, 8.0)  # includes the duplicate delivery
+    assert got[2] == (1, 4.0)
