@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions (SURVEY §4): the scale properties —
+pushdown, pruning, broadcast, bounded shuffles — as tests, so a plan
+regression fails here instead of on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.plans.explain import (
+    broadcast_join_count,
+    pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+    wholestage_codegen_count,
+)
+from ua2sql_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = all_queries()["q01_pricing_summary"].fn(spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read the full 11-column lineitem."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_shipdate" not in s for s in schemas
+    ), schemas
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = all_queries()["q05_join_star_broadcast"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 2  # nation and region both broadcast
+
+
+def test_pricing_summary_single_shuffle(spark):
+    """Scan → partial agg → exchange → final agg: exactly one shuffle."""
+    df = all_queries()["q01_pricing_summary"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+
+
+def test_order_limit_is_topk_not_global_sort(spark):
+    """orderBy+limit must plan TakeOrderedAndProject (distributed top-k),
+    never a global sort (reference checkpoint-lookup shape, O1/O2)."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["q26_order_limit"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["q25_topk_per_group"].fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in simple_plan(df)
+
+
+def test_codegen_covers_flagship(spark):
+    # AQE renders plans as non-final (no codegen spans yet); disable it
+    # just to materialize the codegen-annotated physical plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = all_queries()["q01_pricing_summary"].fn(spark, SF_DIR)
+        assert wholestage_codegen_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_minhash_has_no_cartesian(spark):
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x43_minhash_lsh_neardup"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_join_plans_as_semi(spark):
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["q07_join_semi"].fn(spark, SF_DIR)
+    assert "LeftSemi" in simple_plan(df)

@@ -181,74 +181,18 @@ def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x43_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _minhash_df(spark, sf_dir)
-    bands = None
-    for no, js in _band_ranges():
-        band = mh.select(
-            "doc_id",
-            F.lit(no).alias("band_no"),
-            F.md5(F.concat(*[f"h{j}" for j in js])).alias("band_hash"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_no", "band_hash"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("band_no").alias("band_no_r"),
-        F.col("band_hash").alias("band_hash_r"),
-    )
-    cand = (
-        left.join(
-            right,
-            (left.band_no == right.band_no_r)
-            & (left.band_hash == right.band_hash_r)
-            & (left.doc_a < right.doc_b),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
-    )
-    # Adaptive set representation for the verify stage (AQE-style runtime
-    # choice): dictionary-encode the vocabulary; when it fits in 64 bits,
-    # represent each word set as a long bitmask and compute Jaccard via
-    # popcount — O(1) per candidate pair instead of O(|set|) string
-    # hashing. Jaccard is invariant under the encoding, so results (and
-    # the oracle) are identical. Real corpora take the array path.
-    vocab = words.select("word").distinct()
-    n_vocab = vocab.count()
-    if n_vocab <= 64:
-        from pyspark.sql import Window
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs
 
-        vocab_ids = vocab.select(
-            "word", (F.row_number().over(Window.orderBy("word")) - 1).alias("wid")
-        )
-        masks = (
-            words.join(F.broadcast(vocab_ids), "word")
-            .groupBy("doc_id")
-            .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), wid)")).alias("mask"))
-        )
-        x = masks.select(F.col("doc_id").alias("xid"), F.col("mask").alias("mask_a"))
-        y = masks.select(F.col("doc_id").alias("yid"), F.col("mask").alias("mask_b"))
-        inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
-        union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
-        jaccard = inter.cast("double") / union
-    else:
-        sets = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws"))
-        x = sets.select(F.col("doc_id").alias("xid"), F.col("ws").alias("ws_a"))
-        y = sets.select(F.col("doc_id").alias("yid"), F.col("ws").alias("ws_b"))
-        jaccard = F.size(F.array_intersect("ws_a", "ws_b")).cast("double") / F.size(
-            F.array_union("ws_a", "ws_b")
-        )
-    # The per-doc side is tiny relative to the candidate-pair volume —
-    # broadcast it so the (possibly huge) pair set never shuffles.
-    return (
-        cand.join(F.broadcast(x), cand.doc_a == F.col("xid"))
-        .join(F.broadcast(y), cand.doc_b == F.col("yid"))
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        threshold=JACCARD_THRESHOLD,
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )
 
 

@@ -44,31 +44,22 @@ from ua2sql_spark.registry import query
     """,
 )
 def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.asof import asof_join
+
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts"), F.lit(1).alias("is_probe"), F.lit(None).cast("timestamp").alias("signup_ts_src")
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    signups = e.filter(F.col("event_type") == "signup").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        F.col("ts"),
-        F.lit(0).alias("is_probe"),
-        F.col("ts").alias("signup_ts_src"),
+    ref = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup")
     )
-    # Order signups before probes at identical ts so "same-instant" matches
-    # (ASOF's >= semantics).
-    unioned = purchases.unionByName(signups)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.withColumn("signup_ts", F.last("signup_ts_src", ignorenulls=True).over(w))
-    return carried.filter(F.col("is_probe") == 1).select(
-        F.col("event_id").alias("purchase_id"),
+    return asof_join(
+        probe, ref, on="user_id", probe_ts="ts", ref_ts="ts", value_cols=["signup"]
+    ).select(
+        "purchase_id",
         "user_id",
         F.col("ts").alias("purchase_ts"),
-        "signup_ts",
+        F.col("signup_asof").alias("signup_ts"),
     )
 
 
@@ -139,19 +130,13 @@ _SESSIONIZE_SQL = f"""
 
 @query("q37_sessionize", oracle=_SESSIONIZE_SQL)
 def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.sessionize import sessionize
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = e.withColumn(
-        "is_new_session",
-        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0),
+    numbered = sessionize(
+        e, key_col="user_id", ts_col="ts", order_tiebreak="event_id",
+        gap_seconds=SESSION_GAP_US // 1_000_000,
     )
-    w2 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    numbered = flagged.withColumn("session_no", F.sum("is_new_session").over(w2))
     return numbered.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),

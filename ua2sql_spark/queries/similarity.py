@@ -22,28 +22,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ua2sql_spark.catalog import load_table
+from ua2sql_spark.functions.arrays import dot, sign_bucket, sq_norm
 from ua2sql_spark.registry import query
 
 N_PROBE = 10
 TOP_K = 5
 BUCKET_DIMS = 8
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i in double — sequential fold, deterministic."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def sq_norm(a: Column) -> Column:
-    return F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -113,11 +97,7 @@ _BUCKET_SQL = " + ".join(
 
 
 def _bucket(e: Column) -> Column:
-    terms = None
-    for j in range(BUCKET_DIMS):
-        t = F.when(F.element_at(e, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        terms = t if terms is None else terms + t
-    return terms.cast("long")
+    return sign_bucket(e, BUCKET_DIMS)
 
 
 @query(
