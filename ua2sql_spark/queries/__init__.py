@@ -10,4 +10,5 @@ from ua2sql_spark.queries import (  # noqa: F401
     similarity,
     text_analysis,
     multimodal,
+    advanced,
 )

@@ -1,0 +1,307 @@
+"""Advanced relational surface: pivot/unpivot, subqueries through the
+SQL entry point, batch session windows, extended window/date/string
+functions.
+
+The subquery items run through ``spark.sql`` over registered temp views
+— exercising the engine's SQL entry (SURVEY §3 entry 3): same Catalyst
+path after parsing, including subquery decorrelation (§4 table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.queries.common import dsum, sql_dsum
+from ua2sql_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# A2/P8: pivot — revenue by mktsegment × orderstatus as columns.
+# Explicit pivot values keep the schema static (required at scale: a
+# dynamic pivot needs a driver-side distinct pass first).
+# ---------------------------------------------------------------------------
+@query(
+    "q54_pivot",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS open_total,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS done_total,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS part_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice"))
+        .withColumnsRenamed({"O": "open_total", "F": "done_total", "P": "part_total"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (stack): wide → long over the two rate columns.
+# ---------------------------------------------------------------------------
+@query(
+    "q55_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, rate_type, rate FROM (
+        SELECT l_orderkey, l_linenumber, 'discount' AS rate_type, l_discount AS rate
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax' AS rate_type, l_tax AS rate
+        FROM lineitem
+    ) WHERE l_orderkey % 10 = 0
+    """,
+)
+def q55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("stack(2, 'discount', l_discount, 'tax', l_tax) AS (rate_type, rate)"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS subquery via the SQL entry point (decorrelates to a
+# semi join — check §4: subquery decorrelation is Catalyst-built-in).
+# ---------------------------------------------------------------------------
+@query(
+    "q56_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q56_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery: orders above their customer's average.
+# ---------------------------------------------------------------------------
+@query(
+    "q57_correlated_scalar",
+    oracle="""
+    WITH cust_avg AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o_totalprice)
+                   AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders JOIN cust_avg ON o_custkey = k
+    WHERE o_totalprice > 1.5 * avg_price
+    """,
+)
+def q57_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    # Decimal-interior average for cross-engine determinism (common.py).
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o1
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+                       / COUNT(o_totalprice)
+            FROM v_orders o2 WHERE o2.o_custkey = o1.o_custkey
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uncorrelated scalar subquery: orders above the global average.
+# ---------------------------------------------------------------------------
+@query(
+    "q58_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o_totalprice)
+        FROM orders
+    )
+    """,
+)
+def q58_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+                       / COUNT(o_totalprice)
+            FROM v_orders
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# T9 batch path: native session_window — same sessions as q37's manual
+# lag+cumsum, expressed with Spark's built-in. Oracle derives the
+# identical bounds (session end = last event + gap).
+# ---------------------------------------------------------------------------
+@query(
+    "q59_session_window_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q59_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W-extras: percent_rank, cume_dist, first/last/nth value over frames.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q60_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-extras: date arithmetic — months_between-style, add_months, last_day.
+# ---------------------------------------------------------------------------
+@query(
+    "q61_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS due_date,
+           CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_epoch_start,
+           CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS order_week
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q61_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select("o_orderkey", "o_orderdate").withColumns(
+        {
+            "due_date": F.add_months(F.col("o_orderdate"), 3).cast("timestamp"),
+            "month_end": F.last_day("o_orderdate").cast("timestamp"),
+            "days_since_epoch_start": F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ),
+            "order_week": F.date_trunc("week", "o_orderdate"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-extras: string distance + padding + case functions.
+# ---------------------------------------------------------------------------
+@query(
+    "q62_string_advanced",
+    oracle="""
+    SELECT p_partkey, p_name,
+           LEVENSHTEIN(p_name, 'green widget') AS dist_to_ref,
+           LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           REVERSE(p_name) AS name_rev,
+           CAST(STRPOS(p_name, 'widget') AS INTEGER) AS widget_pos
+    FROM part WHERE p_size <= 10
+    """,
+)
+def q62_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein(F.col("p_name"), F.lit("green widget")).alias("dist_to_ref"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.instr(F.col("p_name"), "widget").alias("widget_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode / lockstep unnest: token positions.
+# ---------------------------------------------------------------------------
+@query(
+    "q63_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS BIGINT) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q63_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word")
