@@ -53,11 +53,14 @@ def main() -> None:
         n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n and n in specs
     ]
 
-    # Warm-up: touch every table once so file listing/footer reads are warm.
+    # Warm-up: touch every table (file listing/footers), then run the
+    # flagship end-to-end once untimed — JVM/codegen warmup costs ~12 s
+    # on the first executed query and would otherwise be billed to it.
     from ua2sql_spark.catalog import load_tables
 
     for df in load_tables(spark, SF_DIR).values():
         df.limit(1).count()
+    specs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

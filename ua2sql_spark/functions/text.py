@@ -34,10 +34,35 @@ def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     )
 
 
+# Fixed 60-bit xor seeds (golden-ratio multiples truncated to 60 bits):
+# one md5 per token, then h_j = base ^ seed_j. On uniformly-hashed
+# inputs the xor family behaves as a random permutation per seed — the
+# standard cheap minhash family (one digest instead of num_hashes
+# digests per token).
+def xor_seed(j: int) -> int:
+    return (j * 0x9E3779B97F4A7C15) % (1 << 60)
+
+
+def token_hash_int(token: Column) -> Column:
+    """First 60 bits of md5(token) as a non-negative bigint — identical
+    in DuckDB as ('0x' || substring(md5(t),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_columns(token: Column, num_hashes: int) -> list[Column]:
-    """Aggregate expressions: one MIN(md5(seed|token)) per hash function.
-    Use after exploding tokens, inside a groupBy(doc_id).agg(*these)."""
+    """Aggregate expressions: MIN(md5_int(token) ^ seed_j) per hash
+    function. Use after exploding tokens, inside groupBy(id).agg(*these).
+    The md5 is computed once per token; hashes differ by xor seed."""
+    base = token_hash_int(token)
     return [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), token))).alias(f"h{j}")
+        F.min(base.bitwiseXOR(F.lit(xor_seed(j)))).alias(f"h{j}")
         for j in range(num_hashes)
+    ]
+
+
+def sql_minhash_exprs(token_expr: str, num_hashes: int) -> list[str]:
+    """DuckDB equivalents of :func:`minhash_columns` (same algorithm)."""
+    base = f"(('0x' || substring(md5({token_expr}), 1, 15))::BIGINT)"
+    return [
+        f"MIN(xor({base}, {xor_seed(j)})) AS h{j}" for j in range(num_hashes)
     ]

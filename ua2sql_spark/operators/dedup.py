@@ -57,7 +57,7 @@ def minhash_lsh_pairs(
         band = mh.select(
             F.col(id_col),
             F.lit(b + 1).alias("__band_no"),
-            F.md5(F.concat(*[f"h{j}" for j in js])).alias("__band_hash"),
+            F.md5(F.concat_ws("|", *[f"h{j}" for j in js])).alias("__band_hash"),
         )
         bands = band if bands is None else bands.unionByName(band)
 

@@ -133,16 +133,9 @@ def x42_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Identical algorithm in the oracle — a deterministic approximation,
 # exactly mirrored (candidate recall is the LSH's, not ground truth's).
 # ---------------------------------------------------------------------------
-def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("word")))).alias(f"h{j}")
-        for j in range(NUM_MINHASHES)
-    ]
-    return words.groupBy("doc_id").agg(*aggs)
+from ua2sql_spark.functions.text import sql_minhash_exprs
+
+_SQL_MINHASH = sql_minhash_exprs("word", NUM_MINHASHES)
 
 
 @query(
@@ -153,12 +146,13 @@ def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mh AS (
         SELECT doc_id,
-               {', '.join(f"MIN(md5('{j}|' || word)) AS h{j}" for j in range(NUM_MINHASHES))}
+               {', '.join(_SQL_MINHASH)}
         FROM w GROUP BY doc_id
     ),
     bands AS (
         {' UNION ALL '.join(
-            f"SELECT doc_id, {no} AS band_no, md5({' || '.join(f'h{j}' for j in js)}) AS band_hash FROM mh"
+            f"SELECT doc_id, {no} AS band_no,"
+            f" md5(concat_ws('|', {', '.join(f'h{j}' for j in js)})) AS band_hash FROM mh"
             for no, js in _band_ranges()
         )}
     ),
