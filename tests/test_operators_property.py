@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the generic operators: each is
+checked against a brute-force pandas reference on randomized inputs —
+the operators must hold for *any* data, not just the fixtures.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+BASE = datetime(2024, 1, 1)
+
+# Small, replay-friendly event frames: (key, ts_offset_seconds, value)
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key
+        st.integers(min_value=0, max_value=10_000),   # ts offset (s)
+        st.integers(min_value=0, max_value=100),      # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def to_sdf(spark, rows, with_id=True):
+    pdf = pd.DataFrame(
+        {
+            "key": [r[0] for r in rows],
+            "ts": [BASE + timedelta(seconds=r[1]) for r in rows],
+            "value": [float(r[2]) for r in rows],
+        }
+    )
+    if with_id:
+        pdf["event_id"] = range(len(pdf))
+    return spark.createDataFrame(pdf), pdf
+
+
+@given(probe=events_strategy, ref=events_strategy)
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, probe, ref):
+    from ua2sql_spark.operators.asof import asof_join
+
+    p_sdf, p_pdf = to_sdf(spark, probe)
+    r_sdf, r_pdf = to_sdf(spark, ref, with_id=False)
+    r_sdf = r_sdf.select("key", "ts", F.col("value").alias("refval"))
+
+    got = {
+        r["event_id"]: r["refval_asof"]
+        for r in asof_join(
+            p_sdf, r_sdf, on="key", probe_ts="ts", ref_ts="ts", value_cols=["refval"]
+        ).collect()
+    }
+
+    for _, prow in p_pdf.iterrows():
+        cand = r_pdf[(r_pdf["key"] == prow["key"]) & (r_pdf["ts"] <= prow["ts"])]
+        if cand.empty:
+            expected = None
+        else:
+            # nearest-earlier; among equal ts the operator carries the
+            # last row in (ts, input-order) — match on ts only and allow
+            # any value holding that max ts
+            max_ts = cand["ts"].max()
+            allowed = set(cand[cand["ts"] == max_ts]["value"])
+            assert got[prow["event_id"]] in allowed
+            continue
+        assert got[prow["event_id"]] == expected
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_sessionize_matches_bruteforce(spark, rows):
+    from ua2sql_spark.operators.sessionize import sessionize
+
+    sdf, pdf = to_sdf(spark, rows)
+    gap = 600
+    out = sessionize(
+        sdf, key_col="key", ts_col="ts", order_tiebreak="event_id", gap_seconds=gap
+    )
+    got = {r["event_id"]: r["session_no"] for r in out.collect()}
+
+    for key, grp in pdf.sort_values(["ts", "event_id"]).groupby("key"):
+        session = 0
+        prev_ts = None
+        for _, row in grp.iterrows():
+            if prev_ts is None or (row["ts"] - prev_ts).total_seconds() > gap:
+                session += 1
+            prev_ts = row["ts"]
+            assert got[row["event_id"]] == session
+
+
+@given(rows=events_strategy, k=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_topk_per_group_matches_bruteforce(spark, rows, k):
+    from ua2sql_spark.operators.topk import top_k_per_group
+
+    sdf, pdf = to_sdf(spark, rows)
+    out = top_k_per_group(
+        sdf, ["key"], [F.desc("value"), F.asc("event_id")], k
+    ).collect()
+    got = {(r["key"], r["event_id"]): r["rn"] for r in out}
+
+    for key, grp in pdf.groupby("key"):
+        ordered = grp.sort_values(["value", "event_id"], ascending=[False, True])
+        expect = {
+            (key, row["event_id"]): i + 1
+            for i, (_, row) in enumerate(ordered.iterrows())
+            if i < k
+        }
+        assert {kk: v for kk, v in got.items() if kk[0] == key} == expect
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_exact_dedup_survivors(spark, rows):
+    from ua2sql_spark.operators.dedup import exact_dedup
+
+    sdf, pdf = to_sdf(spark, rows)
+    out = exact_dedup(sdf, content_cols=["key", "value"], id_col="event_id").collect()
+    got_ids = sorted(r["event_id"] for r in out)
+    expect_ids = sorted(
+        pdf.groupby(["key", "value"])["event_id"].min().tolist()
+    )
+    assert got_ids == expect_ids

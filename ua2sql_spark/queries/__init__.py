@@ -11,4 +11,5 @@ from ua2sql_spark.queries import (  # noqa: F401
     text_analysis,
     multimodal,
     advanced,
+    tpch_style,
 )

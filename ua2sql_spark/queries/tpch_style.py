@@ -1,0 +1,165 @@
+"""Deep multi-join analytics (TPC-H Q3/Q5 shapes) + scale patterns
+(salted aggregation) + JSON construction.
+
+These are the plans whose shape decides 100 TB viability: multi-way
+fact/dim joins must broadcast every dim and shuffle the fact at most
+once per fact-fact join; the salted aggregation shows the skew-
+mitigation pattern producing provably identical results (exact decimal
+partials commute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.queries.common import dsum, sql_dsum
+from ua2sql_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: revenue by supplier nation within one region, date-bounded.
+# lineitem ⋈ orders (fact-fact, one shuffle) ⋈ supplier ⋈ nation ⋈ region
+# (all broadcast).
+# ---------------------------------------------------------------------------
+@query(
+    "q64_regional_revenue",
+    oracle=f"""
+    SELECT n_name AS nation_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q64_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: top-10 unshipped orders by revenue for one
+# segment. Revenue is decimal-exact, so the global top-k ordering is
+# bit-identical across engines (ties broken on l_orderkey).
+# ---------------------------------------------------------------------------
+@query(
+    "q65_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q65_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew pattern: salted two-phase aggregation. Phase 1 aggregates by
+# (key, salt) — spreading a hot key over N reducers — phase 2 merges the
+# partials. Exact decimal partials commute, so the result is provably
+# identical to the direct aggregation (which is what the oracle runs).
+# ---------------------------------------------------------------------------
+N_SALTS = 8
+
+
+@query(
+    "q66_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_quantity')} AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q66_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,8)")).alias("__qty_partial"),
+        F.count(F.lit(1)).alias("__cnt_partial"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("__qty_partial").cast("double").alias("total_qty"),
+        F.sum("__cnt_partial").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2: JSON construction — to_json over a struct (the inverse of the
+# JSONB-island reads). ignoreNullFields=false matches DuckDB's explicit
+# nulls.
+# ---------------------------------------------------------------------------
+@query(
+    "q67_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(
+               orderkey := o_orderkey,
+               status := o_orderstatus,
+               priority := o_orderpriority
+           )) AS payload
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q67_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    return o.select("o_orderkey", payload.alias("payload"))
