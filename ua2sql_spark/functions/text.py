@@ -23,6 +23,17 @@ def word_set(text: Column, sep: str = " ") -> Column:
     return F.array_distinct(F.split(text, sep))
 
 
+def char_shingles(text: Column, n: int = 4) -> Column:
+    """Distinct character n-grams; empty when the text is shorter than n.
+    DuckDB mirror: list_distinct(list_transform(range(1, len(t)-n+2),
+    i -> substring(t, i, n)))."""
+    idx = F.sequence(F.lit(1), F.length(text) - (n - 1))
+    grams = F.transform(idx, lambda i: F.substring(text, i, n))
+    return F.when(F.length(text) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     """Positional n-word shingles as strings; empty array when the text
     has fewer than ``n`` tokens (guard against sequence() descending)."""

@@ -1,7 +1,9 @@
 """Generic dedup operators (SURVEY §2.11 X1/X2) over caller tables.
 
 ``exact_dedup`` — content-hash dedup with deterministic survivor pick.
-``minhash_lsh_pairs`` — near-duplicate pair detection: md5-minhash →
+``minhash_lsh_pairs`` — near-duplicate pair detection (tokenizer-
+pluggable: word sets by default, character n-grams via
+``functions.text.char_shingles``): md5-minhash →
 banded LSH candidates via equi-join → exact Jaccard verify with an
 adaptive set representation (64-bit bitmask popcount when the
 dictionary fits, array intersection otherwise).
@@ -42,12 +44,14 @@ def minhash_lsh_pairs(
     band_size: int = 8,
     threshold: float = 0.9,
     bitmask_max_vocab: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) among documents,
     candidates from banded md5-minhash LSH."""
     assert num_hashes % band_size == 0
+    tokenizer = tokenizer or word_set
     tokens = df.select(
-        F.col(id_col), F.explode(word_set(F.col(text_col))).alias("__tok")
+        F.col(id_col), F.explode(tokenizer(F.col(text_col))).alias("__tok")
     )
     mh = tokens.groupBy(id_col).agg(*minhash_columns(F.col("__tok"), num_hashes))
 
@@ -100,7 +104,7 @@ def minhash_lsh_pairs(
         jaccard = inter.cast("double") / union
     else:
         sets = df.select(
-            F.col(id_col), word_set(F.col(text_col)).alias("__ws")
+            F.col(id_col), tokenizer(F.col(text_col)).alias("__ws")
         )
         x = sets.select(F.col(id_col).alias("__xid"), F.col("__ws").alias("__ws_a"))
         y = sets.select(F.col(id_col).alias("__yid"), F.col("__ws").alias("__ws_b"))

@@ -12,4 +12,5 @@ from ua2sql_spark.queries import (  # noqa: F401
     multimodal,
     advanced,
     tpch_style,
+    pipeline_ops,
 )

@@ -1,0 +1,210 @@
+"""Remaining training-pipeline operators: embedding-cosine near-dup,
+character-n-gram Jaccard near-dup, deterministic hash splits, explicit
+GROUPING SETS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.functions.arrays import sign_bucket
+from ua2sql_spark.functions.text import char_shingles, xor_seed
+from ua2sql_spark.queries.common import sql_dsum, dsum
+from ua2sql_spark.queries.similarity import _sql_cosine, cosine
+from ua2sql_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# X2c: embedding-cosine near-duplicate pairs — sign-LSH bucket blocking
+# (8 dims → 256 buckets) then a cosine-threshold verify inside buckets
+# only. Threshold 0.3 is calibrated to this corpus (random vectors:
+# pairwise cosine tops out ~0.6); real near-dup corpora would use ~0.95
+# with more bucket bits.
+# Recall is the LSH's (high for near-identical vectors, which agree on
+# sign bits); deterministically mirrored in the oracle.
+# ---------------------------------------------------------------------------
+_NEARDUP_BUCKET_DIMS = 8
+_NEARDUP_THRESHOLD = 0.3
+
+_BUCKET16_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(_NEARDUP_BUCKET_DIMS)
+)
+
+
+@query(
+    "x68_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST({_BUCKET16_SQL} AS BIGINT) AS bucket
+        FROM embeddings
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {_NEARDUP_THRESHOLD}
+    """,
+)
+def x68_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), _NEARDUP_BUCKET_DIMS).alias("bucket")
+    )
+    left = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_r"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("bucket") == F.col("bucket_r")) & (F.col("vec_a") < F.col("vec_b")),
+    ).select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# X2d: character-4-gram Jaccard near-dup via the tokenizer-pluggable
+# MinHash-LSH operator (char grams catch word-reordering and small edits
+# that word sets miss).
+# ---------------------------------------------------------------------------
+_CG_N = 4
+_CG_HASHES = 16
+_CG_BAND = 8
+_CG_THRESHOLD = 0.9
+
+
+def _sql_char_minhash() -> list[str]:
+    base = "(('0x' || substring(md5(g), 1, 15))::BIGINT)"
+    return [f"MIN(xor({base}, {xor_seed(j)})) AS h{j}" for j in range(_CG_HASHES)]
+
+
+@query(
+    "x69_ngram_jaccard_neardup",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(text) - {_CG_N} + 2), i -> substring(text, i, {_CG_N})
+               ))) AS g
+        FROM documents WHERE len(text) >= {_CG_N}
+    ),
+    mh AS (
+        SELECT doc_id, {', '.join(_sql_char_minhash())} FROM grams GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 1 AS band_no,
+               md5(concat_ws('|', h0, h1, h2, h3, h4, h5, h6, h7)) AS band_hash FROM mh
+        UNION ALL
+        SELECT doc_id, 2 AS band_no,
+               md5(concat_ws('|', h8, h9, h10, h11, h12, h13, h14, h15)) AS band_hash FROM mh
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(text) - {_CG_N} + 2), i -> substring(text, i, {_CG_N})
+               )) AS gs
+        FROM documents WHERE len(text) >= {_CG_N}
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.gs, y.gs))) AS jaccard
+        FROM cand JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id
+    ) WHERE jaccard >= {_CG_THRESHOLD}
+    """,
+)
+def x69_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _CG_N)
+    return minhash_lsh_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=_CG_HASHES,
+        band_size=_CG_BAND,
+        threshold=_CG_THRESHOLD,
+        tokenizer=lambda c: char_shingles(c, _CG_N),
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: stable under re-runs and
+# repartitioning (content-hash assignment, not randomSplit).
+# ---------------------------------------------------------------------------
+@query(
+    "x70_hash_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+                   AS bucket
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs FROM (
+        SELECT lang,
+               CASE WHEN bucket < 10 THEN 'val'
+                    WHEN bucket < 20 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM assigned
+    ) GROUP BY split
+    """,
+)
+def x70_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.split import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, key_col="doc_id", val_pct=10, test_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5c: explicit GROUPING SETS through the SQL entry.
+# ---------------------------------------------------------------------------
+@query(
+    "q68_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q68_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
