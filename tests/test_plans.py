@@ -88,3 +88,23 @@ def test_semi_join_plans_as_semi(spark):
 
     df = all_queries()["q07_join_semi"].fn(spark, SF_DIR)
     assert "LeftSemi" in simple_plan(df)
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """IVF assignment must broadcast the centroid table (corpus never
+    shuffles for assignment); the probe join must broadcast the query
+    side — no shuffle of the full corpus on either step."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x71_ivf_ann"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1, plan
+
+
+def test_doc_chunks_stays_in_codegen(spark):
+    """Chunking is pure generate/project — whole-stage codegen, no
+    Python boundary, no shuffle."""
+    df = all_queries()["x72_doc_chunks"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0
+    assert wholestage_codegen_count(df) >= 1

@@ -87,8 +87,13 @@ def minhash_lsh_pairs(
     # Verify stage: adaptive set representation (AQE-style runtime
     # choice). Jaccard is invariant under dictionary encoding, so either
     # path yields identical results.
+    # Bounded probe: we only need to know whether the vocabulary exceeds
+    # the bitmask capacity, so cap the distinct scan at max_vocab+1 rows
+    # instead of paying a full-corpus distinct aggregation (at 100 TB the
+    # exact vocabulary count would be a wasted shuffle — the limit makes
+    # the job terminate as soon as enough distinct tokens are seen).
     vocab = tokens.select("__tok").distinct()
-    if vocab.count() <= bitmask_max_vocab:
+    if vocab.limit(bitmask_max_vocab + 1).count() <= bitmask_max_vocab:
         vocab_ids = vocab.select(
             "__tok", (F.row_number().over(Window.orderBy("__tok")) - 1).alias("__wid")
         )

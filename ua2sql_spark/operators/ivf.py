@@ -1,0 +1,98 @@
+"""IVF-style approximate nearest-neighbor search (SURVEY §2.11 X5 scale
+path).
+
+The classic inverted-file (IVF) index: partition the vector space into
+coarse cells, assign every vector to its nearest centroid, and answer a
+query by scanning only its own cell instead of the whole corpus.
+
+Spark-first shape (no UDFs anywhere):
+
+* **Centroids** are a deterministic coarse sample (``vec_id % stride``)
+  rather than trained k-means — keeps the operator oracle-checkable and
+  seed-free; swap in ``ml.clustering.KMeans`` centroids for production
+  recall without touching the query path.
+* **Assignment** is a broadcast nested-loop over N×K pairs (the small
+  centroid table broadcasts; the corpus never shuffles) followed by a
+  per-vector argmax window. At 100 TB this is the scan-shaped, linear
+  pass you want: each executor assigns its own partition's vectors
+  against the broadcast centroids — zero shuffle until the tiny
+  ROW_NUMBER window over K rows per vector.
+* **Probe** is an equi-join on cell id — candidate volume shrinks ~K×
+  versus the brute-force cross join (x45).
+
+Cosines round to 6 decimals *before* ranking so Spark's and the
+oracle's float ties resolve identically (tie-break on id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ua2sql_spark.functions.arrays import dot, sq_norm
+
+
+def _cosine(a, b):
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 25,
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid.
+
+    Returns the input columns plus ``cell`` (centroid id). Deterministic:
+    scores round to 6 decimals, ties break on centroid id.
+    """
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cemb")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "__score", F.round(_cosine(F.col(vec_col), F.col("__cemb")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k neighbors per query, probing only the query's own cell
+    (nprobe=1). ``query_ids`` is a one-column DataFrame of ``id_col``
+    values; the probe side broadcasts."""
+    q = assigned.join(F.broadcast(query_ids), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qemb"),
+        F.col("cell").alias("__qcell"),
+    )
+    n = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nemb"),
+        "cell",
+    )
+    pairs = F.broadcast(q).join(
+        n,
+        (F.col("__qcell") == F.col("cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("__qemb"), F.col("__nemb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

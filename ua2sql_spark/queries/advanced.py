@@ -140,7 +140,7 @@ def q57_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.8 * (
         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o_totalprice)
         FROM orders
     )
@@ -152,7 +152,7 @@ def q58_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM v_orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.8 * (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
                        / COUNT(o_totalprice)
             FROM v_orders

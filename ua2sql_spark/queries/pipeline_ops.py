@@ -181,6 +181,98 @@ def x70_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X5c: IVF-style ANN — coarse cells via deterministic centroids, probe
+# only the query's own cell. The scale path beyond x46's sign-LSH.
+# ---------------------------------------------------------------------------
+_IVF_STRIDE = 25
+_IVF_PROBE = 10
+_IVF_K = 5
+
+
+@query(
+    "x71_ivf_ann",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_sql_cosine('e.embedding', 'c.cemb')}, 6) DESC,
+                                c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROUND({_sql_cosine('q.embedding', 'n.embedding')}, 6) AS cos_sim
+        FROM assign q JOIN assign n
+          ON q.cell = n.cell AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < {_IVF_PROBE}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= {_IVF_K}
+    """,
+)
+def x71_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.ivf import ivf_assign, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, centroid_stride=_IVF_STRIDE)
+    queries = emb.filter(F.col("vec_id") < _IVF_PROBE).select("vec_id")
+    return ivf_topk(assigned, queries, k=_IVF_K)
+
+
+# ---------------------------------------------------------------------------
+# X-chunking: fixed-window overlapping character chunks with offsets —
+# the "split documents into training sequences" op. Pure sequence/
+# posexplode composition; chunk content carried as md5 so the result
+# stays narrow.
+# ---------------------------------------------------------------------------
+_CHUNK_LEN = 128
+_CHUNK_STRIDE = 96
+
+
+@query(
+    "x72_doc_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((start_pos - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(start_pos AS BIGINT) AS chunk_start,
+           CAST(length(substring(text, CAST(start_pos AS INT), {_CHUNK_LEN})) AS BIGINT)
+               AS chunk_len,
+           md5(substring(text, CAST(start_pos AS INT), {_CHUNK_LEN})) AS chunk_hash
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, len(text) + 1, {_CHUNK_STRIDE})) AS start_pos
+        FROM documents WHERE len(text) > 0
+    )
+    """,
+)
+def x72_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE))
+    exploded = d.select(
+        "doc_id", "text", F.explode(starts).alias("start_pos")
+    )
+    chunk = F.substring(F.col("text"), F.col("start_pos"), _CHUNK_LEN)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start_pos") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_no"),
+        F.col("start_pos").cast("bigint").alias("chunk_start"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A5c: explicit GROUPING SETS through the SQL entry.
 # ---------------------------------------------------------------------------
 @query(
