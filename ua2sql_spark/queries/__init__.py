@@ -13,4 +13,5 @@ from ua2sql_spark.queries import (  # noqa: F401
     advanced,
     tpch_style,
     pipeline_ops,
+    udf_surface,
 )

@@ -1,0 +1,212 @@
+"""The full Python-execution surface of SURVEY §2.10, one oracle-checked
+query per API: scalar ``pandas_udf`` (x73), grouped-agg ``pandas_udf``
+(x74), ``mapInArrow`` (x75), Python UDTF (x76), grouped-map
+``applyInPandas`` (x77). ``mapInPandas`` is x53 (multimodal) and
+``applyInPandasWithState`` lives in ``streaming/stateful.py``.
+
+Engine policy (SURVEY §2.10): the *hot path* is always native column
+expressions — every query here deliberately computes something that is
+also SQL-expressible so DuckDB can verify the Python plumbing
+end-to-end (Arrow batch transfer, schema negotiation, group iteration).
+In production these APIs are reserved for logic Spark genuinely cannot
+express (codecs, model scoring, tokenizers).
+
+All UDF objects are created *inside* the query functions: worker
+processes unpickle them by value, so importing this module never has to
+construct a UDF outside an active driver (and the registry stays
+import-light).
+
+Determinism: x73 uses Gini impurity (pure rational arithmetic — counts
+and one division — so both engines produce bit-identical doubles; a
+Shannon-entropy variant would hinge on cross-libm log2 ulps); x77 feeds
+exact integer sums into the identical float expression in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# x73: scalar pandas_udf — per-document character Gini impurity
+# (1 - Σ p², a diversity/quality signal needing a per-row frequency map).
+# ---------------------------------------------------------------------------
+@query(
+    "x73_gini_pandas_udf",
+    oracle="""
+    WITH freq AS (
+        SELECT doc_id, c, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(split(text, '')) AS c
+              FROM documents WHERE len(text) > 0)
+        GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           1.0 - CAST(SUM(n * n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+               AS char_gini
+    FROM freq GROUP BY doc_id
+    """,
+)
+def x73_gini_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def char_gini(texts: pd.Series) -> pd.Series:
+        def gini(s):
+            if s is None or len(s) == 0:
+                return None
+            sumsq = sum(n * n for n in Counter(s).values())
+            t = float(len(s))
+            return 1.0 - float(sumsq) / (t * t)
+
+        return texts.map(gini)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select("doc_id", char_gini(F.col("text")).alias("char_gini"))
+
+
+# ---------------------------------------------------------------------------
+# x74: grouped-agg pandas_udf — median absolute deviation of document
+# length per language (robust stat Spark has no builtin for; DuckDB
+# verifies with its native mad()).
+# ---------------------------------------------------------------------------
+@query(
+    "x74_mad_grouped_agg",
+    oracle="""
+    SELECT lang, CAST(mad(n_chars) AS DOUBLE) AS mad_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def x74_mad_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        return float((v - v.median()).abs().median())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(mad(F.col("n_chars")).alias("mad_chars"))
+
+
+# ---------------------------------------------------------------------------
+# x75: mapInArrow — byte-level payload stats straight off Arrow record
+# batches (no pandas materialization; the shape a binary-media scanner
+# uses at scale).
+# ---------------------------------------------------------------------------
+@query(
+    "x75_arrow_bytestats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_space,
+           substring(hex(encode(text)), 1, 8) AS head_hex
+    FROM documents
+    """,
+)
+def x75_arrow_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def bytestats(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            payloads = batch.column("payload").to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id").to_pylist(),
+                    "payload_bytes": [len(p) for p in payloads],
+                    "n_space": [p.count(b" ") for p in payloads],
+                    "head_hex": [p.hex()[:8].upper() for p in payloads],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInArrow(
+        bytestats,
+        schema="doc_id bigint, payload_bytes bigint, n_space bigint, head_hex string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x76: Python UDTF — sentence splitter as a table function consumed via
+# LATERAL join. API demo: the production path for this particular job is
+# native split+posexplode (q63).
+# ---------------------------------------------------------------------------
+@query(
+    "x76_udtf_sentences",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(1, len(parts) + 1)) AS BIGINT) - 1 AS sentence_no,
+           unnest(parts) AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+    """,
+)
+def x76_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_no bigint, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_no, s.sentence
+        FROM v_docs_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# x77: grouped-map applyInPandas — per-language z-score of document
+# length. Exact integer sums feed an identical float expression in both
+# engines (see module docstring).
+# ---------------------------------------------------------------------------
+@query(
+    "x77_zscore_applyinpandas",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS DOUBLE) AS s,
+               CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ss
+        FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang,
+           ROUND((n_chars - s / n) / NULLIF(SQRT((ss - s * s / n) / n), 0), 6)
+               AS z_chars
+    FROM documents d JOIN stats USING (lang)
+    """,
+)
+def x77_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s = float(int(pdf["n_chars"].sum()))
+        ss = float(int((pdf["n_chars"] * pdf["n_chars"]).sum()))
+        mean = s / n
+        var = (ss - s * s / n) / n
+        std = math.sqrt(var)
+        x = pdf["n_chars"].astype("float64")
+        if std > 0:
+            z = ((x - mean) / std).round(6)
+        else:
+            z = pd.Series([None] * n, dtype="float64")
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z}
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        zscore_group, schema="doc_id bigint, lang string, z_chars double"
+    )
