@@ -122,3 +122,32 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def neardup_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.9,
+    tokenizer=None,
+) -> DataFrame:
+    """Near-dup *deduplication* (vs. pair listing): greedy min-id
+    survivorship — a row is dropped iff a verified near-duplicate with a
+    smaller id exists. This is the 100 TB default (SCALE.md §2): the
+    pair list is quadratic in cluster size, the dropped-id set is
+    linear. Not a transitive closure (A~B~C with A≁C keeps A and C's
+    fate independent of each other) — same greedy contract as most
+    production MinHash dedup passes."""
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        tokenizer=tokenizer,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -246,3 +246,71 @@ def x44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.withColumn(
         "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("simhash16"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X2e: near-dup DEDUP (survivor selection) — the scale-path variant of
+# x43: instead of materializing the quadratic pair list, drop every doc
+# with a verified near-duplicate of smaller id. Output is the surviving
+# corpus per language (compact, linear).
+# ---------------------------------------------------------------------------
+@query(
+    "x81_neardup_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents
+    ),
+    mh AS (
+        SELECT doc_id,
+               {', '.join(_SQL_MINHASH)}
+        FROM w GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {no} AS band_no,"
+            f" md5(concat_ws('|', {', '.join(f'h{j}' for j in js)})) AS band_hash FROM mh"
+            for no, js in _band_ranges()
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ),
+    dropped AS (
+        SELECT DISTINCT doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+                       / len(list_distinct(list_concat(x.ws, y.ws))) AS jaccard
+            FROM cand
+            JOIN sets x ON doc_a = x.doc_id
+            JOIN sets y ON doc_b = y.doc_id
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    )
+    SELECT lang, COUNT(*) AS n_survivors, MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+    GROUP BY lang
+    """,
+)
+def x81_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.dedup import neardup_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    survivors = neardup_dedup(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
