@@ -108,3 +108,55 @@ def test_doc_chunks_stays_in_codegen(spark):
     df = all_queries()["x72_doc_chunks"].fn(spark, SF_DIR)
     assert shuffle_count(df) == 0
     assert wholestage_codegen_count(df) >= 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing discipline (SCALE.md §1): co-bucketed tables on the
+    join key remove the fact-fact shuffle entirely. The operators don't
+    require bucketing; this pins that they benefit when the layout
+    provides it (exchange-free sort-merge join)."""
+    from ua2sql_spark.plans.explain import simple_plan, sortmerge_join_count
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_o")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_li")).saveAsTable("b_li"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_o")).saveAsTable("b_o"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # At sf0.01 orders fits the broadcast threshold, which hides the
+        # bucketing effect; at 100 TB neither side broadcasts, so pin
+        # the fact-fact shape the test is about.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_li").join(
+            spark.table("b_o"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = simple_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert sortmerge_join_count(joined) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_o")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Raw-zone layout discipline (SCALE.md §4): a date predicate over a
+    jobType/date-partitioned zone must prune partitions at planning
+    time, not filter rows after a full scan."""
+    from ua2sql_spark.plans.explain import formatted_plan
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "ingest_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "raw_zone")
+    events.write.partitionBy("ingest_date").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("ingest_date") == "2024-01-02")
+    plan = formatted_plan(df)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and any("ingest_date" in ln for ln in m), plan
