@@ -133,3 +133,65 @@ def test_exact_dedup_survivors(spark, rows):
         pdf.groupby(["key", "value"])["event_id"].min().tolist()
     )
     assert got_ids == expect_ids
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@SETTINGS
+def test_hash_split_stable_under_repartition(spark, keys, nparts):
+    """The split assignment is a pure function of the key: identical for
+    any partitioning, duplicate keys always agree, and every row lands
+    in exactly one of train/val/test."""
+    from ua2sql_spark.operators.split import hash_split
+
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    a = hash_split(df, key_col="k").toPandas()
+    b = hash_split(df.repartition(nparts), key_col="k").toPandas()
+    assert set(a["split"]) <= {"train", "val", "test"}
+    ma = dict(zip(a["k"], a["split"]))
+    mb = dict(zip(b["k"], b["split"]))
+    assert ma == mb
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30), min_size=2, max_size=12
+    )
+)
+@SETTINGS
+def test_neardup_dedup_consistent_with_pairs(spark, texts):
+    """Survivor set = all ids minus ids appearing as the larger side of
+    a verified pair — for any corpus."""
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs, neardup_dedup
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    pairs = minhash_lsh_pairs(df, id_col="doc_id", text_col="text").toPandas()
+    survivors = set(
+        neardup_dedup(df, id_col="doc_id", text_col="text").toPandas()["doc_id"]
+    )
+    expected = set(pdf["doc_id"]) - set(pairs["id_b"])
+    assert survivors == expected
+
+
+def test_ivf_assignment_deterministic_and_total(spark):
+    """Every vector gets exactly one cell; assignment is identical under
+    repartitioning (round-before-rank determinism)."""
+    import numpy as np
+
+    from ua2sql_spark.operators.ivf import ivf_assign
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "embedding": [rng.standard_normal(8).tolist() for _ in range(60)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = ivf_assign(df, centroid_stride=10).toPandas()
+    b = ivf_assign(df.repartition(5), centroid_stride=10).toPandas()
+    assert len(a) == 60 and a["vec_id"].is_unique
+    assert dict(zip(a["vec_id"], a["cell"])) == dict(zip(b["vec_id"], b["cell"]))

@@ -259,3 +259,49 @@ def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T8 batch, sliding variant: 6-hour windows sliding every 3 hours —
+# every event lands in exactly 2 windows. The oracle materializes the
+# same window set by unnesting the two candidate starts per event
+# (window semantics: start ≡ 0 mod slide, start ≤ ts < start + width).
+# ---------------------------------------------------------------------------
+@query(
+    "q82_sliding_window",
+    oracle=f"""
+    WITH cand AS (
+        SELECT event_type, value,
+               EPOCH(ts) AS t,
+               unnest([
+                   CAST(FLOOR(EPOCH(ts) / 10800) AS BIGINT) * 10800 - 10800,
+                   CAST(FLOOR(EPOCH(ts) / 10800) AS BIGINT) * 10800
+               ]) AS win_start_s
+        FROM events
+    )
+    SELECT CAST(to_timestamp(win_start_s) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM cand
+    WHERE t < win_start_s + 21600 AND t >= win_start_s
+    GROUP BY 1, 2
+    """,
+)
+def q82_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
