@@ -156,3 +156,46 @@ def test_stateful_running_totals(spark, tmp_path):
     }
     assert got[1] == (4, 8.0)  # includes the duplicate delivery
     assert got[2] == (1, 4.0)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: enrich a streaming feed with a broadcastable
+    dimension without breaking incremental execution — the standard
+    pattern for joining 100 TB/day streams against small dims (the
+    static side is re-read per micro-batch, never stateful)."""
+    stream = _events_stream(spark, tmp_path, EVENTS)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id BIGINT, tier STRING"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "tier", "value"
+    )
+    _run_to_memory(enriched, "enriched", "append")
+    rows = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert (1, "gold") in rows and (4, "silver") in rows
+    assert len(rows) == 4  # dup event 2 arrives twice but same (id, tier)
+
+
+def test_media_seam_contract():
+    """The codec seam: real decoders raise NotImplementedError with the
+    dependency named; fakes are deterministic and shape-compatible."""
+    import pytest as _pytest
+
+    from ua2sql_spark.functions import media
+
+    with _pytest.raises(NotImplementedError):
+        media.decode_image_real(b"x")
+    with _pytest.raises(NotImplementedError):
+        media.sample_frames_real(b"x")
+    with _pytest.raises(NotImplementedError):
+        media.resize_real(10, 10, 5)
+    assert media.resize_dims(640, 480, 320) == (320, 240)
+    assert media.resize_dims(100, 50, 320) == (100, 50)  # never upscales
+    d = media.fake_decode_image(b"\x00" * 1000)
+    assert set(d) == {"width", "height", "mean_pixel"}
+    frames = media.fake_sample_frames(7, b"\x00" * 1000)
+    assert [f["frame_no"] for f in frames] == [0]
+    assert media.fake_sample_frames(7, b"\x00" * 1000) == frames  # deterministic

@@ -92,3 +92,48 @@ def x53_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return with_payload.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# X6c: frame sampling — the 1→N multimodal expansion (one video payload
+# row out to many sampled-frame rows) through Arrow-batched mapInPandas.
+# The fake codec derives frames from payload length (functions/media.py
+# is the real-codec seam); the oracle replicates its arithmetic, so the
+# verified part is the expansion plumbing: batch in, variable-length
+# frame rows out, schema preserved.
+# ---------------------------------------------------------------------------
+@query(
+    "x83_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(frame_no * 100 AS BIGINT) AS frame_offset,
+           md5(doc_id || '|' || frame_no) AS frame_hash
+    FROM (
+        SELECT doc_id,
+               unnest(range(0, octet_length(encode(text)) // 100, 10)) AS frame_no
+        FROM documents
+    )
+    """,
+)
+def x83_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.functions.media import fake_sample_frames
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in fake_sample_frames(doc_id, payload):
+                    rows.append(
+                        (doc_id, fr["frame_no"], fr["frame_offset"], fr["frame_hash"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_offset", "frame_hash"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return with_payload.mapInPandas(
+        sample_batches,
+        schema="doc_id bigint, frame_no bigint, frame_offset bigint, frame_hash string",
+    )
