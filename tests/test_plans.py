@@ -160,3 +160,17 @@ def test_partition_pruning(spark, tmp_path):
     plan = formatted_plan(df)
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and any("ingest_date" in ln for ln in m), plan
+
+
+def test_no_query_plans_cartesian_or_row_python(spark):
+    """Sweep every registered query: no CartesianProduct outside the
+    intentionally-cross q10, and no row-wise Python eval anywhere
+    (Python only ever appears Arrow-batched). Plan-only — no execution."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    allowed_cartesian = {"q10_join_cross", "x45_cosine_topk"}
+    for name, spec in all_queries().items():
+        plan = simple_plan(spec.fn(spark, SF_DIR))
+        if name not in allowed_cartesian:
+            assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python"

@@ -153,7 +153,9 @@ def x75_arrow_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x76_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sentence_no bigint, sentence string")
+    # useArrow: plans as ArrowEvalPythonUDTF (batched transfer), not the
+    # row-pickling BatchEvalPython — enforced by the plan sweep test.
+    @udtf(returnType="sentence_no bigint, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, text: str):
             for i, s in enumerate(text.split(". ")):

@@ -53,8 +53,23 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def _tuned(fn: QueryFn) -> QueryFn:
+    """Wrap a query so it first applies the engine's runtime confs to
+    whatever SparkSession the caller provides (the driver harness builds
+    its own session — UTC timezone in particular must hold for the
+    DuckDB oracle's naive timestamps to compare equal)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ua2sql_spark.session import tune_for_session
+
+        tune_for_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: _tuned(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
