@@ -199,3 +199,24 @@ def test_all_feed_schemas_declared():
     for feed in FEEDS:
         s = landed_schema(feed)
         assert {"ts", "submit_time", "userid", "remote_ip"} <= set(s.names)
+
+
+def test_corrupt_record_quarantine(spark, landing):
+    """A malformed line must not kill the ingest (the reference would
+    raise at json.loads, ua2sql.py:222): PERMISSIVE capture routes it to
+    the quarantine split verbatim; good rows are unaffected."""
+    import gzip as _gzip
+
+    from ua2sql_spark.sources.unity import split_corrupt
+
+    path = os.path.join(landing, "dump.txt.gz")
+    with _gzip.open(path, "wt") as f:
+        for r in custom_rows():
+            f.write(json.dumps(r) + "\n")
+        f.write('{"ts": 123, "userid": "u3", BROKEN\n')
+    df = read_feed(spark, landing, "custom", capture_corrupt=True)
+    good, bad = split_corrupt(df)
+    assert good.count() == 2
+    assert set(r["userid"] for r in good.collect()) == {"u1", "u2"}
+    quarantined = bad.collect()
+    assert len(quarantined) == 1 and "BROKEN" in quarantined[0][0]

@@ -195,3 +195,48 @@ def test_ivf_assignment_deterministic_and_total(spark):
     b = ivf_assign(df.repartition(5), centroid_stride=10).toPandas()
     assert len(a) == 60 and a["vec_id"].is_unique
     assert dict(zip(a["vec_id"], a["cell"])) == dict(zip(b["vec_id"], b["cell"]))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_salted_agg_equals_direct(spark, rows, n_salts):
+    """Salted two-phase aggregation is exactly the direct aggregation
+    for any data and any salt count (decimal-interior partials commute)."""
+    from ua2sql_spark.operators.salt import salted_agg
+
+    pdf = pd.DataFrame({"k": [r[0] for r in rows], "v": [float(r[1]) for r in rows]})
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    got = salted_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "total": ("sum", "v"),
+            "n": ("count", F.lit(1)),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+        },
+        salt_from="rid",
+        n_salts=n_salts,
+    ).toPandas().set_index("k").sort_index()
+    want = (
+        df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,8)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .toPandas().set_index("k").sort_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -123,15 +123,15 @@ N_SALTS = 8
     """,
 )
 def q66_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.salt import salted_agg
+
     li = load_table(spark, sf_dir, "lineitem")
-    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)))
-    partial = salted.groupBy("l_returnflag", "__salt").agg(
-        F.sum(F.col("l_quantity").cast("decimal(28,8)")).alias("__qty_partial"),
-        F.count(F.lit(1)).alias("__cnt_partial"),
-    )
-    return partial.groupBy("l_returnflag").agg(
-        F.sum("__qty_partial").cast("double").alias("total_qty"),
-        F.sum("__cnt_partial").alias("n_lines"),
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={"total_qty": ("sum", "l_quantity"), "n_lines": ("count", F.lit(1))},
+        salt_from="l_orderkey",
+        n_salts=N_SALTS,
     )
 
 

@@ -108,13 +108,51 @@ def normalize_feed(df: DataFrame, feed: str, parity_ts: bool = False) -> DataFra
     return out
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_feed(
-    spark: SparkSession, path: str, feed: str, parity_ts: bool = False
+    spark: SparkSession,
+    path: str,
+    feed: str,
+    parity_ts: bool = False,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
     """Batch-read a landing directory of (optionally gzipped) JSON-lines
-    dumps for one feed and normalize to the landed schema."""
-    raw = spark.read.schema(raw_schema(feed)).json(path)
-    return normalize_feed(raw, feed, parity_ts=parity_ts)
+    dumps for one feed and normalize to the landed schema.
+
+    ``capture_corrupt`` adds a ``_corrupt_record`` column (PERMISSIVE
+    mode): malformed lines land there verbatim instead of becoming
+    all-NULL rows or failing the job — at 100 TB a single bad line in
+    one export file must never kill the ingest; route the quarantine
+    split (`split_corrupt`) to a bad-records zone. The reference would
+    raise on the `json.loads` (ua2sql.py:222) and abort the whole run —
+    a deliberate upgrade, not a parity break (good rows are identical)."""
+    schema = raw_schema(feed)
+    if capture_corrupt:
+        schema = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    reader = spark.read.schema(schema)
+    if capture_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", CORRUPT_COL
+        )
+    return normalize_feed(reader.json(path), feed, parity_ts=parity_ts)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) split of a `capture_corrupt` read. The
+    quarantine frame keeps only the raw line — ship it to the
+    bad-records zone for offline inspection/replay.
+
+    The cache() is required, not an optimization: Spark refuses plans
+    that select only the internal corrupt-record column from a raw JSON
+    scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching materializes the
+    parsed rows first — and the two output frames share that one scan
+    instead of re-reading the landing files."""
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
 
 
 def read_feed_stream(
