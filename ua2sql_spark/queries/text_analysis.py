@@ -203,3 +203,32 @@ def x51_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("sh").alias("n_distinct_shingles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X3e: BPE-style pre-tokenization count — the GPT-2 pretokenizer regex
+# shape (contraction suffixes | space-prefixed word | space-prefixed
+# number | space-prefixed punctuation run | whitespace run), restricted
+# to constructs Java regex and RE2 (DuckDB) treat identically (no
+# lookahead, no unicode classes). The count of pre-tokens is the usual
+# proxy for "token count" before a real BPE merge table is applied.
+# ---------------------------------------------------------------------------
+_BPE_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+@query(
+    "x84_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def x84_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+    )

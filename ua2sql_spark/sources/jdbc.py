@@ -13,9 +13,11 @@ reference declares but Spark lacks are restored at DDL time via
 * ``custom_params``/``receipt`` → JSONB (ua2sql.py:68,85)
 * ``amount`` → NUMERIC(38,18) (ua2sql.py:82 Numeric — exact money)
 
-No PostgreSQL (or JDBC driver) exists in the test container, so
-``write_feed_jdbc`` is exercised in tests only down to the options it
-builds; the write call itself is integration-gated.
+No PostgreSQL exists in the test container, but Spark ships embedded
+Derby — the write path (append mode, batching, auto-DDL, readback) is
+exercised end-to-end against Derby
+(``test_jdbc_sink_roundtrip_embedded_derby``); only the PG-specific
+DDL types stay integration-gated behind ``pg_types``.
 """
 
 from __future__ import annotations
@@ -64,11 +66,17 @@ def write_feed_jdbc(
     feed: str,
     properties: dict[str, str] | None = None,
     batchsize: int = REFERENCE_BATCH_SIZE,
+    pg_types: bool = True,
 ) -> None:
     """Append ``df`` to a JDBC table with the reference's batching.
 
     Mirrors ua2sql.py:209-246; auto-creates the table on first write
-    (the reference's metadata.create_all, ua2sql.py:91)."""
+    (the reference's metadata.create_all, ua2sql.py:91). ``pg_types``
+    emits the PostgreSQL-specific DDL types (INET/JSONB/NUMERIC); turn
+    it off for non-PG targets (the e2e test runs against embedded
+    Derby, which Spark ships)."""
     props = dict(properties or {})
     props.update(jdbc_writer_options(feed, batchsize))
+    if not pg_types:
+        props.pop("createTableColumnTypes", None)
     df.write.mode("append").options(**props).jdbc(url, table, properties=props)
