@@ -71,6 +71,21 @@ def minhash_columns(token: Column, num_hashes: int) -> list[Column]:
     ]
 
 
+def minhash_array_columns(token_hashes: Column, num_hashes: int) -> list[Column]:
+    """Shuffle-free minhash: ``array_min`` over the per-token xor'd hash
+    ints — a pure projection per document, same values as
+    :func:`minhash_columns` after explode/groupBy. ``token_hashes`` is
+    the materialized ``transform(tokens, token_hash_int)`` array column
+    (materialize it in its own ``select`` so the md5s are computed once,
+    not once per hash function)."""
+    return [
+        F.array_min(
+            F.transform(token_hashes, lambda h: h.bitwiseXOR(F.lit(xor_seed(j))))
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+
+
 def sql_minhash_exprs(token_expr: str, num_hashes: int) -> list[str]:
     """DuckDB equivalents of :func:`minhash_columns` (same algorithm)."""
     base = f"(('0x' || substring(md5({token_expr}), 1, 15))::BIGINT)"

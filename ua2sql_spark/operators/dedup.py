@@ -4,19 +4,31 @@
 ``minhash_lsh_pairs`` — near-duplicate pair detection (tokenizer-
 pluggable: word sets by default, character n-grams via
 ``functions.text.char_shingles``): md5-minhash →
-banded LSH candidates via equi-join → exact Jaccard verify with an
-adaptive set representation (64-bit bitmask popcount when the
+banded LSH candidates via bucket grouping → exact Jaccard verify with
+an adaptive set representation (64-bit bitmask popcount when the
 dictionary fits, array intersection otherwise).
 
-No cross join anywhere; candidate volume is governed by bands×rows.
+Physical shape (the 100 TB argument): minhash signatures, band hashes
+and verify bitmasks are all **pure projections** (array higher-order
+functions — no explode, no shuffle, no self-join). The only shuffles
+are (1) the groupBy on (band_no, band_hash) that buckets candidates
+and (2) the pair ``distinct``. Candidate pairs are generated inside
+each bucket from a sorted id list, so there is no join at all on the
+LSH side; candidate volume is governed by bands×rows and the optional
+``max_bucket_size`` guard (degenerate mega-buckets — boilerplate spam
+clusters — are the classic quadratic blowup at scale).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ua2sql_spark.functions.text import minhash_columns, word_set
+from ua2sql_spark.functions.text import (
+    minhash_array_columns,
+    token_hash_int,
+    word_set,
+)
 
 
 def exact_dedup(
@@ -45,42 +57,70 @@ def minhash_lsh_pairs(
     threshold: float = 0.9,
     bitmask_max_vocab: int = 64,
     tokenizer=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) among documents,
-    candidates from banded md5-minhash LSH."""
+    candidates from banded md5-minhash LSH.
+
+    ``max_bucket_size``: optional scale guard — LSH buckets larger than
+    this are skipped (their pairs are quadratic in bucket size; at
+    100 TB a boilerplate cluster of 10^6 docs would otherwise emit
+    5·10^11 pairs). ``None`` (default) keeps exact LSH semantics for
+    oracle parity."""
     assert num_hashes % band_size == 0
     tokenizer = tokenizer or word_set
-    tokens = df.select(
-        F.col(id_col), F.explode(tokenizer(F.col(text_col))).alias("__tok")
-    )
-    mh = tokens.groupBy(id_col).agg(*minhash_columns(F.col("__tok"), num_hashes))
+    num_bands = num_hashes // band_size
 
-    bands = None
-    for b in range(num_hashes // band_size):
-        js = range(b * band_size, (b + 1) * band_size)
-        band = mh.select(
-            F.col(id_col),
-            F.lit(b + 1).alias("__band_no"),
-            F.md5(F.concat_ws("|", *[f"h{j}" for j in js])).alias("__band_hash"),
+    # Signatures as a pure projection: one md5 per distinct token
+    # (materialized in its own select so CollapseProject keeps it
+    # single-evaluation), then num_hashes xor'd array_mins.
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokenizer(F.col(text_col)), token_hash_int).alias("__th"),
+    )
+    mh = hashed.select(
+        F.col(id_col), *minhash_array_columns(F.col("__th"), num_hashes)
+    )
+    band_hash = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"h{j}" for j in range(b * band_size, (b + 1) * band_size)]
+            )
         )
-        bands = band if bands is None else bands.unionByName(band)
-
-    left = bands.select(
-        F.col(id_col).alias("id_a"), "__band_no", "__band_hash"
+        for b in range(num_bands)
+    ]
+    bands = mh.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_hash)).alias("__band_no", "__band_hash"),
     )
-    right = bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__band_no").alias("__band_no_r"),
-        F.col("__band_hash").alias("__band_hash_r"),
+
+    # Bucket-local pair generation: ONE shuffle on the band key, then
+    # sorted-id pair expansion inside each bucket — no self-join.
+    buckets = (
+        bands.groupBy("__band_no", "__band_hash")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    # Two-step expansion defeats bucket skew: first explode one row per
+    # (member, later-members-slice) — linear in bucket size — then
+    # round-robin repartition so the quadratic partner explosion of a
+    # mega-bucket is spread across the cluster instead of landing in the
+    # single task that owns the bucket's shuffle partition.
+    ids = F.col("__ids")
+    members = (
+        buckets.select(F.posexplode(ids).alias("__i", "id_a"), ids.alias("__all"))
+        .select(
+            "id_a",
+            F.slice(
+                F.col("__all"), F.col("__i") + F.lit(2), F.size("__all")
+            ).alias("__partners"),
+        )
+        .repartition(F.col("id_a"))
     )
     cand = (
-        left.join(
-            right,
-            (F.col("__band_no") == F.col("__band_no_r"))
-            & (F.col("__band_hash") == F.col("__band_hash_r"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
+        members.select("id_a", F.explode("__partners").alias("id_b"))
         .distinct()
     )
 
@@ -92,18 +132,30 @@ def minhash_lsh_pairs(
     # instead of paying a full-corpus distinct aggregation (at 100 TB the
     # exact vocabulary count would be a wasted shuffle — the limit makes
     # the job terminate as soon as enough distinct tokens are seen).
-    vocab = tokens.select("__tok").distinct()
-    if vocab.limit(bitmask_max_vocab + 1).count() <= bitmask_max_vocab:
-        vocab_ids = vocab.select(
-            "__tok", (F.row_number().over(Window.orderBy("__tok")) - 1).alias("__wid")
+    tokens = df.select(F.explode(tokenizer(F.col(text_col))).alias("__tok"))
+    vocab = [
+        r["__tok"]
+        for r in tokens.distinct().limit(bitmask_max_vocab + 1).collect()
+    ]
+    if len(vocab) <= bitmask_max_vocab:
+        # Tiny dictionary → ship it as a literal map and compute each
+        # doc's 64-bit set bitmask as a projection (no explode, no join,
+        # no shuffle); Jaccard = popcount arithmetic.
+        bit_of = F.create_map(
+            *[
+                x
+                for i, t in enumerate(sorted(vocab))
+                for x in (F.lit(t), F.lit(1 << i).cast("bigint"))
+            ]
         )
-        masks = (
-            tokens.join(F.broadcast(vocab_ids), "__tok")
-            .groupBy(id_col)
-            .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __wid)")).alias("__mask"))
+        mask = F.aggregate(
+            tokenizer(F.col(text_col)),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc.bitwiseOR(bit_of[t]),
         )
-        x = masks.select(F.col(id_col).alias("__xid"), F.col("__mask").alias("__mask_a"))
-        y = masks.select(F.col(id_col).alias("__yid"), F.col("__mask").alias("__mask_b"))
+        sets = df.select(F.col(id_col), mask.alias("__mask"))
+        x = sets.select(F.col(id_col).alias("__xid"), F.col("__mask").alias("__mask_a"))
+        y = sets.select(F.col(id_col).alias("__yid"), F.col("__mask").alias("__mask_b"))
         inter = F.bit_count(F.col("__mask_a").bitwiseAND(F.col("__mask_b")))
         union = F.bit_count(F.col("__mask_a").bitwiseOR(F.col("__mask_b")))
         jaccard = inter.cast("double") / union
