@@ -247,3 +247,66 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, landing, tmp_path):
     write_feed_jdbc(df, url, "custom_events", feed="custom",
                     properties=props, pg_types=False)
     assert spark.read.jdbc(url, "custom_events", properties=props).count() == 4
+
+
+def test_jdbc_idempotent_upsert(spark, landing, tmp_path):
+    """T4 exactly-once upgrade: re-delivered rows are no-ops; a batch
+    overlapping the target adds only its genuinely-new rows."""
+    from ua2sql_spark.sources.jdbc import upsert_feed_jdbc
+
+    write_jsonl_gz(os.path.join(landing, "dump.txt.gz"), custom_rows())
+    df = read_feed(spark, landing, "custom")
+    url = f"jdbc:derby:{tmp_path}/derby_ups;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    # first write: table auto-created, everything lands
+    assert upsert_feed_jdbc(df, url, "custom_e1", "custom",
+                            properties=props, pg_types=False) == 2
+    # exact re-delivery (the reference's crash-between-insert-and-
+    # checkpoint window, ua2sql.py:274-278): zero new rows
+    assert upsert_feed_jdbc(df, url, "custom_e1", "custom",
+                            properties=props, pg_types=False) == 0
+    back = spark.read.jdbc(url, "custom_e1", properties=props)
+    assert back.count() == 2
+
+    # overlapping batch: one old row (u2/ping) + one new row
+    overlap = [custom_rows()[1],
+               {"ts": BASE_MS + 120_000, "userid": "u3", "name": "buy",
+                "sessionid": 7}]
+    write_jsonl_gz(os.path.join(landing, "dump2.txt.gz"), overlap)
+    df2 = read_feed(spark, landing, "custom")  # re-reads all 4 rows
+    assert upsert_feed_jdbc(df2, url, "custom_e1", "custom",
+                            properties=props, pg_types=False) == 1
+    back = spark.read.jdbc(url, "custom_e1", properties=props)
+    assert back.count() == 3
+    cols = {c.lower() for c in back.columns}
+    assert {"userid", "ts", "name"} <= cols
+
+
+def test_stream_upsert_sink_end_to_end(spark, landing, tmp_path):
+    """Streaming T1+T4: file-source checkpoint gives at-least-once
+    micro-batches; the foreachBatch upsert makes duplicate rows inside
+    later files no-ops — target converges to the distinct row set."""
+    from ua2sql_spark.sources.jdbc import jdbc_upsert_sink
+    from ua2sql_spark.streaming.ingest import stream_feed
+
+    url = f"jdbc:derby:{tmp_path}/derby_stream;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    ckpt = str(tmp_path / "ckpt")
+    sink = jdbc_upsert_sink(url, "custom_s", "custom",
+                            properties=props, pg_types=False)
+
+    write_jsonl_gz(os.path.join(landing, "a.txt.gz"), custom_rows())
+    q = stream_feed(spark, landing, "custom", ckpt, sink)
+    q.awaitTermination(120)
+    assert spark.read.jdbc(url, "custom_s", properties=props).count() == 2
+
+    # second run: a file that re-ships row u2 plus a new row u9
+    dup_and_new = [custom_rows()[1],
+                   {"ts": BASE_MS + 300_000, "userid": "u9", "name": "x",
+                    "sessionid": 1}]
+    write_jsonl_gz(os.path.join(landing, "b.txt.gz"), dup_and_new)
+    q = stream_feed(spark, landing, "custom", ckpt, sink)
+    q.awaitTermination(120)
+    back = spark.read.jdbc(url, "custom_s", properties=props)
+    assert back.count() == 3
