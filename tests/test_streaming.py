@@ -199,3 +199,41 @@ def test_media_seam_contract():
     frames = media.fake_sample_frames(7, b"\x00" * 1000)
     assert [f["frame_no"] for f in frames] == [0]
     assert media.fake_sample_frames(7, b"\x00" * 1000) == frames  # deterministic
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join (impression→click attribution): a click
+    joins the same user's impression iff it lands within the interval;
+    the two-sided watermark + time-range condition bounds join state."""
+    from ua2sql_spark.streaming.ingest import stream_stream_interval_join
+
+    def src(name, rows):
+        d = tmp_path / name
+        d.mkdir(exist_ok=True)
+        with open(d / "part.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        schema = "user_id BIGINT, ts TIMESTAMP, kind STRING"
+        return spark.readStream.schema(schema).json(str(d))
+
+    imps = src("imps", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "kind": "imp"},
+        {"user_id": 2, "ts": "2024-01-01 10:00:00", "kind": "imp"},
+    ])
+    clicks = src("clicks", [
+        {"user_id": 1, "ts": "2024-01-01 10:05:00", "kind": "click"},  # match
+        {"user_id": 1, "ts": "2024-01-01 10:30:00", "kind": "click"},  # too late
+        {"user_id": 3, "ts": "2024-01-01 10:01:00", "kind": "click"},  # no imp
+    ])
+    joined = stream_stream_interval_join(
+        imps, clicks, key="user_id", within="10 minutes"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("imp_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+    _run_to_memory(joined, "attributed", "append")
+    rows = spark.sql("SELECT * FROM attributed").collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert str(rows[0]["click_ts"]).startswith("2024-01-01 10:05")

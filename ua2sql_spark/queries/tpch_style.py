@@ -311,3 +311,143 @@ def q80_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style suppliers-who-kept-waiting: the hardest decorrelation
+# archetype — an EXISTS and a NOT EXISTS over the same fact table, both
+# correlated on the order key with a supplier-inequality side condition.
+# (The fixtures carry no l_commitdate/l_receiptdate, so "late" is a
+# ship-lag predicate: shipped > 90 days after the order date.)
+#
+# Physical shape: both the semi and the anti side are *equi*-joins on
+# l_orderkey (the inequality on l_suppkey rides along as a join-side
+# filter), so the plan is three hash/sort-merge joins sharing one
+# shuffle key — at 100 TB all three can reuse a single orderkey
+# repartition; nothing is nested-loop.
+# ---------------------------------------------------------------------------
+_LATE = "INTERVAL 90 DAYS"
+
+
+@query(
+    "q86_supplier_wait",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q86_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(_LATE))
+        .select("l_orderkey", "l_suppkey")
+    )
+    # EXISTS: some *other* supplier has any line on the same order.
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    cand = late.join(
+        l2,
+        (late.l_orderkey == F.col("__ok2")) & (late.l_suppkey != F.col("__sk2")),
+        "left_semi",
+    )
+    # NOT EXISTS: no *other* supplier was also late on that order — the
+    # anti side is the late set itself, reused (one scan, one shuffle).
+    l3 = late.select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    sole = cand.join(
+        l3,
+        (cand.l_orderkey == F.col("__ok3")) & (cand.l_suppkey != F.col("__sk3")),
+        "left_anti",
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style minimum-cost supplier: for each part, the supplier(s) whose
+# best observed price equals the part's global minimum. The fixtures
+# have no partsupp table, so the part↔supplier cost relation is derived
+# from lineitem (MIN(l_extendedprice) per (part, supplier)).
+#
+# Physical shape — aggregate-then-join, never correlate per row: the
+# derived cost relation is |parts×suppliers-observed| (orders of
+# magnitude smaller than lineitem), the per-part minimum another
+# aggregation of *that*, and the final equality join runs on the two
+# small aggregates. MIN is order-insensitive, so doubles are safe here
+# without the decimal interior; the min-cost equality compares two
+# copies of the identical 64-bit value in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q87_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name, cost AS min_cost
+    FROM ps
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_partkey % 10 = 0
+      AND cost = (SELECT MIN(ps2.cost) FROM ps ps2
+                  WHERE ps2.l_partkey = ps.l_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q87_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("__min_cost")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        ps.join(
+            best,
+            (ps.l_partkey == F.col("__pk")) & (ps.cost == F.col("__min_cost")),
+        )
+        .join(p, ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("cost").alias("min_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )

@@ -101,6 +101,38 @@ def session_windows(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-bound correlation: a right
+    row matches a left row with the same ``key`` whose timestamp falls in
+    ``[left_ts, left_ts + within]`` (the impression→click attribution
+    shape).
+
+    Bounded state is the 100 TB requirement: the watermarks on *both*
+    inputs plus the two-sided time-range condition let Spark evict
+    buffered rows once the watermark passes ``left_ts + within`` —
+    without them, each side's join state grows forever. The join itself
+    shuffles both streams on ``key``, the same hash partitioning a batch
+    equi-join would use."""
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],
