@@ -182,3 +182,100 @@ def x47_embedding_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_component"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4b: per-label centroids — the "M step" / IVF-training primitive
+# (class prototypes for embedding-based quality classifiers).
+#
+# Physical shape: posexplode fans each vector into (label, dim, x) rows;
+# the groupBy then partial-aggregates map-side, so the shuffle carries at
+# most |labels|·d rows per input partition regardless of corpus size —
+# the canonical scalable shape for distributed centroid computation.
+# The decimal interior makes the mean order-insensitive (common.py).
+# ---------------------------------------------------------------------------
+@query(
+    "x88_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+               / COUNT(*) AS centroid
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+)
+def x88_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5c: kNN majority-vote classification — label a probe vector by the
+# mode of its top-k neighbors' labels (embedding-based data labeling /
+# quality scoring at pipeline scale). Brute-force candidate scan here;
+# at 100 TB the candidate set comes from the IVF cells (operators/ivf.py)
+# instead — the vote logic is identical.
+# ---------------------------------------------------------------------------
+@query(
+    "x89_knn_classify",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               ROUND({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cos_sim
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id >= {N_PROBE}
+        WHERE q.vec_id < {N_PROBE}
+    ), topk AS (
+        SELECT query_id, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM pairs
+        ) WHERE rnk <= {TOP_K}
+    ), votes AS (
+        SELECT query_id, label, COUNT(*) AS n_votes
+        FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, n_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, label) AS r
+        FROM votes
+    ) WHERE r = 1
+    """,
+)
+def x89_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_PROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_PROBE).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "label",
+    )
+    pairs = F.broadcast(q).join(c).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    topk = pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
