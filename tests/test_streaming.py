@@ -237,3 +237,65 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["user_id"] == 1
     assert str(rows[0]["click_ts"]).startswith("2024-01-01 10:05")
+
+
+def test_incremental_rollup_maintenance(spark, tmp_path):
+    """Hypertable-rollup pattern: a foreachBatch sink maintains a
+    day-partitioned aggregate table incrementally; after two runs the
+    rollup equals a from-scratch batch recompute, and late data for an
+    existing day rewrites (not duplicates) that day's partition."""
+    from ua2sql_spark.streaming.ingest import stream_feed  # noqa: F401
+    from ua2sql_spark.streaming.rollup import read_rollup, rollup_sink
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "rckpt")
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def land(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(rollup_sink(rollup))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land("a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.5},
+        {"event_id": 2, "ts": "2024-01-01 11:00:00", "event_type": "view", "value": 2.5},
+        {"event_id": 3, "ts": "2024-01-02 09:00:00", "event_type": "buy", "value": 10.0},
+    ])
+    run()
+    got = {
+        (str(r["day"]), r["key"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): (2, 4.0),
+        ("2024-01-02", "buy"): (1, 10.0),
+    }
+
+    # second run: late event for day 1 + a new day — only those two
+    # day-partitions are rewritten, counts accumulate exactly
+    land("b.json", [
+        {"event_id": 4, "ts": "2024-01-01 23:00:00", "event_type": "view", "value": 1.0},
+        {"event_id": 5, "ts": "2024-01-03 08:00:00", "event_type": "view", "value": 7.0},
+    ])
+    run()
+    got = {
+        (str(r["day"]), r["key"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): (3, 5.0),
+        ("2024-01-02", "buy"): (1, 10.0),
+        ("2024-01-03", "view"): (1, 7.0),
+    }
