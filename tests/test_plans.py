@@ -174,3 +174,29 @@ def test_no_query_plans_cartesian_or_row_python(spark):
         if name not in allowed_cartesian:
             assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
         assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python"
+
+
+def test_supplier_wait_decorrelates_to_hash_joins(spark):
+    """q86's EXISTS/NOT EXISTS must plan as hash-based LeftSemi/LeftAnti
+    on the order key (inequality riding as a join condition) — never a
+    nested-loop join."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    plan = simple_plan(all_queries()["q86_supplier_wait"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_min_cost_supplier_prunes_and_broadcasts(spark):
+    """q87: the part filter reaches the parquet scan; part/supplier/
+    nation all broadcast (the cost relation alone gets shuffled)."""
+    df = all_queries()["q87_min_cost_supplier"].fn(spark, SF_DIR)
+    assert any("p_partkey" in f for f in pushed_filters(df)), pushed_filters(df)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_label_centroids_single_shuffle(spark):
+    """x88: posexplode + partial agg → exactly one exchange; the shuffle
+    carries at most |labels|·dims rows per input partition."""
+    df = all_queries()["x88_label_centroids"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1
