@@ -232,3 +232,107 @@ def x84_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("long").alias("n_bpe_tokens"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3f: deterministic stratified sampling — k docs per stratum (lang),
+# selected by content-hash order. Unlike `df.sample`/`sampleBy` (whose
+# per-partition RNG makes results depend on physical partitioning), the
+# hash order is a pure function of content: stable under re-runs,
+# repartitioning, and incremental corpus growth — the property that
+# makes a training subset reproducible. Physically a WindowGroupLimit
+# top-k per stratum: each task keeps k rows per group before the
+# shuffle, so the exchange carries ≤ k·|strata| rows per partition.
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 50
+
+
+@query(
+    "x90_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY sha256(text), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {_SAMPLE_K}
+    """,
+)
+def x90_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("text"), 256), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3g: distinctive terms per document — the TF-IDF shape ranked by
+# (tf DESC, df ASC) instead of tf·log(N/df), which keeps every compared
+# value an exact integer (cross-engine log() can differ in the last
+# ulp; ranks on ints cannot). Two aggregations: term frequency per
+# (doc, term), document frequency per term — both hash aggs with
+# map-side partials; the df relation (|vocab| rows) joins back on term.
+# ---------------------------------------------------------------------------
+_TOP_TERMS = 3
+_TERM_DOCS = 100
+
+
+@query(
+    "x91_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               t -> len(t) >= 3))) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              t -> len(t) >= 3)) AS term
+        FROM documents WHERE doc_id < {_TERM_DOCS}
+    ),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term)
+    SELECT doc_id, term, tf, df FROM (
+        SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+               ROW_NUMBER() OVER (PARTITION BY tfc.doc_id
+                                  ORDER BY tfc.tf DESC, dfc.df ASC, tfc.term) AS rn
+        FROM tfc JOIN dfc ON tfc.term = dfc.term
+    ) WHERE rn <= {_TOP_TERMS}
+    """,
+)
+def x91_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda t: F.length(t) >= 3,
+    )
+    tf = (
+        d.filter(F.col("doc_id") < _TERM_DOCS)
+        .select("doc_id", F.explode(terms).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = (
+        d.select(F.explode(F.array_distinct(terms)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfc, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_TERMS)
+        .select("doc_id", "term", "tf", "df")
+    )
