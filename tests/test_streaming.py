@@ -299,3 +299,37 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
         ("2024-01-02", "buy"): (1, 10.0),
         ("2024-01-03", "view"): (1, 7.0),
     }
+
+
+def test_rollup_merge_equals_batch_recompute(spark, tmp_path):
+    """Monoid property on real data: feeding the sf0.001 events table
+    through merge_rollup in three arbitrary chunks produces exactly the
+    same (day, key) -> (count, sum) table as one direct aggregation."""
+    from ua2sql_spark.catalog import load_table
+    from ua2sql_spark.streaming.rollup import merge_rollup, read_rollup, _partial
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rollup = str(tmp_path / "rollup2")
+    for chunk in [
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 3 == 1),
+        ev.filter(F.col("event_id") % 3 == 2),
+    ]:
+        merge_rollup(spark, _partial(chunk, "ts", "event_type", "value"), rollup)
+
+    got = {
+        (str(r["day"]), r["key"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    direct = {
+        (str(r["day"]), r["key"]): (r["n"], r["s"])
+        for r in ev.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type").alias("key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,8)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == direct
