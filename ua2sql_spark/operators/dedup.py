@@ -126,17 +126,28 @@ def minhash_lsh_pairs(
 
     # Verify stage: adaptive set representation (AQE-style runtime
     # choice). Jaccard is invariant under dictionary encoding, so either
-    # path yields identical results.
-    # Bounded probe: we only need to know whether the vocabulary exceeds
-    # the bitmask capacity, so cap the distinct scan at max_vocab+1 rows
-    # instead of paying a full-corpus distinct aggregation (at 100 TB the
-    # exact vocabulary count would be a wasted shuffle — the limit makes
-    # the job terminate as soon as enough distinct tokens are seen).
-    tokens = df.select(F.explode(tokenizer(F.col(text_col))).alias("__tok"))
-    vocab = [
-        r["__tok"]
-        for r in tokens.distinct().limit(bitmask_max_vocab + 1).collect()
-    ]
+    # path yields identical results — which also means the *probe* that
+    # picks the branch may be arbitrarily cheap without risking
+    # correctness.
+    # Two-tier probe: (1) the vocabulary of a small document sample is a
+    # lower bound on the corpus vocabulary, so if the sample alone
+    # exceeds the bitmask capacity the corpus-wide distinct is skipped
+    # entirely — at 100 TB (vocab ≫ capacity, always) the probe costs
+    # one 256-document scan, not a full-corpus explode+distinct.
+    # (2) Only when the sample stays within capacity do we pay the exact
+    # corpus-wide distinct — still capped at max_vocab+1 rows — because
+    # the bitmask map must cover *every* token to be correct.
+    sample_vocab = df.select(
+        F.explode(tokenizer(F.col(text_col))).alias("__tok")
+    ).limit(4096).distinct().limit(bitmask_max_vocab + 1).collect()
+    if len(sample_vocab) > bitmask_max_vocab:
+        vocab = [None] * (bitmask_max_vocab + 1)  # force the array branch
+    else:
+        tokens = df.select(F.explode(tokenizer(F.col(text_col))).alias("__tok"))
+        vocab = [
+            r["__tok"]
+            for r in tokens.distinct().limit(bitmask_max_vocab + 1).collect()
+        ]
     if len(vocab) <= bitmask_max_vocab:
         # Tiny dictionary → ship it as a literal map and compute each
         # doc's 64-bit set bitmask as a projection (no explode, no join,
