@@ -31,6 +31,10 @@ def get_spark(app_name: str = "ua2sql_spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Runtime bloom-filter semi-join reduction: a selective filter on
+        # one join side prunes the other side's scan at row-group level.
+        # No-op at test scale (creation-side threshold), decisive at 100 TB.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -52,6 +56,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
     ]:
         try:
             spark.conf.set(k, v)
