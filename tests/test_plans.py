@@ -200,3 +200,31 @@ def test_label_centroids_single_shuffle(spark):
     carries at most |labels|·dims rows per input partition."""
     df = all_queries()["x88_label_centroids"].fn(spark, SF_DIR)
     assert shuffle_count(df) == 1
+
+
+def test_disjunctive_bands_pushes_or_predicate(spark):
+    """q93: the OR-of-ANDs predicate must split per side — brand/size
+    disjuncts pushed into the part scan, quantity disjuncts into the
+    lineitem scan — so neither side scans rows no band can match."""
+    df = all_queries()["q93_disjunctive_bands"].fn(spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("p_brand" in f and "Or" in f for f in filters), filters
+    assert any("l_quantity" in f and "Or" in f for f in filters), filters
+
+
+def test_priority_exists_plans_semi_with_residual(spark):
+    """q94: EXISTS decorrelates to one hash LeftSemi on the order key
+    (the non-equi shipdate conjunct rides as residual) — never a
+    nested-loop."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    plan = simple_plan(all_queries()["q94_priority_exists"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """q95: customer, both nation lookups, region, supplier all
+    broadcast; the only shuffle joins the two fact tables."""
+    df = all_queries()["q95_market_share"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 5

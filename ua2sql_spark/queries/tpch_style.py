@@ -451,3 +451,199 @@ def q87_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style promo revenue share: what fraction of monthly revenue comes
+# from PROMO parts. Conditional aggregation over a fact⋈dim join — the
+# dim broadcasts, the fact aggregates map-side-partially, and the ratio
+# is one double division of two exact decimal sums (deterministic).
+# Reference parity note: the reference engine has no join operator at
+# all (ua2sql.py is pure ingest), so all TPC-H shapes here are [EXT]
+# analytics demonstrating the Spark plan the inventory requires.
+# ---------------------------------------------------------------------------
+@query(
+    "q92_promo_revenue",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_ratio,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY ship_month
+    """,
+)
+def q92_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (dsum(promo) / dsum(rev)).alias("promo_ratio"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-style disjunctive predicate over a join: revenue from three
+# brand/size/quantity bands OR-ed together. The archetype exercises
+# CNF conversion — Catalyst extracts the common `p_partkey = l_partkey`
+# conjunct and pushes per-side disjuncts (p_brand/p_size bands to the
+# part scan, l_quantity bands to the lineitem scan) below the join, so
+# the scan prunes rows no band can match before the broadcast probe.
+# ---------------------------------------------------------------------------
+@query(
+    "q93_disjunctive_bands",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 25 AND 50
+           AND l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def q93_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(25, 50)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4-style priority check: orders per priority class that had at least
+# one line shipped after the order date (EXISTS with a non-equi
+# correlated conjunct). Decorrelates to a LEFT SEMI join on the order
+# key with the `l_shipdate > o_orderdate` residual — one shuffle on the
+# shared key, no per-row subquery.
+# ---------------------------------------------------------------------------
+@query(
+    "q94_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q94_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style market share: per order-year, the share of ASIA-region
+# revenue supplied by NATION_5. Two independent nation lookups (customer
+# side restricts the region, supplier side labels the share) on one fact
+# row — all dims broadcast, the single fact-fact shuffle is
+# lineitem⋈orders, and the share is a ratio of exact decimal sums.
+# ---------------------------------------------------------------------------
+@query(
+    "q95_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           {sql_dsum("CASE WHEN ns.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS nation5_share,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS region_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region   ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+    ORDER BY order_year
+    """,
+)
+def q95_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nc = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nc_nationkey"),
+            F.col("n_regionkey").alias("nc_regionkey"),
+        )
+    )
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    ns = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("ns_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n5 = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, c.c_nationkey == F.col("nc_nationkey"))
+        .join(r, F.col("nc_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, s.s_nationkey == F.col("ns_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            (dsum(n5) / dsum(rev)).alias("nation5_share"),
+            dsum(rev).alias("region_revenue"),
+        )
+        .orderBy("order_year")
+    )
