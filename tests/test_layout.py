@@ -1,0 +1,117 @@
+"""Data-layout maintenance (operators/layout.py): compaction touches
+only fragmented partitions and preserves content exactly; clustered
+writes produce files with disjoint min/max stats (the property any
+stats-aware reader needs for skipping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.operators.layout import (
+    compact_partitions,
+    fragmented_partitions,
+    layout_stats,
+    write_clustered,
+)
+from tests.conftest import SF_DIR
+
+
+def _orders_with_month(spark):
+    return load_table(spark, SF_DIR, "orders").withColumn(
+        "mon", F.date_format("o_orderdate", "yyyy-MM")
+    )
+
+
+def _snapshot(df):
+    rows = df.orderBy(*sorted(df.columns)).collect()
+    return [tuple(str(v) for v in r) for r in rows]
+
+
+def _files_of(stats, partition):
+    return {s.partition: (s.num_files, s.total_bytes) for s in stats}[partition]
+
+
+def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    path = str(tmp_path / "orders_by_month")
+    o = _orders_with_month(spark)
+    months = sorted(r["mon"] for r in o.select("mon").distinct().collect())
+    frag_months, intact_month = months[:-1], months[-1]
+
+    # Fragment all months but the last (12 files each — a year of daily
+    # micro-batch appends); the last lands as one healthy file.
+    (
+        o.filter(F.col("mon") != intact_month)
+        .repartition(12)
+        .write.partitionBy("mon")
+        .parquet(path)
+    )
+    (
+        o.filter(F.col("mon") == intact_month)
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("mon")
+        .parquet(path)
+    )
+
+    before = _snapshot(spark.read.parquet(path))
+    stats0 = layout_stats(spark, path)
+    intact_before = _files_of(stats0, f"mon={intact_month}")
+    assert all(
+        _files_of(stats0, f"mon={m}")[0] > 1 for m in frag_months
+    ), stats0
+
+    target = 64 * 1024 * 1024  # every month fits one file at this target
+    rewritten = compact_partitions(spark, path, ["mon"], target_file_bytes=target)
+    assert sorted(s.partition for s in rewritten) == [
+        f"mon={m}" for m in frag_months
+    ]
+
+    stats1 = layout_stats(spark, path)
+    for m in frag_months:
+        n_files, _ = _files_of(stats1, f"mon={m}")
+        assert n_files < 12, (m, stats1)
+    # The healthy partition was not rewritten: same file count AND bytes.
+    assert _files_of(stats1, f"mon={intact_month}") == intact_before
+
+    # Content identical row-for-row.
+    assert _snapshot(spark.read.parquet(path)) == before
+
+    # Second pass: nothing left to do.
+    assert compact_partitions(spark, path, ["mon"], target_file_bytes=target) == []
+
+
+def test_fragmented_partitions_ideal_count():
+    from ua2sql_spark.operators.layout import PartitionStats
+
+    stats = [
+        PartitionStats("day=a", num_files=10, total_bytes=100),  # ideal 1
+        PartitionStats("day=b", num_files=2, total_bytes=300),   # ideal 2 -> fine
+        PartitionStats("day=c", num_files=1, total_bytes=5),     # single file
+    ]
+    frag = fragmented_partitions(stats, target_file_bytes=200)
+    assert [s.partition for s in frag] == ["day=a"]
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    path = str(tmp_path / "orders_clustered")
+    o = load_table(spark, SF_DIR, "orders")
+    write_clustered(o, path, cluster_cols=["o_custkey"], num_files=8)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(per_file) == 8
+    # Ranges overlap at most at the boundary value (range partitioner
+    # ties), so a predicate o_custkey = K scans at most 2 of 8 files.
+    for a, b in zip(per_file, per_file[1:]):
+        assert a["hi"] <= b["lo"], per_file
+
+    # Clustering preserved content.
+    assert (
+        spark.read.parquet(path).count() == o.count()
+    )
