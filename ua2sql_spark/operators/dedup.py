@@ -179,9 +179,17 @@ def minhash_lsh_pairs(
         jaccard = F.size(F.array_intersect("__ws_a", "__ws_b")).cast("double") / F.size(
             F.array_union("__ws_a", "__ws_b")
         )
+    # No join-strategy hint on purpose: the set table spans the corpus
+    # (a static broadcast of it would OOM at scale), while the pair
+    # side's size is only known at runtime (bounded output, but a
+    # plan-time estimate can't see that). Unhinted, Catalyst broadcasts
+    # the sets when their estimate is genuinely small (test scale), and
+    # at corpus scale AQE's runtime stats broadcast-convert the small
+    # candidate side instead — the decision this join needs is exactly
+    # the one AQE makes from real sizes.
     return (
-        cand.join(F.broadcast(x), F.col("id_a") == F.col("__xid"))
-        .join(F.broadcast(y), F.col("id_b") == F.col("__yid"))
+        cand.join(x, F.col("id_a") == F.col("__xid"))
+        .join(y, F.col("id_b") == F.col("__yid"))
         .select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
