@@ -240,3 +240,56 @@ def test_salted_agg_equals_direct(spark, rows, n_salts):
         .toPandas().set_index("k").sort_index()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label CC == driver-side union-find, including
+    long chains (diameter > 1 iteration) and self-loops."""
+    from ua2sql_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    verts = {v for e in edges for v in e}
+    comp_of = {}
+    for v in verts:
+        r = find(v)
+        comp_of.setdefault(r, []).append(v)
+    want = {}
+    for members in comp_of.values():
+        m = min(members)
+        for v in members:
+            want[v] = m
+    assert got == want
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-vertex path graph needs ~12 propagation rounds — pins the
+    fixpoint loop + lineage truncation, not just one iteration."""
+    from ua2sql_spark.operators.components import connected_components
+
+    edges = [(i, i + 1) for i in range(11)] + [(100, 101)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["vertex"]: r["component"] for r in connected_components(df, "src", "dst").collect()}
+    assert got == {**{i: 0 for i in range(12)}, 100: 100, 101: 100}

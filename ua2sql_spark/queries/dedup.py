@@ -138,9 +138,7 @@ from ua2sql_spark.functions.text import sql_minhash_exprs
 _SQL_MINHASH = sql_minhash_exprs("word", NUM_MINHASHES)
 
 
-@query(
-    "x43_minhash_lsh_neardup",
-    oracle=f"""
+_X43_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents
     ),
@@ -172,8 +170,10 @@ _SQL_MINHASH = sql_minhash_exprs("word", NUM_MINHASHES)
         JOIN sets x ON doc_a = x.doc_id
         JOIN sets y ON doc_b = y.doc_id
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("x43_minhash_lsh_neardup", oracle=_X43_ORACLE)
 def x43_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.operators.dedup import minhash_lsh_pairs
 
@@ -313,4 +313,52 @@ def x81_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_survivors"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c: transitive near-dup clusters — connected components over the
+# verified LSH pair graph (operators/components.py). Near-duplication
+# is not transitive; corpus dedup needs the transitive closure or
+# chained families (A~B~C) keep multiple members. Component label =
+# min doc_id in the family (deterministic).
+#
+# The oracle computes the same closure with a recursive CTE over the
+# identical pair list — a full-strength differential check of an
+# iterative distributed algorithm.
+# ---------------------------------------------------------------------------
+@query(
+    "x96_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_X43_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS v, a AS r FROM edges
+        UNION
+        SELECT e.b AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.a
+    )
+    SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    """,
+)
+def x96_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.components import connected_components
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("vertex").alias("doc_id"), "component"
     )
