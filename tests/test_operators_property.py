@@ -293,3 +293,56 @@ def test_connected_components_chain_converges(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["vertex"]: r["component"] for r in connected_components(df, "src", "dst").collect()}
     assert got == {**{i: 0 for i in range(12)}, 100: 100, 101: 100}
+
+
+@given(
+    vals=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    nparts=st.integers(1, 7),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_distributed_cumsum_matches_sequential(spark, vals, nparts):
+    """Two-phase parallel scan == driver-side running sum, for any
+    partition count (incl. partitions the range sampler leaves empty)."""
+    from ua2sql_spark.operators.pack import distributed_cumsum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["cumsum_excl"]
+        for r in distributed_cumsum(df, "k", "v", num_partitions=nparts).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        want[i] = acc
+        acc += v
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 90), min_size=1, max_size=50),
+    max_len=st.integers(1, 64),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_sequences_partitions_every_token(spark, vals, max_len):
+    """Packing invariants: per-doc segment sizes sum to the doc's token
+    count; every sequence but the last holds exactly max_len tokens;
+    segments start where `cumsum mod max_len` says they must."""
+    from ua2sql_spark.operators.pack import pack_sequences
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "n"])
+    out = pack_sequences(df, "k", "n", max_len).collect()
+
+    per_doc: dict[int, int] = {}
+    per_seq: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r["seq_offset"] < max_len
+        assert 1 <= r["n_tokens"] <= max_len
+        per_doc[r["k"]] = per_doc.get(r["k"], 0) + r["n_tokens"]
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
+    assert per_doc == {i: v for i, v in enumerate(vals) if v > 0}
+    total = sum(vals)
+    if total:
+        last = max(per_seq)
+        for sid, n in per_seq.items():
+            assert n == (max_len if sid != last else total - max_len * last)

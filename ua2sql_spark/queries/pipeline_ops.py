@@ -300,3 +300,47 @@ def q68_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Token-sequence packing (operators/pack.py): concat-and-chunk the
+# corpus token stream into fixed 64-token training sequences in doc_id
+# order; one output row per (document × sequence) overlap. The engine
+# side runs the two-phase distributed prefix sum; the oracle computes
+# the same assignment with a single global window (fine at sf0.01,
+# exactly what the distributed scan avoids at 100 TB).
+# ---------------------------------------------------------------------------
+_PACK_LEN = 64
+
+
+@query(
+    "x97_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(u.k AS BIGINT) AS seq_id,
+           CAST(GREATEST(s, u.k * {_PACK_LEN}) - u.k * {_PACK_LEN} AS BIGINT) AS seq_offset,
+           CAST(LEAST(s + n, (u.k + 1) * {_PACK_LEN})
+                - GREATEST(s, u.k * {_PACK_LEN}) AS BIGINT) AS n_tokens
+    FROM c, UNNEST(generate_series(s // {_PACK_LEN}, (s + n - 1) // {_PACK_LEN})) AS u(k)
+    WHERE n > 0
+    """,
+)
+def x97_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.pack import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    return pack_sequences(d, order_col="doc_id", ntok_col="n_tok", max_len=_PACK_LEN)
