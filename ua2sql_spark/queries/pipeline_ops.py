@@ -344,3 +344,111 @@ def x97_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
     )
     return pack_sequences(d, order_col="doc_id", ntok_col="n_tok", max_len=_PACK_LEN)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] End-to-end corpus-cleaning pass: the composition a training-data
+# prep job actually runs — exact-dedup first-copy survivorship THEN the
+# quality gate (length + lexical diversity), one output row per
+# surviving document. Physical shape: one narrow projection computes
+# hash + features in-scan, one window keyed by the content hash picks
+# first copies (uniform 256-bit key → no skew), the quality gate is a
+# residual filter — no second pass over text.
+# ---------------------------------------------------------------------------
+@query(
+    "x98_corpus_clean",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               sha256(text) AS sha,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+    ),
+    first_copy AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id) AS rn
+        FROM feats
+    )
+    SELECT doc_id, lang, n_words, ROUND(uniq_ratio, 6) AS uniq_ratio
+    FROM first_copy
+    WHERE rn = 1 AND n_words >= 20 AND uniq_ratio >= 0.2
+    """,
+)
+def x98_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.size(words).cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "uniq_ratio"
+        ),
+    )
+    w = Window.partitionBy("sha").orderBy("doc_id")
+    return (
+        feats.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_words") >= 20)
+            & (F.col("uniq_ratio") >= 0.2)
+        )
+        .select("doc_id", "lang", "n_words", F.round("uniq_ratio", 6).alias("uniq_ratio"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Domain-mixture sampling: downsample each language toward a
+# target mix with a DETERMINISTIC per-doc coin — the first 4 hex digits
+# of md5(doc_id) compared against the weight's hex cutoff. Lexicographic
+# order on lowercase hex == numeric order, and both engines emit
+# identical digests, so the sample is reproducible across engines,
+# reruns, and partitionings (the property `sample()` lacks). Map-only:
+# no shuffle anywhere.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.125}
+
+
+def _cutoff_hex(w: float) -> str:
+    return format(min(65535, int(w * 65536)), "04x")
+
+
+@query(
+    "x99_domain_mix",
+    oracle=f"""
+    WITH coin AS (
+        SELECT doc_id, lang,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+               CASE lang
+                   {' '.join(f"WHEN '{k}' THEN '{_cutoff_hex(v)}'" for k, v in _MIX_WEIGHTS.items())}
+                   ELSE '0000'
+               END AS cutoff
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM coin WHERE h < cutoff OR cutoff = 'ffff'
+    GROUP BY lang
+    """,
+)
+def x99_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    cutoff = F.lit("0000")
+    for k, v in _MIX_WEIGHTS.items():
+        cutoff = F.when(F.col("lang") == k, F.lit(_cutoff_hex(v))).otherwise(cutoff)
+    keep = (h < cutoff) | (cutoff == "ffff")
+    return (
+        d.select("doc_id", "lang", h.alias("h"), cutoff.alias("cutoff"))
+        .filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
