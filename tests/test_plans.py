@@ -228,3 +228,11 @@ def test_market_share_broadcasts_all_dims(spark):
     broadcast; the only shuffle joins the two fact tables."""
     df = all_queries()["q95_market_share"].fn(spark, SF_DIR)
     assert broadcast_join_count(df) >= 5
+
+
+def test_sequence_pack_expansion_is_exchange_free(spark):
+    """x97: past the checkpointed bucketed-cumsum (whose window clustering
+    is the operator's single data exchange), the boundary-crossing
+    expansion is pure Generate/Project — zero further exchanges."""
+    df = all_queries()["x97_sequence_pack"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0, df._jdf.queryExecution().simpleString()

@@ -12,16 +12,24 @@ The primitive underneath is ``distributed_cumsum`` — a two-phase
 parallel scan, because a single global window (``Window.orderBy`` with
 no partition) collapses 100 TB onto ONE task:
 
-  1. range-partition on the order column (global order across
-     partitions, sampling exchange only),
-  2. per-partition local cumulative sums (bounded windows),
-  3. per-partition totals → driver (one tiny row per partition),
+  1. bucket rows by explicit range boundaries sampled with
+     ``approxQuantile`` (driver-side literals — a stats pass, no data
+     movement),
+  2. per-bucket local cumulative sums — the bucketed window's required
+     clustering IS the plan's single data exchange,
+  3. per-bucket totals → driver (one tiny row per bucket),
      exclusive-prefix them, broadcast the offsets back as a literal map.
 
-Cost: one range exchange + one O(num_partitions) driver step. The
-range-partitioned frame is pinned with ``localCheckpoint`` because the
-totals job and the window job must observe the SAME sampled partition
-boundaries (range-partitioner sampling is per-job otherwise).
+Cost: exactly ONE data exchange (hash on the bucket id) + a quantile
+sketch pass + an O(num_buckets) driver step. An earlier variant used
+``repartitionByRange`` + ``spark_partition_id``, which re-shuffled the
+full dataset a second time for the window (the checkpoint hides range
+partitioning from the planner); bucketing by literal boundaries lets
+the window reuse the one exchange. Boundary quality only affects
+balance, never correctness — equal keys always land in one bucket
+(strict ``>`` comparisons), and the prefix offsets absorb any skew in
+bucket sizes. The bucketed cumsum frame is ``localCheckpoint``-pinned
+so the totals job and the consuming job execute the exchange once.
 """
 
 from __future__ import annotations
@@ -38,31 +46,43 @@ def distributed_cumsum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` = exclusive prefix sum of ``value_col`` in global
-    ``order_col`` order, without a global single-task window."""
+    ``order_col`` order, without a global single-task window.
+    ``order_col`` must be numeric (quantile-sketchable) with unique
+    values (it is the total order of the scan)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = (
-        df.repartitionByRange(n, F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in sorted(totals, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["__t"] or 0
-    off = F.create_map(
-        *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
-    )
+    bounds: list[float] = []
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.01)))
+    bkt = F.lit(0)
+    for x in bounds:
+        bkt = bkt + F.when(F.col(order_col) > F.lit(x), 1).otherwise(0)
+
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__bkt")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("bigint"))
-    return part.withColumn(
-        out_col, (local + off[F.col("__pid")]).cast("bigint")
-    ).drop("__pid")
+    local = (
+        df.withColumn("__bkt", bkt.cast("int"))
+        .withColumn(
+            "__local",
+            F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("bigint")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = local.groupBy("__bkt").agg(F.sum(value_col).alias("__t")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["__bkt"]):
+        offsets[r["__bkt"]] = acc
+        acc += r["__t"] or 0
+    off = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+    return local.withColumn(
+        out_col, (F.col("__local") + off[F.col("__bkt")]).cast("bigint")
+    ).drop("__bkt", "__local")
 
 
 def pack_sequences(
