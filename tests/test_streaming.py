@@ -333,3 +333,36 @@ def test_rollup_merge_equals_batch_recompute(spark, tmp_path):
         .collect()
     }
     assert got == direct
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """T10 on the Spark 4 API: transformWithStateInPandas + typed
+    ValueState + RocksDB state store reproduces the legacy operator's
+    semantics (including duplicate delivery) and adds the max tracker.
+
+    Skips when protobuf is absent (this container): the API's Python
+    state-server protocol needs it at runtime. The operator itself is
+    plain PySpark and runs on any properly-provisioned cluster."""
+    pytest.importorskip("google.protobuf")
+    from ua2sql_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = _events_stream(spark, tmp_path, EVENTS).select("user_id", "value")
+        totals = running_user_totals_tws(stream)
+        _run_to_memory(totals, "tws_totals", "update")
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+            for r in spark.sql("SELECT * FROM tws_totals").collect()
+        }
+        assert got[1] == (4, 8.0, 3.0)
+        assert got[2] == (1, 4.0, 4.0)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

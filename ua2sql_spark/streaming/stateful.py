@@ -52,3 +52,73 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 successor API: transformWithStateInPandas. Same running-totals
+# semantics as ``running_user_totals`` plus a deterministic max tracker,
+# expressed as a StatefulProcessor with a typed ValueState handle. The
+# new API is the forward path: typed state (Value/List/Map), per-key
+# timers, state TTL, and a mandatory RocksDB state store — the store
+# that actually holds 100 TB-stream state (incremental checkpoints,
+# changelog uploads), vs the HDFS-backed in-memory map the old API
+# defaults to.
+# ---------------------------------------------------------------------------
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_value DOUBLE"
+)
+TWS_STATE_SCHEMA = "n BIGINT, total DOUBLE, mx DOUBLE"
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, sum, max) across micro-batches."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", TWS_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._agg.exists():
+            n, total, mx = self._agg.get()
+        else:
+            n, total, mx = 0, 0.0, float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        self._agg.update((n, total, mx))
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas running totals; requires the session
+    to run the RocksDB state store provider (see ROCKSDB_PROVIDER)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
