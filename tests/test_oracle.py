@@ -43,3 +43,25 @@ def test_contract_shapes():
     o = mod.oracle_sql()
     assert q, "queries() empty"
     assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
+
+
+def test_driver_window_families():
+    """The driver hard-checks the first 50 registry entries; every SURVEY
+    family must keep a representative inside that window."""
+    from ua2sql_spark.registry import DRIVER_WINDOW, all_queries
+
+    names = list(all_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+    required = {
+        "q01_pricing_summary", "q04_join_inner", "q35_asof_join",
+        "q22_window_rank", "q28_json_extract", "q40_tumbling_window",
+        "x41_exact_dedup", "x43_minhash_lsh_neardup", "x96_neardup_clusters",
+        "x45_cosine_topk", "x71_ivf_ann", "x100_ivf_knn_classify",
+        "x48_token_stats", "x50_langid", "x52_binary_metadata",
+        "x53_decode_mapinpandas", "x73_gini_pandas_udf",
+        "x77_zscore_applyinpandas", "q54_pivot", "q56_correlated_exists",
+        "q79_volume_shipping", "q86_supplier_wait", "q95_market_share",
+        "x97_sequence_pack",
+    }
+    assert required <= set(DRIVER_WINDOW)

@@ -28,6 +28,7 @@ from ua2sql_spark.registry import query
 N_PROBE = 10
 TOP_K = 5
 BUCKET_DIMS = 8
+IVF_STRIDE = 25
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -272,6 +273,79 @@ def x89_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     votes = topk.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5d: kNN classification over the IVF index — the 100 TB composition:
+# candidates come from the query's own IVF cell (operators/ivf.py
+# ivf_assign → ivf_topk, corpus never shuffles, centroids broadcast)
+# instead of x89's brute-force scan; the majority vote is identical.
+# Recall is the index's (nprobe=1), deterministically mirrored in the
+# oracle — same cells, same candidates, same vote.
+# ---------------------------------------------------------------------------
+@query(
+    "x100_ivf_knn_classify",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_sql_cosine('e.embedding', 'c.cemb')}, 6) DESC,
+                                c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROUND({_sql_cosine('q.embedding', 'n.embedding')}, 6) AS cos_sim
+        FROM assign q JOIN assign n
+          ON q.cell = n.cell AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < {N_PROBE}
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM pairs
+        ) WHERE rnk <= {TOP_K}
+    ),
+    votes AS (
+        SELECT t.query_id, e.label, COUNT(*) AS n_votes
+        FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+        GROUP BY t.query_id, e.label
+    )
+    SELECT query_id, label AS predicted_label, n_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, label) AS r
+        FROM votes
+    ) WHERE r = 1
+    """,
+)
+def x100_ivf_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.ivf import ivf_assign, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, centroid_stride=IVF_STRIDE)
+    probe_ids = emb.filter(F.col("vec_id") < N_PROBE).select("vec_id")
+    topk = ivf_topk(assigned, probe_ids, k=TOP_K)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
     return (
