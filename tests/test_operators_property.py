@@ -176,6 +176,33 @@ def test_neardup_dedup_consistent_with_pairs(spark, texts):
     assert survivors == expected
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=1, max_size=40), min_size=2, max_size=12
+    )
+)
+@SETTINGS
+def test_minhash_verify_branches_agree(spark, texts):
+    """The join-free bitmask verify and the general array-set verify are
+    the same function: identical (id_a, id_b, jaccard) for any corpus.
+    (bitmask_max_vocab=0 forces the array branch.)"""
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+
+    def rows(res):
+        return sorted(map(tuple, res.toPandas().values.tolist()))
+
+    a = rows(minhash_lsh_pairs(df, id_col="doc_id", text_col="text", threshold=0.5))
+    b = rows(
+        minhash_lsh_pairs(
+            df, id_col="doc_id", text_col="text", threshold=0.5, bitmask_max_vocab=0
+        )
+    )
+    assert a == b
+
+
 def test_ivf_assignment_deterministic_and_total(spark):
     """Every vector gets exactly one cell; assignment is identical under
     repartitioning (round-before-rank determinism)."""

@@ -17,6 +17,14 @@ each bucket from a sorted id list, so there is no join at all on the
 LSH side; candidate volume is governed by bands×rows and the optional
 ``max_bucket_size`` guard (degenerate mega-buckets — boilerplate spam
 clusters — are the classic quadratic blowup at scale).
+
+In the small-vocabulary (bitmask) verify branch the doc's 64-bit set
+mask rides through the bucket shuffle (8 bytes/doc), so verification
+is a projection on the pair rows themselves — no join, no second
+corpus scan — and the jaccard filter runs *before* the pair distinct,
+shrinking that shuffle to the surviving pairs. The general branch
+joins the candidate pairs against the word-set table (never shuffling
+raw text through the LSH side).
 """
 
 from __future__ import annotations
@@ -71,64 +79,10 @@ def minhash_lsh_pairs(
     tokenizer = tokenizer or word_set
     num_bands = num_hashes // band_size
 
-    # Signatures as a pure projection: one md5 per distinct token
-    # (materialized in its own select so CollapseProject keeps it
-    # single-evaluation), then num_hashes xor'd array_mins.
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(tokenizer(F.col(text_col)), token_hash_int).alias("__th"),
-    )
-    mh = hashed.select(
-        F.col(id_col), *minhash_array_columns(F.col("__th"), num_hashes)
-    )
-    band_hash = [
-        F.md5(
-            F.concat_ws(
-                "|", *[f"h{j}" for j in range(b * band_size, (b + 1) * band_size)]
-            )
-        )
-        for b in range(num_bands)
-    ]
-    bands = mh.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_hash)).alias("__band_no", "__band_hash"),
-    )
-
-    # Bucket-local pair generation: ONE shuffle on the band key, then
-    # sorted-id pair expansion inside each bucket — no self-join.
-    buckets = (
-        bands.groupBy("__band_no", "__band_hash")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
-        .filter(F.size("__ids") > 1)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
-    # Two-step expansion defeats bucket skew: first explode one row per
-    # (member, later-members-slice) — linear in bucket size — then
-    # round-robin repartition so the quadratic partner explosion of a
-    # mega-bucket is spread across the cluster instead of landing in the
-    # single task that owns the bucket's shuffle partition.
-    ids = F.col("__ids")
-    members = (
-        buckets.select(F.posexplode(ids).alias("__i", "id_a"), ids.alias("__all"))
-        .select(
-            "id_a",
-            F.slice(
-                F.col("__all"), F.col("__i") + F.lit(2), F.size("__all")
-            ).alias("__partners"),
-        )
-        .repartition(F.col("id_a"))
-    )
-    cand = (
-        members.select("id_a", F.explode("__partners").alias("id_b"))
-        .distinct()
-    )
-
-    # Verify stage: adaptive set representation (AQE-style runtime
-    # choice). Jaccard is invariant under dictionary encoding, so either
-    # path yields identical results — which also means the *probe* that
-    # picks the branch may be arbitrarily cheap without risking
-    # correctness.
+    # Verify-representation probe (AQE-style runtime choice). Jaccard is
+    # invariant under dictionary encoding, so either branch yields
+    # identical results — which also means the *probe* that picks the
+    # branch may be arbitrarily cheap without risking correctness.
     # Two-tier probe: (1) the vocabulary of a small document sample is a
     # lower bound on the corpus vocabulary, so if the sample alone
     # exceeds the bitmask capacity the corpus-wide distinct is skipped
@@ -148,10 +102,20 @@ def minhash_lsh_pairs(
             r["__tok"]
             for r in tokens.distinct().limit(bitmask_max_vocab + 1).collect()
         ]
-    if len(vocab) <= bitmask_max_vocab:
-        # Tiny dictionary → ship it as a literal map and compute each
-        # doc's 64-bit set bitmask as a projection (no explode, no join,
-        # no shuffle); Jaccard = popcount arithmetic.
+    use_bitmask = len(vocab) <= bitmask_max_vocab
+
+    # Signatures as a pure projection: one md5 per distinct token
+    # (CollapseProject keeps the 16-reference __th alias un-inlined
+    # because it is non-cheap and multiply referenced — plan-pinned in
+    # tests/test_plans.py), then num_hashes xor'd array_mins. In the
+    # bitmask branch the doc's 64-bit set mask rides along from the same
+    # scan-side projection: 8 bytes per doc through the bucket shuffle
+    # buys a join-free verify stage.
+    proj = [
+        F.col(id_col),
+        F.transform(tokenizer(F.col(text_col)), token_hash_int).alias("__th"),
+    ]
+    if use_bitmask:
         bit_of = F.create_map(
             *[
                 x
@@ -164,29 +128,92 @@ def minhash_lsh_pairs(
             F.lit(0).cast("bigint"),
             lambda acc, t: acc.bitwiseOR(bit_of[t]),
         )
-        sets = df.select(F.col(id_col), mask.alias("__mask"))
-        x = sets.select(F.col(id_col).alias("__xid"), F.col("__mask").alias("__mask_a"))
-        y = sets.select(F.col(id_col).alias("__yid"), F.col("__mask").alias("__mask_b"))
-        inter = F.bit_count(F.col("__mask_a").bitwiseAND(F.col("__mask_b")))
-        union = F.bit_count(F.col("__mask_a").bitwiseOR(F.col("__mask_b")))
+        proj.append(mask.alias("__mask"))
+    hashed = df.select(*proj)
+    carry = [F.col(id_col)] + ([F.col("__mask")] if use_bitmask else [])
+    mh = hashed.select(*carry, *minhash_array_columns(F.col("__th"), num_hashes))
+    band_hash = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"h{j}" for j in range(b * band_size, (b + 1) * band_size)]
+            )
+        )
+        for b in range(num_bands)
+    ]
+    member = (
+        F.struct(F.col(id_col).alias("i"), F.col("__mask").alias("m"))
+        if use_bitmask
+        else F.struct(F.col(id_col).alias("i"))
+    )
+    bands = mh.select(
+        member.alias("__member"),
+        F.posexplode(F.array(*band_hash)).alias("__band_no", "__band_hash"),
+    )
+
+    # Bucket-local pair generation: ONE shuffle on the band key, then
+    # sorted-id pair expansion inside each bucket — no self-join.
+    # sort_array over the member structs orders by id (ids are unique),
+    # preserving the id_a < id_b invariant.
+    buckets = (
+        bands.groupBy("__band_no", "__band_hash")
+        .agg(F.sort_array(F.collect_set("__member")).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    # Two-step expansion defeats bucket skew: first explode one row per
+    # (member, later-members-slice) — linear in bucket size — then
+    # round-robin repartition so the quadratic partner explosion of a
+    # mega-bucket is spread across the cluster instead of landing in the
+    # single task that owns the bucket's shuffle partition.
+    ids = F.col("__ids")
+    members = (
+        buckets.select(F.posexplode(ids).alias("__i", "__a"), ids.alias("__all"))
+        .select(
+            F.col("__a"),
+            F.slice(
+                F.col("__all"), F.col("__i") + F.lit(2), F.size("__all")
+            ).alias("__partners"),
+        )
+        .repartition(F.col("__a.i"))
+    )
+    pairs = members.select(
+        F.col("__a.i").alias("id_a"),
+        *([F.col("__a.m").alias("__mask_a")] if use_bitmask else []),
+        F.explode("__partners").alias("__b"),
+    )
+
+    if use_bitmask:
+        # Join-free verify: Jaccard = popcount arithmetic over the two
+        # masks already present on the pair row. Filtering BEFORE the
+        # distinct shrinks that shuffle to the surviving pairs only.
+        inter = F.bit_count(F.col("__mask_a").bitwiseAND(F.col("__b.m")))
+        union = F.bit_count(F.col("__mask_a").bitwiseOR(F.col("__b.m")))
         jaccard = inter.cast("double") / union
-    else:
-        sets = df.select(
-            F.col(id_col), tokenizer(F.col(text_col)).alias("__ws")
+        return (
+            pairs.select(
+                "id_a", F.col("__b.i").alias("id_b"), jaccard.alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .distinct()
         )
-        x = sets.select(F.col(id_col).alias("__xid"), F.col("__ws").alias("__ws_a"))
-        y = sets.select(F.col(id_col).alias("__yid"), F.col("__ws").alias("__ws_b"))
-        jaccard = F.size(F.array_intersect("__ws_a", "__ws_b")).cast("double") / F.size(
-            F.array_union("__ws_a", "__ws_b")
-        )
-    # No join-strategy hint on purpose: the set table spans the corpus
-    # (a static broadcast of it would OOM at scale), while the pair
-    # side's size is only known at runtime (bounded output, but a
-    # plan-time estimate can't see that). Unhinted, Catalyst broadcasts
-    # the sets when their estimate is genuinely small (test scale), and
-    # at corpus scale AQE's runtime stats broadcast-convert the small
-    # candidate side instead — the decision this join needs is exactly
-    # the one AQE makes from real sizes.
+
+    # General (large-vocabulary) branch: candidates join the word-set
+    # table twice. No join-strategy hint on purpose: the set table spans
+    # the corpus (a static broadcast of it would OOM at scale), while
+    # the pair side's size is only known at runtime (bounded output, but
+    # a plan-time estimate can't see that). Unhinted, Catalyst
+    # broadcasts the sets when their estimate is genuinely small (test
+    # scale), and at corpus scale AQE's runtime stats broadcast-convert
+    # the small candidate side instead — the decision this join needs is
+    # exactly the one AQE makes from real sizes.
+    cand = pairs.select("id_a", F.col("__b.i").alias("id_b")).distinct()
+    sets = df.select(F.col(id_col), tokenizer(F.col(text_col)).alias("__ws"))
+    x = sets.select(F.col(id_col).alias("__xid"), F.col("__ws").alias("__ws_a"))
+    y = sets.select(F.col(id_col).alias("__yid"), F.col("__ws").alias("__ws_b"))
+    jaccard = F.size(F.array_intersect("__ws_a", "__ws_b")).cast("double") / F.size(
+        F.array_union("__ws_a", "__ws_b")
+    )
     return (
         cand.join(x, F.col("id_a") == F.col("__xid"))
         .join(y, F.col("id_b") == F.col("__yid"))
