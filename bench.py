@@ -3,15 +3,22 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect-count via a
-cheap aggregate action) after a warm-up pass of the catalog so JVM/IO
-startup doesn't pollute per-query numbers.
+Methodology (variance control): after a global warm-up (table footers +
+one untimed flagship execution for JVM/codegen startup), every query
+runs once untimed (its own plan/codegen warm-up), then ``BENCH_RUNS``
+(default 3) timed runs. ``queries`` reports the per-query median;
+``runs`` carries every individual measurement so a regression is
+distinguishable from environmental noise.
+
+Each timed run executes the full plan via a noop sink — no driver-side
+collect cost in the measurement.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,10 +27,13 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 # Headline set: the flagship plus one representative per operator family
 # (join, star-broadcast, agg, window, top-k, sessionization, json, dedup,
-# similarity) — the queries whose plans matter most at 100 TB.
+# similarity, text quality) and the expensive archetypes (multi-join
+# TPC-H shapes, transitive near-dup clusters, sequence packing) — the
+# queries whose plans matter most at 100 TB.
 HEADLINE = [
     "q01_pricing_summary",
     "q04_join_inner",
@@ -39,6 +49,11 @@ HEADLINE = [
     "x43_minhash_lsh_neardup",
     "x45_cosine_topk",
     "x49_quality_score",
+    "q79_volume_shipping",
+    "q86_supplier_wait",
+    "q95_market_share",
+    "x96_neardup_clusters",
+    "x97_sequence_pack",
 ]
 
 
@@ -53,22 +68,31 @@ def main() -> None:
         n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n and n in specs
     ]
 
-    # Warm-up: touch every table (file listing/footers), then run the
-    # flagship end-to-end once untimed — JVM/codegen warmup costs ~12 s
-    # on the first executed query and would otherwise be billed to it.
+    def execute(name: str) -> None:
+        # Force full execution of the plan without driver-side collect cost.
+        specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    # Global warm-up: touch every table (file listing/footers), then run
+    # the flagship end-to-end once untimed — JVM/codegen startup costs
+    # ~12 s on the first executed query and would otherwise be billed
+    # to it.
     from ua2sql_spark.catalog import load_tables
 
     for df in load_tables(spark, SF_DIR).values():
         df.limit(1).count()
-    specs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    execute(names[0])
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, SF_DIR)
-        # Force full execution of the plan without driver-side collect cost.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        execute(name)  # per-query untimed warm-up (plan + codegen)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            execute(name)
+            runs.append(round(time.perf_counter() - t0, 4))
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -83,6 +107,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "n_runs": N_RUNS,
                 "sf": sf_val,
             }
         )

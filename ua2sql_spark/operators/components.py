@@ -13,17 +13,28 @@ minimum vertex id (deterministic — no tie-breaking needed, min is
 total on ids).
 
 Scale notes:
-* Per round: one shuffle to join labels onto edges + one label-min
-  groupBy. Rounds needed = graph diameter. Near-dup cluster graphs are
-  dense blobs (diameter 2-4 in practice), so the round count is small
-  and independent of corpus size; for adversarial long-chain graphs the
-  Kiveris large-star/small-star variant converges in O(log n) rounds —
-  same building blocks, swap the propagation rule.
+* The upstream edge list is materialized ONCE (``localCheckpoint``
+  immediately — every later consumer would otherwise re-execute the
+  whole producing pipeline, e.g. the full MinHash-LSH pass).
+* Edges stay UNDOUBLED throughout: the per-vertex neighbour-min is
+  computed from both endpoint directions of the canonical pair list
+  (a union feeding one partial-aggregated groupBy — no 2× distinct
+  materialization of the symmetric closure).
+* Each round **contracts** the edge graph through the current labels
+  (edge (a,b) → (comp(a), comp(b)), self-loops dropped): dense near-dup
+  blobs — the common case — collapse after the first round, so later
+  rounds shuffle a tiny fraction of the original edges instead of the
+  full list every time.
+* **Pointer doubling** (comp ← comp(comp)) each round halves chain
+  depth, so adversarial long-chain graphs converge in O(log n) rounds
+  rather than O(diameter).
 * ``localCheckpoint(eager=True)`` after every round truncates the plan
   lineage — without it round k replans (and re-executes) rounds 1..k-1
   and the job is quadratic in rounds.
-* Convergence test is ``isEmpty`` on the changed-label set — a
-  short-circuit probe, not a full count.
+* Convergence test is ``isEmpty`` on the contracted edge set — all
+  edges internal ⇒ labels constant per component, and the component's
+  minimum vertex always keeps its own label, so the constant is the
+  minimum.
 """
 
 from __future__ import annotations
@@ -32,35 +43,123 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_min(rows) -> dict[int, int]:
+    """Driver-side union-find with min-root union over a bounded edge
+    remnant; returns the non-identity root map."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {c: find(c) for c in parent if find(c) != c}
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
     dst: str,
     max_iter: int = 25,
+    driver_finish_max_edges: int = 1 << 16,
 ) -> DataFrame:
     """Labels every vertex of the undirected edge list with its
-    component's minimum vertex id. Returns (vertex, component)."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = e.localCheckpoint(eager=True)  # edges reused every round
+    component's minimum vertex id. Returns (vertex, component).
 
+    ``driver_finish_max_edges``: once the contracted component-level
+    graph fits under this bound (checked against the *measured* count of
+    an already-materialized checkpoint — an AQE-style runtime decision),
+    the remaining rounds collapse into one driver-side union-find plus a
+    broadcast fix-up join. The contracted graph has one vertex per
+    still-unmerged component, so at any corpus scale this bound is hit
+    after a handful of rounds; the collect is explicitly bounded."""
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    # Every endpoint is a vertex (self-loops keep their vertex alive
+    # even though the loop edge itself is dropped below).
     labels = (
-        e.select(F.col("a").alias("v")).distinct().withColumn("comp", F.col("v"))
-    ).localCheckpoint(eager=True)
+        base.select(F.explode(F.array("a", "b")).alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    e = base.filter(F.col("a") != F.col("b"))
 
     for _ in range(max_iter):
-        nbr_min = e.join(labels, e.b == labels.v).select(
-            F.col("a").alias("v"), F.col("comp")
+        if e.isEmpty():
+            break
+        # 1. Min-propagation on the contracted (component-level) graph:
+        #    each component label takes the min of its neighbours when
+        #    that improves it. Both directions of each undoubled edge
+        #    feed one groupBy (map-side partial agg keeps the shuffle
+        #    at one row per surviving component). The update map is
+        #    comp-level — small once the graph has contracted — so the
+        #    label join broadcasts.
+        upd = (
+            e.select(F.col("a").alias("c"), F.col("b").alias("n"))
+            .union(e.select(F.col("b").alias("c"), F.col("a").alias("n")))
+            .groupBy("c")
+            .agg(F.min("n").alias("__nbr_min"))
+            .filter(F.col("__nbr_min") < F.col("c"))
+            .withColumnRenamed("c", "comp")
         )
-        new_labels = (
-            labels.union(nbr_min).groupBy("v").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
+        labels = labels.join(upd, "comp", "left").select(
+            "v",
+            F.coalesce(F.least("comp", "__nbr_min"), F.col("comp")).alias("comp"),
         )
-        labels = new_labels
-        if changed.isEmpty():
+        # 2. Pointer doubling: comp ← comp(comp). Labels only ever
+        #    point at vertices of the same component, so the lookup is
+        #    total (left join guards the already-converged rows).
+        m = labels.select(F.col("v").alias("__mv"), F.col("comp").alias("__mc"))
+        labels = (
+            labels.join(m, labels["comp"] == m["__mv"], "left")
+            .select(
+                "v",
+                F.coalesce(F.least("comp", "__mc"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # 3. Contract edges through the new labels; intra-component
+        #    edges become self-loops and vanish. Canonicalize the
+        #    surviving pair order (least, greatest) so the undoubled
+        #    invariant holds for the distinct.
+        la = labels.select(F.col("v").alias("__va"), F.col("comp").alias("__ca"))
+        lb = labels.select(F.col("v").alias("__vb"), F.col("comp").alias("__cb"))
+        e = (
+            e.join(la, e["a"] == la["__va"])
+            .join(lb, e["b"] == lb["__vb"])
+            .select(
+                F.least("__ca", "__cb").alias("a"),
+                F.greatest("__ca", "__cb").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_edges = e.count()  # checkpointed — a metadata-cheap job
+        if n_edges == 0:
+            break
+        if n_edges <= driver_finish_max_edges:
+            root = _union_find_min(e.collect())
+            if root:
+                from pyspark.sql.types import StructType
+
+                ctype = labels.schema["comp"].dataType
+                fix = labels.sparkSession.createDataFrame(
+                    list(root.items()),
+                    schema=StructType().add("__fc", ctype).add("__fr", ctype),
+                )
+                labels = labels.join(
+                    F.broadcast(fix), labels["comp"] == fix["__fc"], "left"
+                ).select("v", F.coalesce("__fr", F.col("comp")).alias("comp"))
             break
     return labels.select(F.col("v").alias("vertex"), F.col("comp").alias("component"))
