@@ -1,0 +1,238 @@
+"""S1–S3 production HTTP legs + S11 config scan, against a local
+`http.server` fixture (no network).
+
+The fixture emulates the Unity Raw Data Export API surface the
+reference drives (ua2sql.py:95-161): job create → status poll (first
+poll 'running', then 'completed') → fileList download of gzip JSONL
+dumps. Auth and request bodies are captured and asserted.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+import threading
+from datetime import date
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from ua2sql_spark.config import ConfigError, load_config, parse_config
+from ua2sql_spark.sources.http_export import HttpExportClient
+
+PROJECT = "proj-123"
+API_KEY = "key-456"
+
+
+def _gz_jsonl(rows: list[dict]) -> bytes:
+    return gzip.compress(
+        ("".join(json.dumps(r) + "\n" for r in rows)).encode()
+    )
+
+
+class FakeUnityAPI:
+    """In-memory state the handler serves: one export job whose status
+    flips to 'completed' after `polls_until_done` status GETs."""
+
+    def __init__(self, files: dict[str, bytes], polls_until_done: int = 1):
+        self.files = files  # name -> gzip bytes
+        self.polls_until_done = polls_until_done
+        self.status_gets = 0
+        self.create_bodies: list[dict] = []
+        self.auth_headers: list[str | None] = []
+        self.fail_create = False
+        self.port = 0  # set once the server binds
+
+    def job_json(self) -> dict:
+        done = self.status_gets >= self.polls_until_done
+        out = {"id": "job-1", "status": "completed" if done else "running"}
+        if done:
+            out["result"] = {
+                "fileList": [
+                    {
+                        "name": name,
+                        "url": f"http://127.0.0.1:{self.port}/files/{name}",
+                    }
+                    for name in self.files
+                ]
+            }
+        return out
+
+
+def _make_handler(api: FakeUnityAPI):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _send(self, code: int, payload: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("content-type", ctype)
+            self.send_header("content-length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            api.auth_headers.append(self.headers.get("Authorization"))
+            if api.fail_create:
+                return self._send(500, b"{}")
+            n = int(self.headers.get("content-length", 0))
+            api.create_bodies.append(json.loads(self.rfile.read(n)))
+            self._send(200, json.dumps({"id": "job-1"}).encode())
+
+        def do_GET(self):
+            if self.path.startswith("/files/"):
+                name = self.path.rsplit("/", 1)[1]
+                return self._send(
+                    200, api.files[name], ctype="application/octet-stream"
+                )
+            api.auth_headers.append(self.headers.get("Authorization"))
+            payload = json.dumps(api.job_json()).encode()
+            api.status_gets += 1
+            self._send(200, payload)
+
+    return Handler
+
+
+@pytest.fixture()
+def unity_api():
+    rows = [
+        {"ts": 1_700_000_000_123, "userid": "u1", "name": "level_up",
+         "sessionid": 42},
+        {"ts": 1_700_000_060_000, "userid": "u2", "name": "ping"},
+    ]
+    api = FakeUnityAPI(files={"dump0.txt.gz": _gz_jsonl(rows)})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(api))
+    api.port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield api
+    server.shutdown()
+
+
+def _client(api: FakeUnityAPI) -> HttpExportClient:
+    return HttpExportClient(
+        project_id=PROJECT,
+        api_key=API_KEY,
+        base_url=f"http://127.0.0.1:{api.port}",
+    )
+
+
+def expected_auth() -> str:
+    return "Basic " + base64.b64encode(f"{PROJECT}:{API_KEY}".encode()).decode()
+
+
+def test_request_export_fresh_sends_start_date_and_auth(unity_api):
+    job = _client(unity_api).request_export(
+        "custom", date(2024, 1, 2), continue_from=None
+    )
+    assert job == "job-1"
+    assert unity_api.auth_headers[0] == expected_auth()  # ua2sql.py:106
+    body = unity_api.create_bodies[0]
+    assert body["dataset"] == "custom" and body["format"] == "json"
+    assert body["startDate"] == "2024-01-02" and "continueFrom" not in body
+
+
+def test_request_export_resume_sends_continue_from(unity_api):
+    _client(unity_api).request_export("custom", None, continue_from="job-0")
+    body = unity_api.create_bodies[0]
+    # continueFrom XOR startDate (ua2sql.py:101-104)
+    assert body["continueFrom"] == "job-0" and "startDate" not in body
+
+
+def test_request_export_non_200_returns_none(unity_api):
+    unity_api.fail_create = True
+    assert (
+        _client(unity_api).request_export("custom", date.today(), None) is None
+    )  # ua2sql.py:113
+
+
+def test_poll_then_download_keeps_gz(unity_api, tmp_path):
+    c = _client(unity_api)
+    assert not c.is_complete("job-1")  # first poll: running
+    assert c.is_complete("job-1")
+    got = c.download_results("job-1", str(tmp_path / "staging"))
+    assert [g.rsplit("/", 1)[1] for g in got] == ["dump0.txt.gz"]
+    with gzip.open(got[0], "rt") as f:  # bytes verbatim, still compressed
+        assert json.loads(f.readline())["userid"] == "u1"
+
+
+def test_download_before_completion_is_noop(unity_api, tmp_path):
+    unity_api.polls_until_done = 10**9  # job never completes
+    c = _client(unity_api)
+    assert c.download_results("job-1", str(tmp_path)) == []  # ua2sql.py:144-146
+
+
+def test_full_ingest_over_http(spark, unity_api, tmp_path):
+    """End-to-end S1→S12: HTTP create/poll/download feeding the Spark
+    landing pipeline and the checkpoint protocol."""
+    from ua2sql_spark.sources.checkpoint import JobIdCheckpoint
+    from ua2sql_spark.sources.ingest import parquet_sink, run_ingest
+
+    cp = JobIdCheckpoint(spark, str(tmp_path / "jobid"))
+    res = run_ingest(
+        spark,
+        _client(unity_api),
+        str(tmp_path / "staging"),
+        cp,
+        parquet_sink(str(tmp_path / "warehouse")),
+        feeds=("custom",),
+        poll_interval_s=0.01,
+    )
+    assert res[0].job_id == "job-1" and res[0].rows == 2
+    assert cp.find_previous_job_id("custom") == "job-1"
+    landed = spark.read.parquet(str(tmp_path / "warehouse" / "custom"))
+    assert {r["userid"] for r in landed.collect()} == {"u1", "u2"}
+    # resume run: the fake API's create now carries continueFrom
+    unity_api.create_bodies.clear()
+    run_ingest(
+        spark,
+        _client(unity_api),
+        str(tmp_path / "staging"),
+        cp,
+        parquet_sink(str(tmp_path / "warehouse")),
+        feeds=("custom",),
+        poll_interval_s=0.01,
+    )
+    assert unity_api.create_bodies[0]["continueFrom"] == "job-1"
+
+
+# ---- S11 config scan ----
+
+GOOD = {
+    "user": "pg",
+    "password": "secret",
+    "postgres_server": "db.example.internal:5432",
+    "database": "analytics",
+    "local_collection_path": "~/collect",
+    "unity_project_id": PROJECT,
+    "unity_export_api_key": API_KEY,
+}
+
+
+def test_config_load_expands_home(tmp_path):
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(GOOD))
+    cfg = load_config(str(p))
+    assert "~" not in cfg.local_collection_path  # ua2sql.py:35
+    assert cfg.local_collection_path.endswith("/collect")
+    assert cfg.backup_collection_path is None  # optional (ua2sql.py:288-291)
+    assert cfg.jdbc_url == "jdbc:postgresql://db.example.internal:5432/analytics"
+    assert cfg.http_client().project_id == PROJECT
+
+
+def test_config_missing_and_empty_keys_named():
+    bad = {k: v for k, v in GOOD.items() if k != "password"}
+    bad["database"] = ""
+    with pytest.raises(ConfigError) as exc:
+        parse_config(bad)
+    assert "password" in str(exc.value) and "database" in str(exc.value)
+
+
+def test_config_unparseable_file(tmp_path):
+    p = tmp_path / "broken.json"
+    p.write_text("{nope")
+    with pytest.raises(ConfigError):
+        load_config(str(p))
+    with pytest.raises(ConfigError):
+        load_config(str(tmp_path / "absent.json"))

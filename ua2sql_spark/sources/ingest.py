@@ -37,8 +37,9 @@ POLL_INTERVAL_S = 5.0   # ua2sql.py:265
 
 class ExportClient(Protocol):
     """The Unity Raw Data Export API surface the reference consumes
-    (S1–S3). Implement with `requests` for production; tests inject a
-    local-file fake."""
+    (S1–S3). Production implementation:
+    ``ua2sql_spark.sources.http_export.HttpExportClient`` (`requests`);
+    tests may inject the local-file fake below."""
 
     def request_export(
         self, feed: str, start_date: date | None, continue_from: str | None
