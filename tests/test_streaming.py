@@ -180,18 +180,19 @@ def test_stream_static_enrichment_join(spark, tmp_path):
 
 
 def test_media_seam_contract():
-    """The codec seam: real decoders raise NotImplementedError with the
-    dependency named; fakes are deterministic and shape-compatible."""
+    """The codec seam: uncompressed containers decode for real
+    (tests/test_media_codecs.py), compressed formats raise
+    NotImplementedError with the dependency named; fakes are
+    deterministic and shape-compatible."""
     import pytest as _pytest
 
     from ua2sql_spark.functions import media
 
     with _pytest.raises(NotImplementedError):
-        media.decode_image_real(b"x")
+        media.decode_image_real(b"\x89PNG....")  # compressed: needs PIL
     with _pytest.raises(NotImplementedError):
-        media.sample_frames_real(b"x")
-    with _pytest.raises(NotImplementedError):
-        media.resize_real(10, 10, 5)
+        media.sample_frames_real(b"x")  # video: needs ffmpeg
+    assert media.resize_real(10, 10, 5) == (5, 5)  # pure arithmetic
     assert media.resize_dims(640, 480, 320) == (320, 240)
     assert media.resize_dims(100, 50, 320) == (100, 50)  # never upscales
     d = media.fake_decode_image(b"\x00" * 1000)

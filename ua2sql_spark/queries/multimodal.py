@@ -62,10 +62,45 @@ def x52_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECODE_SCHEMA = "doc_id BIGINT, width INT, height INT, mean_pixel DOUBLE"
 
 
+def decode_images(df: DataFrame, decoder=None) -> DataFrame:
+    """The X6 image-decode operator: (doc_id, payload binary) →
+    (doc_id, width, height, mean_pixel) via Arrow-batched mapInPandas.
+
+    ``decoder`` is any `payload bytes -> {width, height, mean_pixel}`
+    callable — `functions.media.decode_image_real` (actual PPM/PGM/BMP
+    pixel decode, the default) or `fake_decode_image` (length-derived
+    stand-in the SQL oracle can mirror). Same plan either way; only the
+    per-batch Python body differs."""
+    from ua2sql_spark.functions.media import decode_image_real
+
+    dec = decoder or decode_image_real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [dec(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(
+                        [d["width"] for d in decoded], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [d["height"] for d in decoded], dtype="int32"
+                    ),
+                    "mean_pixel": pd.Series(
+                        [d["mean_pixel"] for d in decoded], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=_DECODE_SCHEMA)
+
+
 def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in for an image decoder: derives dimensions and
-    a 'mean pixel' from payload length alone. Replace the body with a real
-    codec (PIL/ffmpeg) when available — signature and schema stay put."""
+    a 'mean pixel' from payload length alone — vectorized, so the
+    oracle-checked hot path stays column-wise; the per-payload real-codec
+    path is `decode_images`."""
     for pdf in batches:
         nbytes = pdf["payload"].map(len)
         yield pd.DataFrame(
