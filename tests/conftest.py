@@ -13,6 +13,36 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+
+def _ensure_protobuf() -> None:
+    """Spark 4's transformWithStateInPandas needs `google.protobuf` at
+    runtime (its Python state-server protocol). This container has no
+    installed protobuf, but ships a pure-Python copy inside the gcloud
+    SDK's appengine platform dir — APPEND it (installed packages always
+    win) and export via PYTHONPATH so Spark's Python workers inherit it.
+    The vendored runtime (6.32-dev) trails pyspark's gencode (6.33) by
+    one wire-compatible minor, so protobuf's own documented escape hatch
+    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) is set alongside.
+    No-op wherever protobuf is properly provisioned."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    vendored = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(vendored, "google", "protobuf")):
+        return  # stay skipped via importorskip
+    sys.path.append(vendored)
+    existing = os.environ.get("PYTHONPATH")
+    os.environ["PYTHONPATH"] = (
+        f"{existing}{os.pathsep}{vendored}" if existing else vendored
+    )
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+
+
+_ensure_protobuf()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
