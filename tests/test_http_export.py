@@ -229,6 +229,39 @@ def test_config_missing_and_empty_keys_named():
     assert "password" in str(exc.value) and "database" in str(exc.value)
 
 
+def test_cli_main_end_to_end(spark, unity_api, tmp_path):
+    """``python -m ua2sql_spark config.json`` over the local API fixture:
+    config scan → HTTP export → landing → parquet lakehouse sink →
+    checkpoint, with only the feeds the fixture stocks producing rows."""
+    from ua2sql_spark.__main__ import main
+
+    cfg = dict(
+        GOOD,
+        local_collection_path=str(tmp_path / "staging"),
+        lakehouse_root=str(tmp_path / "lake"),
+        unity_api_base_url=f"http://127.0.0.1:{unity_api.port}",
+    )
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(cfg))
+    assert main([str(p)], spark=spark) == 0
+    landed = spark.read.parquet(str(tmp_path / "lake" / "custom"))
+    assert {r["userid"] for r in landed.collect()} == {"u1", "u2"}
+    # parity_ts: CLI truncates to whole seconds like the reference
+    assert all(r["ts"].microsecond == 0 for r in landed.collect())
+    # the checkpoint landed under the staging root and carries the job id
+    from ua2sql_spark.sources.checkpoint import JobIdCheckpoint
+
+    cp = JobIdCheckpoint(spark, str(tmp_path / "staging" / "_jobid_checkpoint"))
+    assert cp.find_previous_job_id("custom") == "job-1"
+
+
+def test_cli_main_bad_args():
+    from ua2sql_spark.__main__ import main
+
+    assert main([]) == 1
+    assert main(["/nonexistent/config.json"]) == 1
+
+
 def test_config_unparseable_file(tmp_path):
     p = tmp_path / "broken.json"
     p.write_text("{nope")

@@ -1,0 +1,81 @@
+"""CLI entry: ``python -m ua2sql_spark <config.json>`` — the reference's
+``python ua2sql.py config.json`` invocation (ua2sql.py:15-17, 280-295)
+on the Spark engine.
+
+Flow parity: load + validate config → startup staging wipe (crash
+hygiene, ua2sql.py:285-286) → for each feed: checkpoint lookup, export
+job create/poll/download, optional raw backup, landing read, sink
+write, checkpoint append (strictly after the sink commits).
+
+Sink selection (SURVEY §3): with ``lakehouse_root`` set the feeds land
+as parquet (the 100 TB path); otherwise the reference's PostgreSQL
+tables via the batched JDBC appender. The JobId checkpoint lives in
+parquet either way (the reference keeps it in a PG table; ours is
+engine-local so ingest works even when the sink database is down —
+documented deviation, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from ua2sql_spark.config import ConfigError, IngestConfig, load_config
+
+
+def _jdbc_sink(cfg: IngestConfig):
+    from ua2sql_spark.sources.jdbc import write_feed_jdbc
+
+    def sink(df, feed: str) -> int:
+        write_feed_jdbc(
+            df, cfg.jdbc_url, feed, feed, properties=cfg.jdbc_properties
+        )
+        return df.count()  # running inserted-count, ua2sql.py:239-241
+
+    return sink
+
+
+def main(argv: list[str] | None = None, client=None, spark=None) -> int:
+    """Returns a process exit code. ``client``/``spark`` are injectable
+    for tests; production builds both from the config."""
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        # ua2sql.py:18-19
+        print("please provide path to configuration file. see README.md for specs.")
+        return 1
+    try:
+        cfg = load_config(argv[0])
+    except ConfigError as exc:
+        print(f"bad config: {exc}")  # ua2sql.py:24-31, one clean message
+        return 1
+
+    from ua2sql_spark.session import get_spark
+    from ua2sql_spark.sources.checkpoint import JobIdCheckpoint
+    from ua2sql_spark.sources.ingest import parquet_sink, run_ingest
+
+    spark = spark or get_spark("ua2sql_spark-ingest")
+    client = client or cfg.http_client()
+    checkpoint = JobIdCheckpoint(
+        spark,
+        cfg.checkpoint_path
+        or os.path.join(cfg.local_collection_path, "_jobid_checkpoint"),
+    )
+    sink = (
+        parquet_sink(cfg.lakehouse_root) if cfg.lakehouse_root else _jdbc_sink(cfg)
+    )
+    results = run_ingest(
+        spark,
+        client,
+        cfg.local_collection_path,
+        checkpoint,
+        sink,
+        backup_root=cfg.backup_collection_path,
+        parity_ts=True,  # reference truncates ts to seconds (ua2sql.py:232-233)
+    )
+    for r in results:
+        print(f"{r.feed}: job={r.job_id or '<none>'} rows={r.rows}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,6 +49,16 @@ class IngestConfig:
     unity_project_id: str
     unity_export_api_key: str
     backup_collection_path: str | None = None
+    # --- Spark-engine extensions (all optional, SURVEY §3) ---
+    # Parquet-lakehouse sink root; when set, feeds land as parquet here
+    # instead of the reference's Postgres tables.
+    lakehouse_root: str | None = None
+    # Override of the Unity API origin (tests point it at a local
+    # fixture; production default is the real endpoint).
+    unity_api_base_url: str | None = None
+    # JobId checkpoint location; defaults to a subdir of the staging
+    # root (subdirs survive the reference's files-only staging wipe).
+    checkpoint_path: str | None = None
 
     @property
     def jdbc_url(self) -> str:
@@ -67,10 +77,15 @@ class IngestConfig:
 
     def http_client(self):
         """Production ExportClient wired from the config's Unity creds."""
-        from ua2sql_spark.sources.http_export import HttpExportClient
+        from ua2sql_spark.sources.http_export import (
+            DEFAULT_BASE_URL,
+            HttpExportClient,
+        )
 
         return HttpExportClient(
-            project_id=self.unity_project_id, api_key=self.unity_export_api_key
+            project_id=self.unity_project_id,
+            api_key=self.unity_export_api_key,
+            base_url=self.unity_api_base_url or DEFAULT_BASE_URL,
         )
 
 
@@ -85,6 +100,8 @@ def parse_config(raw: dict[str, Any]) -> IngestConfig:
             parts.append(f"empty values: {', '.join(empty)}")
         raise ConfigError("invalid ingest config — " + "; ".join(parts))
     backup = raw.get("backup_collection_path") or None  # ua2sql.py:288-291
+    lakehouse = raw.get("lakehouse_root") or None
+    checkpoint = raw.get("checkpoint_path") or None
     return IngestConfig(
         user=raw["user"],
         password=raw["password"],
@@ -95,6 +112,9 @@ def parse_config(raw: dict[str, Any]) -> IngestConfig:
         unity_project_id=raw["unity_project_id"],
         unity_export_api_key=raw["unity_export_api_key"],
         backup_collection_path=None if backup is None else os.path.expanduser(backup),
+        lakehouse_root=None if lakehouse is None else os.path.expanduser(lakehouse),
+        unity_api_base_url=raw.get("unity_api_base_url") or None,
+        checkpoint_path=None if checkpoint is None else os.path.expanduser(checkpoint),
     )
 
 
