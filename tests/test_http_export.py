@@ -197,6 +197,57 @@ def test_full_ingest_over_http(spark, unity_api, tmp_path):
     assert unity_api.create_bodies[0]["continueFrom"] == "job-1"
 
 
+def test_unity_export_datasource(spark):
+    """`spark.read.format('unity_export')`: control plane on the driver
+    (job ensure + fileList), data plane distributed — one file per
+    partition, downloaded/gunzipped/parsed on executors; schema-first
+    projection parity (missing→NULL, JSONB island as JSON text)."""
+    from ua2sql_spark.sources.datasource import UnityExportDataSource
+    from ua2sql_spark.sources.unity import normalize_feed
+
+    rows_a = [
+        {"ts": 1_700_000_000_123, "userid": "a1", "name": "x", "sessionid": 1,
+         "custom_params": {"k": [1, 2]}, "unknown_extra": "dropped"},
+    ]
+    rows_b = [{"ts": 1_700_000_060_000, "userid": "b1", "name": "y"}]
+    rows_c = [{"ts": 1_700_000_120_000, "userid": "c1", "name": "z"}]
+    api = FakeUnityAPI(
+        files={
+            "a.txt.gz": _gz_jsonl(rows_a),
+            "b.txt.gz": _gz_jsonl(rows_b),
+            # uncompressed file: the reader sniffs gzip magic per file
+            "c.txt": "".join(json.dumps(r) + "\n" for r in rows_c).encode(),
+        },
+        polls_until_done=0,
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(api))
+    api.port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(UnityExportDataSource)
+        df = (
+            spark.read.format("unity_export")
+            .option("base_url", f"http://127.0.0.1:{api.port}")
+            .option("project_id", PROJECT)
+            .option("api_key", API_KEY)
+            .option("feed", "custom")
+            .option("job_id", "job-1")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 3  # one task per result file
+        got = {r["userid"]: r for r in df.collect()}
+        assert set(got) == {"a1", "b1", "c1"}
+        assert json.loads(got["a1"]["custom_params"]) == {"k": [1, 2]}
+        assert "unknown_extra" not in df.columns  # extras dropped
+        assert got["b1"]["sessionid"] is None  # missing key → NULL
+        # composes with the landing normalizer: typed timestamps out
+        typed = normalize_feed(df, "custom")
+        a1 = {r["userid"]: r for r in typed.collect()}["a1"]
+        assert a1["ts"].year == 2023 and a1["ts"].microsecond == 123000
+    finally:
+        server.shutdown()
+
+
 # ---- S11 config scan ----
 
 GOOD = {
