@@ -21,12 +21,22 @@ def test_oracle_match(spark, duck, name):
     assert_oracle_match(spark, duck, SPECS[name])
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only(spark, name):
-    """Non-SQL-expressible ops: plan executes and yields a stable schema."""
-    df = SPECS[name].fn(spark, SF_DIR)
-    assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+if ROWS_ONLY:
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only(spark, name):
+        """Non-SQL-expressible ops: plan executes and yields a stable schema."""
+        df = SPECS[name].fn(spark, SF_DIR)
+        assert df.columns, f"{name}: no columns"
+        assert df.count() >= 0
+
+else:
+
+    def test_every_query_has_an_oracle():
+        """Stronger than rows-only: the registry currently carries a DuckDB
+        oracle for every single query, so the driver's hard hash check
+        covers the whole surface it samples."""
+        assert WITH_ORACLE == list(SPECS)
 
 
 def test_entry_smoke(spark):

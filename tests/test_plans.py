@@ -236,3 +236,37 @@ def test_sequence_pack_expansion_is_exchange_free(spark):
     expansion is pure Generate/Project — zero further exchanges."""
     df = all_queries()["x97_sequence_pack"].fn(spark, SF_DIR)
     assert shuffle_count(df) == 0, df._jdf.queryExecution().simpleString()
+
+
+def test_contamination_joins_on_gram_no_cartesian(spark):
+    """x106: eval-vs-train gram overlap must plan hash joins keyed on the
+    gram string — never a nested-loop/cartesian comparison of documents."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x106_contamination"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark):
+    """x108: the top-N vocabulary (tiny by construction) must broadcast;
+    the token-occurrence side never shuffles for the membership probe."""
+    df = all_queries()["x108_vocab_oov"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_train_shuffle_is_topk_not_global_sort(spark):
+    """x109: the deterministic shuffle-order preview must plan
+    TakeOrderedAndProject (per-partition top-k), never a global sort."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x109_train_shuffle"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in simple_plan(df)
+
+
+def test_dup_ngram_fraction_is_map_only(spark):
+    """x110: repetition scoring is projection arithmetic — zero shuffles,
+    inside whole-stage codegen."""
+    df = all_queries()["x110_dup_ngram_fraction"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0

@@ -14,4 +14,5 @@ from ua2sql_spark.queries import (  # noqa: F401
     tpch_style,
     pipeline_ops,
     udf_surface,
+    corpus_ops,
 )

@@ -1,0 +1,267 @@
+"""Corpus-curation operators a production training-data pipeline runs
+between raw crawl and tokenizer: benchmark-contamination checks, corpus
+heavy hitters, vocabulary/OOV coverage, deterministic training-order
+shuffle, and within-document repetition scoring (the Gopher-rules
+repetition signal). All over the ``documents`` table; extends the
+SURVEY.md §2.11 X-series (reference provenance: the landed analytics
+surface, /root/reference/README.md:2; these ops are `[EXT]` — north-star
+extensions, not reference features).
+
+Scale shape at 100 TB (SCALE.md §5b):
+
+* n-gram construction is a pure projection (``transform`` over
+  ``sequence`` — no explode until the op genuinely needs one row per
+  gram, and the exploded gram rows carry only (doc_id, gram)).
+* contamination joins shuffle on the gram string — the natural shuffle
+  key; the train side is pre-aggregated to distinct grams so the join
+  input is the gram vocabulary, not the corpus.
+* vocabulary/OOV uses aggregate-then-broadcast: the top-N vocab is by
+  construction tiny (N rows after one agg shuffle), so the per-token
+  membership probe is a broadcast hash join against every token
+  occurrence — no second corpus shuffle.
+* the shuffle-order op is ``ORDER BY md5(seed|id) LIMIT k`` —
+  TakeOrderedAndProject (per-partition top-k, merge on driver), never a
+  global sort; writing a full shuffled corpus instead uses
+  ``repartitionByRange`` on the same key (see operators/layout.py
+  ``write_clustered``).
+* repetition scoring is map-only (projection arithmetic on the gram
+  array) — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.registry import query
+
+# Eval-set membership for the contamination check: a deterministic
+# id-hash split would be the production choice (operators/split.py);
+# the modulus keeps the oracle a one-liner while exercising the same
+# plan shape.
+_EVAL_MOD = 97
+_SHUFFLE_SEED = "shuf42|"
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams of a space-tokenized text column, as an array of
+    space-joined strings. Pure projection: ``transform`` over
+    ``sequence`` + ``slice`` — no explode, no shuffle. Short documents
+    (< n words) yield an empty array (``sequence`` would otherwise
+    descend for negative bounds)."""
+    words = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _duck_ngrams(n: int) -> str:
+    """DuckDB mirror of :func:`word_ngrams` (1-based inclusive slices)."""
+    return (
+        f"list_transform(range(1, greatest(len(string_split(text, ' ')) - {n - 2}, 1)), "
+        f"i -> array_to_string((string_split(text, ' '))[i:i+{n - 1}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: for each eval document, the fraction of its
+# distinct word 3-grams that also occur anywhere in the train split.
+# The real-world use is decontaminating a crawl against eval benchmarks
+# before training; at 100 TB the train side is the corpus and the eval
+# side is small, so the distinct-gram pre-aggregation plus a gram-keyed
+# shuffle join is the scalable shape (the eval side could additionally
+# be broadcast when the benchmark suite is small).
+# ---------------------------------------------------------------------------
+@query(
+    "x106_contamination",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, list_distinct({_duck_ngrams(3)}) AS grams
+        FROM documents
+    ),
+    ev AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    tr AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT ev.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(tr.gram) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(count(tr.gram) AS DOUBLE) / count(*), 6) AS contamination_rate
+    FROM ev LEFT JOIN tr USING (gram)
+    GROUP BY ev.doc_id
+    """,
+)
+def x106_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), 3)).alias("__grams")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = grams.filter(is_eval).select("doc_id", F.explode("__grams").alias("gram"))
+    tr = (
+        grams.filter(~is_eval)
+        .select(F.explode("__grams").alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    n_hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        ev.join(tr, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            n_hit.cast("long").alias("n_contaminated"),
+            F.round(n_hit.cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters: top-20 tokens by occurrence count. One agg
+# shuffle on the token (partial aggregation collapses each partition to
+# its local vocabulary first), then TakeOrderedAndProject for the top-k
+# — the count-min-sketch use case solved exactly, which Spark's partial
+# agg makes affordable because the shuffle carries (token, partial
+# count) not raw occurrences.
+# ---------------------------------------------------------------------------
+@query(
+    "x107_heavy_hitters",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def x107_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate: build the top-100 token vocabulary,
+# then measure per-language what fraction of token occurrences fall
+# outside it — the go/no-go signal for tokenizer vocabulary sizing.
+# Aggregate-then-broadcast: the vocab is 100 rows after one agg
+# shuffle; membership is a broadcast join probed by every occurrence.
+# ---------------------------------------------------------------------------
+@query(
+    "x108_vocab_oov",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM tok GROUP BY token
+        ORDER BY count(*) DESC, token LIMIT 100
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) - count(vocab.token) AS BIGINT) AS n_oov,
+           ROUND(CAST(count(*) - count(vocab.token) AS DOUBLE) / count(*), 6)
+               AS oov_rate
+    FROM tok LEFT JOIN vocab USING (token)
+    GROUP BY lang
+    """,
+)
+def x108_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), "token")
+        .limit(100)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    n_tok = F.count(F.lit(1))
+    n_oov = n_tok - F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0)))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            n_tok.cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.round(n_oov.cast("double") / n_tok, 6).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle: md5(seed|id) is an
+# engine-independent, rerun-stable pseudorandom total order (the same
+# trick as x90's stratified sampler and x99's mixture coin). The query
+# surfaces the first 100 docs of that order via TakeOrderedAndProject;
+# materializing the full shuffled corpus at 100 TB uses
+# repartitionByRange + sortWithinPartitions on the same key, which
+# plans one range-exchange and no global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "x109_train_shuffle",
+    oracle=f"""
+    SELECT doc_id, md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 100
+    """,
+)
+def x109_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-rules repetition signal): the
+# fraction of a document's word 2-gram occurrences that are repeats of
+# an earlier 2-gram in the same document. Map-only — the gram array,
+# its distinct count, and the flag are projection arithmetic inside
+# whole-stage codegen; nothing shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "x110_dup_ngram_fraction",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_duck_ngrams(2)} AS grams FROM documents)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_2grams,
+           ROUND(CASE WHEN len(grams) = 0 THEN 0
+                      ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams) END, 6) AS dup_2gram_frac,
+           (len(grams) > 0 AND
+            CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                > 0.2) AS flagged_repetitive
+    FROM g
+    """,
+)
+def x110_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(F.col("text"), 2)
+    total = F.size(grams)
+    dups = (total - F.size(F.array_distinct(grams))).cast("double")
+    frac = F.when(total == 0, F.lit(0.0)).otherwise(dups / total)
+    return d.select(
+        "doc_id",
+        total.cast("long").alias("n_2grams"),
+        F.round(frac, 6).alias("dup_2gram_frac"),
+        ((total > 0) & (frac > 0.2)).alias("flagged_repetitive"),
+    )
