@@ -44,14 +44,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet reader
-    rejects. Read nanos as longs and truncate to microsecond timestamps —
-    the same ns→µs truncation DuckDB applies, so oracles agree."""
+    """Normalise events.ts to TIMESTAMP regardless of how the file encodes it.
+
+    Generations of the driver testdata have shipped ts as TIMESTAMP(NANOS)
+    (unreadable without nanos-as-long), TIMESTAMP_NTZ(MICROS), and plain
+    epoch values — so adapt to the schema actually on disk instead of
+    assuming one encoding:
+
+    * ``bigint``        → nanos-as-long legacy files: truncate ns→µs (the same
+      truncation DuckDB applies, so oracles agree).
+    * ``timestamp_ntz`` → cast to session-tz TIMESTAMP; the session runs UTC
+      so the wall-clock values are unchanged and match DuckDB's naive reads.
+    * ``timestamp``     → already what we want.
+    """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -62,4 +62,35 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked by the harness; engine works either way
+    _ensure_package_shipped(spark)
     return spark
+
+
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via ``addPyFile``.
+
+    mapInPandas/applyInPandas closures reference functions from this
+    package, which cloudpickle serializes *by reference* — workers must
+    be able to ``import ua2sql_spark`` themselves. That holds on a real
+    cluster only because spark-submit ships a zip/wheel of the job code;
+    this reproduces the same deployment step programmatically, so the
+    engine works no matter what cwd/PYTHONPATH the harness launches the
+    driver with."""
+    sc = spark.sparkContext
+    if getattr(sc, "_ua2sql_spark_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    import ua2sql_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(ua2sql_spark.__file__))
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="ua2sql_pyfiles_"), "ua2sql_spark")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="ua2sql_spark"
+    )
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Connect-only session; module import then falls back to PYTHONPATH
+    sc._ua2sql_spark_shipped = True
