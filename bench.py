@@ -47,6 +47,7 @@ HEADLINE = [
     "q40_tumbling_window",
     "x41_exact_dedup",
     "x43_minhash_lsh_neardup",
+    "x101_minhash_fast_exact_tier",
     "x45_cosine_topk",
     "x49_quality_score",
     "q79_volume_shipping",

@@ -270,3 +270,28 @@ def test_dup_ngram_fraction_is_map_only(spark):
     inside whole-stage codegen."""
     df = all_queries()["x110_dup_ngram_fraction"].fn(spark, SF_DIR)
     assert shuffle_count(df) == 0
+
+
+def test_global_shuffle_windows_are_bucket_partitioned(spark):
+    """x104: full epoch-order assignment must never sort the corpus in
+    one partition — the per-row row_number window is partitioned by the
+    hash-prefix bucket, and the bucket-offset table (256 rows) joins
+    back via broadcast."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x104_global_shuffle"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "windowspecdefinition(__b" in plan, plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_minhash_fast_family_has_no_md5(spark):
+    """x101: the xxhash64 production family must keep signature/band
+    hashing inside codegen'd 64-bit ops — no md5 (and so no hex-string
+    materialization) anywhere in its plan."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x101_minhash_fast_exact_tier"].fn(spark, SF_DIR)
+    plan = simple_plan(df).lower()
+    assert "xxhash64" in plan, plan
+    assert "md5" not in plan, plan

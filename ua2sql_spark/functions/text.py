@@ -60,6 +60,19 @@ def token_hash_int(token: Column) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
 
 
+def token_hash_int_fast(token: Column) -> Column:
+    """Low 60 bits of xxhash64(token) — the production hash family.
+
+    xxHash64 is a single 64-bit mixing pass inside whole-stage codegen;
+    md5 is a full cryptographic digest plus hex-string materialization
+    and base-16 parse. Both are uniform enough for minhash, so at
+    corpus scale this family is the default (the md5 family exists for
+    DuckDB-reproducible oracles only — DuckDB has no xxHash64). Masking
+    to 60 bits keeps values non-negative and in the same domain as
+    :func:`token_hash_int`, so the xor-seed trick applies unchanged."""
+    return F.xxhash64(token).bitwiseAND(F.lit((1 << 60) - 1))
+
+
 def minhash_columns(token: Column, num_hashes: int) -> list[Column]:
     """Aggregate expressions: MIN(md5_int(token) ^ seed_j) per hash
     function. Use after exploding tokens, inside groupBy(id).agg(*these).

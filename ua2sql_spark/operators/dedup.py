@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ua2sql_spark.functions.text import (
     minhash_array_columns,
     token_hash_int,
+    token_hash_int_fast,
     word_set,
 )
 
@@ -66,18 +67,30 @@ def minhash_lsh_pairs(
     bitmask_max_vocab: int = 64,
     tokenizer=None,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) among documents,
-    candidates from banded md5-minhash LSH.
+    candidates from banded minhash LSH.
 
     ``max_bucket_size``: optional scale guard — LSH buckets larger than
     this are skipped (their pairs are quadratic in bucket size; at
     100 TB a boilerplate cluster of 10^6 docs would otherwise emit
     5·10^11 pairs). ``None`` (default) keeps exact LSH semantics for
-    oracle parity."""
+    oracle parity.
+
+    ``hash_family``: ``"xxhash64"`` (default — single codegen'd mixing
+    pass per token/band, the production choice) or ``"md5"`` (an order
+    of magnitude more per-row work, but reproducible in DuckDB — the
+    oracle-checked queries pin this). The exact-Jaccard verify stage is
+    hash-independent, so false positives are impossible under either
+    family; only which true pairs LSH *surfaces* varies, and only for
+    jaccard < 1 (identical token sets collide in every band under any
+    hash)."""
     assert num_hashes % band_size == 0
+    assert hash_family in ("md5", "xxhash64")
     tokenizer = tokenizer or word_set
     num_bands = num_hashes // band_size
+    th_fn = token_hash_int if hash_family == "md5" else token_hash_int_fast
 
     # Verify-representation probe (AQE-style runtime choice). Jaccard is
     # invariant under dictionary encoding, so either branch yields
@@ -113,7 +126,7 @@ def minhash_lsh_pairs(
     # buys a join-free verify stage.
     proj = [
         F.col(id_col),
-        F.transform(tokenizer(F.col(text_col)), token_hash_int).alias("__th"),
+        F.transform(tokenizer(F.col(text_col)), th_fn).alias("__th"),
     ]
     if use_bitmask:
         bit_of = F.create_map(
@@ -132,14 +145,23 @@ def minhash_lsh_pairs(
     hashed = df.select(*proj)
     carry = [F.col(id_col)] + ([F.col("__mask")] if use_bitmask else [])
     mh = hashed.select(*carry, *minhash_array_columns(F.col("__th"), num_hashes))
-    band_hash = [
-        F.md5(
-            F.concat_ws(
-                "|", *[f"h{j}" for j in range(b * band_size, (b + 1) * band_size)]
+    if hash_family == "md5":
+        band_hash = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"h{j}" for j in range(b * band_size, (b + 1) * band_size)]
+                )
             )
-        )
-        for b in range(num_bands)
-    ]
+            for b in range(num_bands)
+        ]
+    else:
+        # One codegen'd multi-column xxhash64 per band — no hex string
+        # ever materializes. 8-byte band keys also halve the bucket
+        # shuffle's key width vs 32-char md5 hex.
+        band_hash = [
+            F.xxhash64(*[F.col(f"h{j}") for j in range(b * band_size, (b + 1) * band_size)])
+            for b in range(num_bands)
+        ]
     member = (
         F.struct(F.col(id_col).alias("i"), F.col("__mask").alias("m"))
         if use_bitmask
@@ -230,6 +252,7 @@ def neardup_dedup(
     band_size: int = 8,
     threshold: float = 0.9,
     tokenizer=None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup *deduplication* (vs. pair listing): greedy min-id
     survivorship — a row is dropped iff a verified near-duplicate with a
@@ -246,6 +269,7 @@ def neardup_dedup(
         band_size=band_size,
         threshold=threshold,
         tokenizer=tokenizer,
+        hash_family=hash_family,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

@@ -185,6 +185,7 @@ def x43_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_MINHASHES,
         band_size=BAND_SIZE,
         threshold=JACCARD_THRESHOLD,
+        hash_family="md5",  # pinned: the DuckDB oracle replays these digests
     ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )
@@ -308,6 +309,7 @@ def x81_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_MINHASHES,
         band_size=BAND_SIZE,
         threshold=JACCARD_THRESHOLD,
+        hash_family="md5",  # pinned: the DuckDB oracle replays these digests
     )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_survivors"),
@@ -358,7 +360,48 @@ def x96_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_MINHASHES,
         band_size=BAND_SIZE,
         threshold=JACCARD_THRESHOLD,
+        hash_family="md5",  # pinned: the DuckDB oracle replays these digests
     )
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("vertex").alias("doc_id"), "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 production hash family: xxhash64 minhash+LSH, oracle-checked on the
+# exact-set tier. The md5 family (x43) exists because DuckDB can replay
+# md5; xxhash64 it cannot — but at threshold=1.0 LSH recall is exactly 1
+# under ANY hash family (identical token sets ⇒ identical signatures ⇒
+# same bucket in every band) and the verify stage computes exact Jaccard,
+# so the expected output is hash-independent: precisely the pairs with
+# identical word sets. That makes the fast path hard-verifiable: the
+# oracle joins on the canonical word-set fingerprint and never touches a
+# hash the two engines could disagree on.
+# ---------------------------------------------------------------------------
+@query(
+    "x101_minhash_fast_exact_tier",
+    oracle=f"""
+    WITH corpus AS ({_REINGEST_SQL}),
+    fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS f
+        FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    """,
+)
+def x101_minhash_fast_exact_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_reingest(spark, sf_dir)
+    return minhash_lsh_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        threshold=1.0,
+        hash_family="xxhash64",
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")

@@ -141,6 +141,7 @@ def x69_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_CG_BAND,
         threshold=_CG_THRESHOLD,
         tokenizer=lambda c: char_shingles(c, _CG_N),
+        hash_family="md5",  # pinned: the DuckDB oracle replays these digests
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
 
 
@@ -450,5 +451,58 @@ def x99_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (x104) — "shuffle the corpus once per
+# epoch" with a rerun-stable order: position = rank of md5('42|'||id).
+# Complements x109_train_shuffle (a top-k PREVIEW of the same order):
+# this one assigns every row its global position. The naive plan is a
+# GLOBAL row_number window — a single-partition sort that dies at
+# scale. This implementation buckets by the first 2 hex chars of the
+# same hash (256 uniform buckets): per-bucket row_numbers run in
+# parallel, bucket offsets come from a 256-row cumulative sum broadcast
+# back. Because the bucket is a *prefix* of the sort key, (bucket,
+# hash, id) order ≡ (hash, id) order — so the oracle can be the plain
+# global row_number while the engine never materializes a global sort
+# partition.
+# ---------------------------------------------------------------------------
+@query(
+    "x104_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def x104_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("|", F.lit("42"), F.col("doc_id").cast("string")))
+    hashed = d.select("doc_id", h.alias("__h"), F.substring(h, 1, 2).alias("__b"))
+
+    in_bucket = F.row_number().over(
+        Window.partitionBy("__b").orderBy("__h", "doc_id")
+    )
+    counts = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__b",
+        (
+            F.sum("__n").over(
+                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("__off"),
+    ).fillna(0, subset=["__off"])
+
+    return (
+        hashed.withColumn("__rn", in_bucket)
+        .join(F.broadcast(offsets), "__b")
+        .select(
+            "doc_id", (F.col("__off") + F.col("__rn")).cast("bigint").alias("pos")
         )
     )
