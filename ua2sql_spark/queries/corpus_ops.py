@@ -265,3 +265,102 @@ def x110_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("dup_2gram_frac"),
         ((total > 0) & (frac > 0.2)).alias("flagged_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (x111): redact emails/phone numbers before training.
+# The synthetic corpus contains no PII, so both engines first INJECT a
+# deterministic contact line per document and then scrub it — the
+# redaction is exercised on real matches, and the md5 of the scrubbed
+# text proves both engines produced byte-identical redacted output.
+# Map-only (regexp projection inside codegen): zero shuffles, the shape
+# is scan-speed at any corpus size.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z]+[0-9]+@example\\.com"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "x111_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM injected
+    """,
+)
+def x111_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling (x113): take documents in deterministic-shuffle
+# order until a global token budget is exhausted — how a sized training
+# mix is actually drawn from an oversized corpus. The running total
+# comes from the same hash-prefix-bucketed prefix sum as x104 (one
+# parallel window per bucket + a broadcast offset cumsum), so nothing
+# ever sorts or scans the corpus in one partition; the oracle is the
+# plain global running-SUM window.
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET = 2000
+
+
+@query(
+    "x113_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5('7|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, pos, cum_tokens FROM (
+        SELECT doc_id, n_tokens,
+               CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM t
+    ) WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def x113_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.ordering import hash_ordered
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    ranked = hash_ordered(
+        docs, "doc_id", weight_col="n_tokens", seed="7", cum_col="cum_tokens"
+    )
+    return ranked.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
+        "doc_id", "n_tokens", "pos", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    )

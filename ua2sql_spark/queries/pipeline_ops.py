@@ -480,29 +480,66 @@ def x99_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x104_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ua2sql_spark.operators.ordering import hash_ordered
 
-    d = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat_ws("|", F.lit("42"), F.col("doc_id").cast("string")))
-    hashed = d.select("doc_id", h.alias("__h"), F.substring(h, 1, 2).alias("__b"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_ordered(d, "doc_id", seed="42")
 
-    in_bucket = F.row_number().over(
-        Window.partitionBy("__b").orderBy("__h", "doc_id")
-    )
-    counts = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = counts.select(
-        "__b",
-        (
-            F.sum("__n").over(
-                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (x112) — the storage/serving compression
+# step for embedding columns: symmetric per-vector scale (amax/127),
+# q_i = round(x_i / scale). Pure array higher-order projection — zero
+# shuffles, zero Python — so it runs at scan speed over any corpus.
+# Both engines do the identical double-precision IEEE ops, so the
+# quantized checksums compare bit-exact. Zero vectors quantize via
+# scale=1 (guard: ANSI mode would overflow casting round(0/0)=inf).
+# ---------------------------------------------------------------------------
+@query(
+    "x112_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r,
+           CAST(len(q) AS BIGINT) AS n_dims,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_max(q) AS BIGINT) AS q_max
+    FROM (
+        SELECT vec_id,
+               scale,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INTEGER)) AS q
+        FROM (
+            SELECT vec_id, embedding,
+                   CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+                FROM embeddings
             )
-        ).alias("__off"),
-    ).fillna(0, subset=["__off"])
-
-    return (
-        hashed.withColumn("__rn", in_bucket)
-        .join(F.broadcast(offsets), "__b")
-        .select(
-            "doc_id", (F.col("__off") + F.col("__rn")).cast("bigint").alias("pos")
         )
+    )
+    """,
+)
+def x112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    with_scale = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(amax == 0, F.lit(1.0)).otherwise(amax / 127.0).alias("scale"),
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.size(F.col("embedding")).cast("bigint").alias("n_dims"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
+        ).alias("q_sum"),
+        F.array_max(q).cast("bigint").alias("q_max"),
     )
