@@ -55,6 +55,9 @@ HEADLINE = [
     "q95_market_share",
     "x96_neardup_clusters",
     "x97_sequence_pack",
+    "x104_global_shuffle",
+    "x111_pii_scrub",
+    "x113_token_budget_sample",
 ]
 
 

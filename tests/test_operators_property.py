@@ -373,3 +373,33 @@ def test_pack_sequences_partitions_every_token(spark, vals, max_len):
         last = max(per_seq)
         for sid, n in per_seq.items():
             assert n == (max_len if sid != last else total - max_len * last)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    parts=st.integers(1, 7),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_ordered_matches_global_rank(spark, ids, parts):
+    """hash_ordered invariants vs a driver-side ground truth: pos is the
+    exact 1..n rank in md5('s|'||id) order, cum_weight the inclusive
+    prefix sum in that order — and both are invariant to how the input
+    happens to be partitioned."""
+    import hashlib
+
+    from ua2sql_spark.operators.ordering import hash_ordered
+
+    rows = [(i, (i % 13) + 1) for i in ids]
+    df = spark.createDataFrame(rows, ["id", "w"]).repartition(parts)
+    got = {
+        r["id"]: (r["pos"], r["cw"])
+        for r in hash_ordered(
+            df, "id", weight_col="w", seed="s", cum_col="cw"
+        ).collect()
+    }
+
+    order = sorted(rows, key=lambda r: (hashlib.md5(f"s|{r[0]}".encode()).hexdigest(), r[0]))
+    run = 0
+    for pos, (i, w) in enumerate(order, start=1):
+        run += w
+        assert got[i] == (pos, run), (i, got[i], (pos, run))

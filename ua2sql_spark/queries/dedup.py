@@ -401,7 +401,11 @@ def x101_minhash_fast_exact_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
         num_hashes=NUM_MINHASHES,
-        band_size=BAND_SIZE,
+        # One band of ALL 16 hashes: at threshold=1.0 banding adds no
+        # recall (identical sets agree on the FULL signature), it only
+        # admits J<1 false candidates into the verify stage — a single
+        # full-signature band shrinks buckets to near-exact groups.
+        band_size=NUM_MINHASHES,
         threshold=1.0,
         hash_family="xxhash64",
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
