@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from ua2sql_spark.registry import all_queries
-from tests.conftest import SF_DIR, assert_oracle_match
+from tests.conftest import SF_DIR, TABLES, assert_oracle_match
 
 SPECS = all_queries()
 WITH_ORACLE = [name for name, spec in SPECS.items() if spec.oracle is not None]
@@ -75,3 +75,28 @@ def test_driver_window_families():
         "x97_sequence_pack",
     }
     assert required <= set(DRIVER_WINDOW)
+
+
+def test_no_oracle_is_empty_at_driver_sf():
+    """A 0-row result trivially 'matches' its oracle — this meta-test
+    pins every registered oracle to >0 rows at the driver's sf0.01, so
+    a predicate that silently selects nothing fails loudly instead of
+    green-washing the correctness gate. DuckDB-only: ~6 s for all
+    oracles, no Spark involved."""
+    import duckdb
+
+    from ua2sql_spark.registry import oracle_sql
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    empty = [
+        name
+        for name, sql in oracle_sql().items()
+        if len(con.execute(sql).fetchdf()) == 0
+    ]
+    con.close()
+    assert not empty, f"oracles with 0 rows at sf0.01: {empty}"

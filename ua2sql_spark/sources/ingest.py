@@ -27,6 +27,7 @@ from datetime import date, timedelta
 from typing import Callable, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ua2sql_spark.sources.checkpoint import JobIdCheckpoint
 from ua2sql_spark.sources.unity import FEEDS, read_feed
@@ -202,8 +203,17 @@ def parquet_sink(root: str) -> Callable[[DataFrame, str], int]:
     sink is ua2sql_spark.sources.jdbc.write_feed_jdbc."""
 
     def _sink(df: DataFrame, feed: str) -> int:
+        from pyspark.sql import Observation
+
+        # The inserted-count the reference prints (ua2sql.py:239-241) —
+        # collected from the WRITE job's own metrics via observe(), not
+        # a second count() execution of the whole pipeline (at 100 TB a
+        # separate count() is a full second pass over the feed).
+        obs = Observation(f"ingest_rows_{feed}")
         out = os.path.join(root, feed)
-        df.write.mode("append").parquet(out)
-        return df.count()  # running inserted-count, as ua2sql.py:239-241 prints
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "append"
+        ).parquet(out)
+        return int(obs.get["rows"])
 
     return _sink

@@ -154,13 +154,19 @@ def upsert_feed_jdbc(
             c = F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}"))
             cond = c if cond is None else cond & c
         fresh = lhs.join(rhs, cond, "left_anti")
-    n = fresh.count()
-    if n:
-        write_feed_jdbc(
-            fresh, url, table, feed,
-            properties=properties, batchsize=batchsize, pg_types=pg_types,
-        )
-    return n
+    # Inserted-count from the write job's own metrics (observe), not a
+    # separate count() — counting first would execute the anti-join
+    # twice, a full extra pass over the diff at scale. Writing an empty
+    # diff is a harmless no-op append, so no pre-count gate is needed.
+    from pyspark.sql import Observation
+
+    obs = Observation("upsert_fresh_rows")
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("rows"))
+    write_feed_jdbc(
+        fresh, url, table, feed,
+        properties=properties, batchsize=batchsize, pg_types=pg_types,
+    )
+    return int(obs.get["rows"])
 
 
 def jdbc_upsert_sink(
