@@ -255,3 +255,43 @@ def q21_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 4).alias("var_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6b: approximate percentiles (GK sketch) under an exactness contract —
+# the 100 TB quantile path. percentile_approx is mergeable (one shuffle
+# of bounded sketches instead of a full sort of the column), and the
+# query pins it to the exact interpolated percentile within 1%: the
+# hashable contract is the boolean, same pattern as q15's HLL bound.
+# ---------------------------------------------------------------------------
+@query(
+    "q114_approx_percentile_contract",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50_exact,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 4) AS p95_exact,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q114_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("e50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("e95"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+    )
+
+    def within(e, a):
+        return F.abs(a - e) <= F.greatest(F.abs(e) * F.lit(0.01), F.lit(1.0))
+
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.col("e50"), 4).alias("p50_exact"),
+        F.round(F.col("e95"), 4).alias("p95_exact"),
+        (
+            within(F.col("e50"), F.col("a50")) & within(F.col("e95"), F.col("a95"))
+        ).alias("approx_ok"),
+    )
