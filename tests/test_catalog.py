@@ -1,0 +1,68 @@
+"""Catalog loader robustness: the driver regenerates the testdata
+between rounds and has already shipped events.ts as TIMESTAMP(NANOS)
+and TIMESTAMP_NTZ(MICROS) — `_load_events` must normalise every
+plausible encoding to the same TIMESTAMP values.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ua2sql_spark.catalog import load_table
+
+_TS = [
+    datetime.datetime(2024, 3, 1, 12, 0, 0),
+    datetime.datetime(2024, 3, 2, 23, 59, 59, 123456),
+]
+
+
+def _write_events(tmp_path, ts_array) -> str:
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _epoch(unit: int) -> list[int]:
+    return [int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * unit) for t in _TS]
+
+
+@pytest.mark.parametrize(
+    "encoding",
+    ["ts_us", "ts_ns", "epoch_s", "epoch_ms", "epoch_us", "epoch_ns"],
+)
+def test_load_events_normalises_every_ts_encoding(spark, tmp_path, encoding):
+    arrays = {
+        "ts_us": pa.array(_TS, pa.timestamp("us")),
+        "ts_ns": pa.array(_TS, pa.timestamp("ns")),
+        "epoch_s": pa.array(_epoch(1), pa.int64()),
+        "epoch_ms": pa.array(_epoch(1_000), pa.int64()),
+        "epoch_us": pa.array(_epoch(1_000_000), pa.int64()),
+        "epoch_ns": pa.array(_epoch(1_000_000_000), pa.int64()),
+    }
+    sf_dir = _write_events(tmp_path, arrays[encoding])
+    got = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    }
+    # Coarser epoch units drop precision by construction; finer ones
+    # must round-trip to the microsecond.
+    if encoding == "epoch_s":
+        expect = [t.replace(microsecond=0) for t in _TS]
+    elif encoding == "epoch_ms":
+        expect = [t.replace(microsecond=t.microsecond // 1000 * 1000) for t in _TS]
+    else:
+        expect = _TS
+    assert got == {1: expect[0], 2: expect[1]}, (encoding, got)

@@ -51,8 +51,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch values — so adapt to the schema actually on disk instead of
     assuming one encoding:
 
-    * ``bigint``        → nanos-as-long legacy files: truncate ns→µs (the same
-      truncation DuckDB applies, so oracles agree).
+    * ``bigint``        → either TIMESTAMP(NANOS) read via nanos-as-long, or a
+      genuine epoch integer column; the value magnitude picks the unit
+      (seconds/millis/micros/nanos sit four decades apart — see
+      :func:`_bigint_ts_to_micros`). Nanos truncate ns→µs, the same
+      truncation DuckDB applies, so oracles agree.
     * ``timestamp_ntz`` → cast to session-tz TIMESTAMP; the session runs UTC
       so the wall-clock values are unchanged and match DuckDB's naive reads.
     * ``timestamp``     → already what we want.
@@ -60,13 +63,30 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
+    path = table_path(sf_dir, "events")
+    df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.timestamp_micros(_bigint_ts_to_micros()))
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _bigint_ts_to_micros():
+    """Column expression converting a bigint ts to epoch micros, choosing
+    the unit from the value magnitude: epoch seconds ~2e9, millis ~2e12,
+    micros ~2e15, nanos ~2e18 — four decades apart, so the per-row
+    magnitude test is unambiguous for any date this side of year 5000."""
+    from pyspark.sql import functions as F
+
+    ts = F.col("ts")
+    return (
+        F.when(ts >= F.lit(10**17), F.expr("ts div 1000"))   # nanos
+        .when(ts >= F.lit(10**14), ts)                        # micros
+        .when(ts >= F.lit(10**11), ts * F.lit(1000))          # millis
+        .otherwise(ts * F.lit(1_000_000))                     # seconds
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -409,3 +409,47 @@ def x101_minhash_fast_exact_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=1.0,
         hash_family="xxhash64",
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Fast-family clusters: the ENTIRE production pipeline — xxhash64
+# minhash → full-signature LSH → exact-Jaccard verify → distributed
+# connected components — hard-verified on the exact-set tier. Identical
+# word sets form cliques with recall 1 under any hash family, and
+# components of a union of cliques are just the fingerprint groups, so
+# the oracle is a plain min-per-group over word-set fingerprints: no
+# hash either engine could disagree on, yet every stage of the fast
+# path (signatures, banding, verify, label propagation) must be right
+# for the output to match.
+# ---------------------------------------------------------------------------
+@query(
+    "x115_neardup_clusters_fast",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS f
+        FROM ({_REINGEST_SQL})
+    )
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS component
+    FROM fp
+    WHERE f IN (SELECT f FROM fp GROUP BY f HAVING COUNT(*) > 1)
+    """,
+)
+def x115_neardup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.components import connected_components
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_reingest(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_MINHASHES,
+        band_size=NUM_MINHASHES,  # one full-signature band (see x101)
+        threshold=1.0,
+        hash_family="xxhash64",
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
