@@ -453,3 +453,49 @@ def x115_neardup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("vertex").alias("doc_id"), "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (x117): the production daily path — dedup a NEW
+# batch against the historical corpus without rescanning it. The
+# history side is a fingerprint INDEX (hash + survivor id only, never
+# text): within-batch dedup is one fingerprint groupBy; cross-corpus
+# dedup is one anti-join keyed on the fingerprint. At 100 TB the index
+# is ~50 B/doc — three orders of magnitude smaller than the corpus —
+# and the day's batch, not the history, drives the join's work. Here
+# odd doc_ids play the indexed history and even doc_ids the new batch.
+# ---------------------------------------------------------------------------
+@query(
+    "x117_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS f
+        FROM documents
+    ),
+    index_side AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 1),
+    batch AS (
+        SELECT f, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+        FROM fp WHERE doc_id % 2 = 0 GROUP BY f
+    )
+    SELECT doc_id, n_batch_copies
+    FROM batch WHERE f NOT IN (SELECT f FROM index_side)
+    """,
+)
+def x117_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    fp = d.select("doc_id", fingerprint.alias("f"))
+    index_side = fp.filter(F.col("doc_id") % 2 == 1).select("f").distinct()
+    batch = (
+        fp.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("f")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+    return batch.join(index_side, "f", "left_anti").select("doc_id", "n_batch_copies")

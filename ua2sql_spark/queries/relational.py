@@ -347,3 +347,50 @@ def q12_setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = open_k.intersect(done_k).withColumn("bucket", F.lit("both"))
     only_open = open_k.subtract(done_k).withColumn("bucket", F.lit("open_only"))
     return both.unionByName(only_open)
+
+
+# ---------------------------------------------------------------------------
+# J2b: FULL OUTER join — urgent-order customers vs low-priority-order
+# customers; either side may be absent (nulls where a customer only
+# appears in one activity class). Completes the outer-join family next
+# to q06's left outer. Both inputs pre-aggregate to one row per key
+# before the join, so the full-outer shuffle moves |customers| rows,
+# never |orders|.
+# ---------------------------------------------------------------------------
+@query(
+    "q116_join_full_outer",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+        WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ),
+    l AS (
+        SELECT o_custkey, COUNT(*) AS n_low FROM orders
+        WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey
+    )
+    SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
+           COALESCE(n_urgent, 0) AS n_urgent,
+           COALESCE(n_low, 0) AS n_low
+    FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
+    """,
+)
+def q116_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    low = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_low"))
+    )
+    joined = urgent.alias("u").join(
+        low.alias("l"), F.col("u.o_custkey") == F.col("l.o_custkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("u.o_custkey"), F.col("l.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.col("n_low"), F.lit(0)).alias("n_low"),
+    )
