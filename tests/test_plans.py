@@ -295,3 +295,30 @@ def test_minhash_fast_family_has_no_md5(spark):
     plan = simple_plan(df).lower()
     assert "xxhash64" in plan, plan
     assert "md5" not in plan, plan
+
+
+def test_incremental_dedup_is_anti_join_on_fingerprint(spark):
+    """x117: the batch-vs-index dedup must plan a hash-keyed LeftAnti
+    join (never a nested-loop), and no text column may survive past the
+    fingerprint projection into the join."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x117_incremental_dedup"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_full_outer_joins_preaggregated_sides(spark):
+    """q116: both inputs collapse to one row per customer BEFORE the
+    full-outer join — the plan must show partial aggregates below the
+    join, and an equi full-outer (no nested loop)."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["q116_join_full_outer"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # aggregates feed the join, not the other way round
+    assert plan.index("HashAggregate") > plan.index("FullOuter"), plan
