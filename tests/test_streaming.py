@@ -367,3 +367,53 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_tumbling_equals_batch_q40(spark, tmp_path):
+    """Stream-batch parity on REAL data: the sf0.001 events table pushed
+    through Structured Streaming (availableNow file source) with the
+    same 6-hour tumbling-window aggregation as batch q40 must produce
+    byte-identical rows — the micro-batch partial-agg/merge path and the
+    batch hash-agg path compute the same monoid."""
+    from ua2sql_spark.catalog import load_table
+    from ua2sql_spark.queries.common import dsum
+    from ua2sql_spark.registry import all_queries
+
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in all_queries()["q40_tumbling_window"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+
+    # Land the events in a streaming source dir (normalized ts via the
+    # catalog, several files so multiple list batches exercise merging).
+    src = str(tmp_path / "events_stream")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q40_stream_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM q40_stream_parity").collect()
+    }
+    assert got == batch
