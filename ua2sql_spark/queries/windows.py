@@ -181,3 +181,69 @@ def q27_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_last("gap_bucket"), F.asc("event_id"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# W1b: NTILE — balance deciles per market segment. Unique (balance, key)
+# tie-break keeps bucket boundaries deterministic; per-segment windows
+# parallelize across segments (no global sort).
+# ---------------------------------------------------------------------------
+@query(
+    "q118_ntile_deciles",
+    oracle="""
+    SELECT c_mktsegment, decile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE(10) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ) AS decile
+        FROM customer
+    )
+    GROUP BY c_mktsegment, decile
+    """,
+)
+def q118_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8b: ordered string aggregation — the listagg/string_agg surface.
+# Sort-then-join makes the concatenation order engine-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "q119_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities_csv,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q119_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities_csv"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
