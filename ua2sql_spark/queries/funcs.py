@@ -222,3 +222,33 @@ def q34_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq, 4).alias("sq_norm"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F9c: VariantType — Spark 4's binary semi-structured encoding. Unlike
+# the stringly get_json_object path (q28, one parse per extraction),
+# parse_json decodes the island ONCE into Variant and every
+# variant_get is a cheap binary probe — the 100 TB answer for payloads
+# probed by many expressions. The oracle reads the same values through
+# DuckDB's JSON extraction; results must agree exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q120_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(COUNT(CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q120_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k") > 50, F.lit(1))).alias("n_high"),
+    )
