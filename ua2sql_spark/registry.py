@@ -89,9 +89,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x96_neardup_clusters",
     # similarity: brute force, sign-LSH, IVF, kNN-over-IVF
     "x45_cosine_topk",
-    "x46_ann_bucketed",
     "x71_ivf_ann",
     "x100_ivf_knn_classify",
+    # production xxhash64 minhash family, hard-verified on the exact-set
+    # tier (x46's sign-LSH stays oracle-checked below the fold; the IVF
+    # pair above already carries the bucketed-ANN scale signal)
+    "x101_minhash_fast_exact_tier",
     # text analysis
     "x48_token_stats",
     "x50_langid",
