@@ -107,7 +107,7 @@ def q56_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust_avg AS (
         SELECT o_custkey AS k,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o_totalprice)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) / COUNT(o_totalprice)
                    AS avg_price
         FROM orders GROUP BY o_custkey
     )
@@ -124,7 +124,7 @@ def q57_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM v_orders o1
         WHERE o_totalprice > 1.5 * (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+            SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
                        / COUNT(o_totalprice)
             FROM v_orders o2 WHERE o2.o_custkey = o1.o_custkey
         )
@@ -141,7 +141,7 @@ def q57_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice > 1.8 * (
-        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o_totalprice)
+        SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) / COUNT(o_totalprice)
         FROM orders
     )
     """,
@@ -153,7 +153,7 @@ def q58_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_totalprice
         FROM v_orders
         WHERE o_totalprice > 1.8 * (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+            SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
                        / COUNT(o_totalprice)
             FROM v_orders
         )

@@ -11,6 +11,13 @@ in the last bits; instead we:
   binary double has no exact .5 ULP ties at scale 8), sum exactly, and
   cast the exact decimal result to double (a single deterministic
   rounding); both engines produce the same 64-bit float.
+* the DuckDB side of that final cast goes **via VARCHAR**: DuckDB's
+  direct DECIMAL→DOUBLE converts the scaled int128 first, which loses
+  correct rounding once the scaled value passes 2^53 (sum > ~9e7 at
+  scale 8 — routinely hit at sf0.1), while Spark's BigDecimal→double
+  is correctly rounded. Formatting the exact decimal and parsing with
+  strtod is correctly rounded too, so VARCHAR-mediated casts agree
+  with Spark at every magnitude.
 * averages = exact decimal sum cast to double, divided by the count —
   one double division, identical operands → identical result.
 * variance/stddev are derived from exact sums (sum, sum of squares)
@@ -41,8 +48,8 @@ def davg(c: Column | str) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,8))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,8))) AS STRING) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(28,8))) AS DOUBLE) / COUNT({expr}))"
+    return f"({sql_dsum(expr)} / COUNT({expr}))"

@@ -296,7 +296,7 @@ def q68_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS total_price
         FROM v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -199,7 +199,7 @@ def x47_embedding_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x88_label_centroids",
     oracle="""
     SELECT label, i - 1 AS dim,
-           CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
                / COUNT(*) AS centroid
     FROM (SELECT label, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i
