@@ -6,6 +6,8 @@ so regressions surface locally before a round runs.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ua2sql_spark.registry import all_queries
@@ -100,3 +102,46 @@ def test_no_oracle_is_empty_at_driver_sf():
     ]
     con.close()
     assert not empty, f"oracles with 0 rows at sf0.01: {empty}"
+
+
+# Oracles whose DuckDB side is pair-quadratic (LSH candidate replay,
+# brute-force cosine, recursive CTEs) — tractable at sf0.01, minutes+
+# at sf0.1. The alt-SF sweep exercises everything else.
+_SWEEP_HEAVY = frozenset({
+    "x43_minhash_lsh_neardup", "x69_ngram_jaccard_neardup",
+    "x96_neardup_clusters", "x115_neardup_clusters_fast",
+    "x45_cosine_topk", "x46_ann_bucketed", "x68_embedding_neardup",
+    "x71_ivf_ann", "x100_ivf_knn_classify", "x89_knn_classify",
+    "x101_minhash_fast_exact_tier", "x81_neardup_dedup", "x44_simhash",
+    "q10_join_cross", "x106_contamination",
+})
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR"),
+    reason="alt-SF sweep is opt-in: SPARK_GRAFT_SWEEP_SF_DIR=/root/testdata/sf0.1",
+)
+def test_oracle_sweep_alt_sf(spark):
+    """Magnitude-dependent drift guard: the sf0.01 gate can miss bugs
+    that only appear at larger values (e.g. DuckDB's decimal→double
+    cast losing correct rounding past 2^53 scaled units — caught by
+    exactly this sweep). Runs every non-quadratic oracle at the SF
+    given via SPARK_GRAFT_SWEEP_SF_DIR; ~6 min at sf0.1."""
+    import duckdb
+
+    sweep_dir = os.environ["SPARK_GRAFT_SWEEP_SF_DIR"]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sweep_dir}/{t}.parquet')"
+        )
+    fails = []
+    for name, spec in all_queries().items():
+        if name in _SWEEP_HEAVY or spec.oracle is None:
+            continue
+        try:
+            assert_oracle_match(spark, con, spec, sf_dir=sweep_dir)
+        except AssertionError as exc:
+            fails.append(f"{name}: {str(exc)[:200]}")
+    con.close()
+    assert not fails, "\n".join(fails)
