@@ -66,15 +66,24 @@ def test_driver_window_families():
     assert len(DRIVER_WINDOW) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     required = {
-        "q01_pricing_summary", "q04_join_inner", "q35_asof_join",
-        "q22_window_rank", "q28_json_extract", "q40_tumbling_window",
+        # one per family: relational/joins, temporal, windows, JSON,
+        # streaming mirror, dedup tiers, similarity tiers + recall gate,
+        # text, multimodal, Pandas-UDF surface, advanced SQL, TPC-H
+        # archetypes, training-data pipeline ops
+        "q01_pricing_summary", "q04_join_inner", "q116_join_full_outer",
+        "q35_asof_join", "q22_window_rank", "q28_json_extract",
+        "q114_approx_percentile_contract", "q40_tumbling_window",
         "x41_exact_dedup", "x43_minhash_lsh_neardup", "x96_neardup_clusters",
-        "x45_cosine_topk", "x71_ivf_ann", "x100_ivf_knn_classify",
-        "x48_token_stats", "x50_langid", "x52_binary_metadata",
+        "x115_neardup_clusters_fast", "x117_incremental_dedup",
+        "x101_minhash_fast_exact_tier",
+        "x45_cosine_topk", "x46_ann_bucketed", "x71_ivf_ann",
+        "x100_ivf_knn_classify", "x121_ivf_recall_contract",
+        "x48_token_stats",
         "x53_decode_mapinpandas", "x73_gini_pandas_udf",
         "x77_zscore_applyinpandas", "q54_pivot", "q56_correlated_exists",
         "q79_volume_shipping", "q86_supplier_wait", "q95_market_share",
-        "x97_sequence_pack",
+        "x97_sequence_pack", "x104_global_shuffle", "x111_pii_scrub",
+        "x113_token_budget_sample", "x112_embedding_quantize",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -61,6 +61,65 @@ def ivf_assign(
     )
 
 
+def ivf_probe_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 25,
+    nprobe: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Multi-probe IVF top-k: rank every cell per query by centroid
+    cosine and scan the union of the top ``nprobe`` cells.
+
+    This is the production recall knob (FAISS's ``nprobe``): recall
+    rises monotonically with the number of probed cells while the scan
+    stays an equi-join on cell id — each neighbor lives in exactly one
+    cell, so the probe union needs no dedup and candidate volume is
+    exactly the probed cells' population. The corpus never shuffles:
+    centroids and the (bounded) probe set broadcast; the only wide ops
+    are the tiny per-query windows.
+
+    Deterministic mirror of the oracle: scores round to 6 decimals
+    before every ranking; ties break on centroid / neighbor id.
+    """
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cemb")
+    )
+    assigned = ivf_assign(emb, id_col, vec_col, centroid_stride)
+    q = emb.join(F.broadcast(query_ids), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qemb")
+    )
+    qscore = q.crossJoin(F.broadcast(cent)).withColumn(
+        "__score", F.round(_cosine(F.col("__qemb"), F.col("__cemb")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("__cid"))
+    probe = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qemb", F.col("__cid").alias("__qcell"))
+    )
+    n = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nemb"), "cell"
+    )
+    pairs = F.broadcast(probe).join(
+        n,
+        (F.col("__qcell") == F.col("cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("__qemb"), F.col("__nemb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     query_ids: DataFrame,

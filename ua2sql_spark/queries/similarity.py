@@ -150,6 +150,130 @@ def x46_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X5e: IVF retrieval-quality contract — recall of multi-probe IVF top-k
+# against brute-force top-k on a bounded probe set, BOTH sides computed
+# in BOTH engines. The oracle emits TRUE for recall_ok, so a Spark-side
+# recall below the floor hash-mismatches and turns the driver row red —
+# the contract is a hard gate, not an annotation (same convention as
+# q15/q114).
+#
+# Config note: the synthetic embeddings are isotropic (no cluster
+# structure — verified: top-1 neighbor same-label rate ≈ chance), so
+# recall comes only from probe-*ranking* concentration, and clearing a
+# 0.9 floor needs nprobe near the cell count (9 of 10 here; measured
+# recall 0.95–0.97 at sf0.001/0.01/0.1). On a real corpus with cluster
+# structure the same knob reaches the floor at much smaller nprobe —
+# the composition under test (cell ranking → union scan → rank) is
+# identical. The cell count is fixed at 10 via a count-derived stride
+# so the contract is scale-invariant across SFs.
+# ---------------------------------------------------------------------------
+RECALL_NQ = 20
+RECALL_K = 5
+RECALL_CELLS = 10
+RECALL_NPROBE = 9
+
+_RECALL_STRIDE_SQL = f"(SELECT CAST(CEIL(COUNT(*) / {RECALL_CELLS}.0) AS BIGINT) FROM embeddings)"
+
+
+@query(
+    "x121_ivf_recall_contract",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % {_RECALL_STRIDE_SQL} = 0
+    ),
+    cell_rank AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND({_sql_cosine('e.embedding', 'c.cemb')}, 6) DESC,
+                            c.cid) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cid AS cell FROM cell_rank WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, embedding AS qemb, cid AS cell
+        FROM cell_rank WHERE vec_id < {RECALL_NQ} AND rn <= {RECALL_NPROBE}
+    ),
+    ivf_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, n.vec_id AS neighbor_id,
+                   ROUND({_sql_cosine('q.qemb', 'n.embedding')}, 6) AS cs
+            FROM qprobe q JOIN assign n
+              ON q.cell = n.cell AND q.query_id <> n.vec_id
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) <= {RECALL_K}
+    ),
+    bf_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cs
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {RECALL_NQ}
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) <= {RECALL_K}
+    )
+    SELECT CAST({RECALL_NQ} AS BIGINT) AS n_queries,
+           CAST({RECALL_K} AS BIGINT) AS k,
+           COUNT(*) AS ivf_hits,
+           ROUND(COUNT(*) / {RECALL_NQ * RECALL_K}.0, 4) AS recall,
+           TRUE AS recall_ok
+    FROM ivf_topk i JOIN bf_topk b USING (query_id, neighbor_id)
+    """,
+)
+def x121_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.ivf import ivf_probe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Driver-side scalar: sizes the coarse index off corpus cardinality
+    # (parquet-metadata count; the one bounded action this query takes).
+    n_corpus = emb.count()
+    stride = -(-n_corpus // RECALL_CELLS)
+    probe_ids = emb.filter(F.col("vec_id") < RECALL_NQ).select("vec_id")
+    ivf = ivf_probe_topk(
+        emb,
+        probe_ids,
+        centroid_stride=stride,
+        nprobe=RECALL_NPROBE,
+        k=RECALL_K,
+    ).select("query_id", "neighbor_id")
+
+    q = emb.filter(F.col("vec_id") < RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    bf_pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cs"),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    bf = (
+        bf_pairs.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    denom = RECALL_NQ * RECALL_K
+    return (
+        ivf.join(bf, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("ivf_hits"))
+        .select(
+            F.lit(RECALL_NQ).cast("long").alias("n_queries"),
+            F.lit(RECALL_K).cast("long").alias("k"),
+            F.col("ivf_hits"),
+            F.round(F.col("ivf_hits") / F.lit(float(denom)), 4).alias("recall"),
+            (F.col("ivf_hits") / F.lit(float(denom)) >= F.lit(0.9)).alias("recall_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # X4: embedding math surface — norms, dot with a constant reference
 # vector, normalized-vector check. Pure higher-order functions.
 # ---------------------------------------------------------------------------

@@ -39,67 +39,73 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # representative inside the hard signal: relational core, every join
 # flavor, aggregate/window/sort families, JSON + array functions,
 # temporal joins, event analytics, streaming-window batch mirror, dedup
-# (exact / LSH pairs / survivor / transitive clusters), similarity
-# (brute-force / sign-LSH / IVF / kNN-over-IVF), text analysis,
-# multimodal, the Pandas-UDF surface, advanced SQL (pivot / correlated
-# subqueries), TPC-H archetypes, and sequence packing. Near-duplicate
-# variants (e.g. q30–q33 scalar-function walks, q17 cube next to q16
-# rollup) sit below the fold, still covered by the local oracle suite
-# (tests/test_oracle.py runs ALL registered queries).
+# (exact / LSH pairs / survivor / transitive clusters / fast family /
+# incremental), similarity (brute-force / sign-LSH / IVF / kNN-over-IVF
+# / recall contract), text analysis, multimodal, the Pandas-UDF
+# surface, advanced SQL (pivot / correlated subqueries), TPC-H
+# archetypes, and the training-data pipeline ops (packing, global
+# shuffle, PII scrub, token-budget sampling, quantization).
+#
+# Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
+# another in-window representative moved below the fold (q02/q03 —
+# filter+CASE surface proven by q01; q06 → q116 full outer carries both
+# null sides; q11 set ops; q15 → q114 approx-sketch contract; q24
+# framed aggs — W family keeps rank/lag/top-k; q27 → q26 sort rep; q36
+# range — temporal rep is q35 as-of; q39 — event rep is q37/q40; x50 —
+# text rep is x48; x52 → x53 is the stronger multimodal row) to make
+# room for the round-3/4 operators that had never seen a driver check.
+# Everything below the fold stays covered by the local oracle suite
+# (tests/test_oracle.py runs ALL registered queries) and the alt-SF
+# sweep.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational: filters, projections, every join flavor, set ops
+    # relational: filters+projection rep, every join flavor
     "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_projection_case",
     "q04_join_inner",
     "q05_join_star_broadcast",
-    "q06_join_left_outer",
     "q07_join_semi",
     "q08_join_anti",
     "q09_join_theta",
-    "q11_setop_union",
-    # aggregates
+    "q116_join_full_outer",
+    # aggregates (incl. the approx-percentile sketch contract)
     "q13_groupby_having",
     "q14_count_distinct",
-    "q15_approx_distinct",
     "q16_rollup",
     "q18_percentiles",
     "q19_max_by_checkpoint",
     "q20_collect_set",
+    "q114_approx_percentile_contract",
     # windows + sorts
     "q22_window_rank",
     "q23_window_lag_gap",
-    "q24_window_running",
     "q25_topk_per_group",
     "q26_order_limit",
-    "q27_sort_nulls",
-    # scalar-function families: JSON, arrays
+    # scalar-function families: JSON, Spark-4 variant, arrays
     "q28_json_extract",
+    "q120_variant_json",
     "q34_array_funcs",
-    # temporal joins + event analytics + streaming-window mirror
+    # temporal join + event analytics + streaming-window mirror
     "q35_asof_join",
-    "q36_range_join",
     "q37_sessionize",
-    "q39_retention",
     "q40_tumbling_window",
-    # dedup: exact, LSH pairs, survivor selection, transitive clusters
+    # dedup: exact, LSH pairs, survivor, clusters (md5-oracle + fast
+    # xxhash64 production family), incremental index
     "x41_exact_dedup",
     "x43_minhash_lsh_neardup",
     "x81_neardup_dedup",
     "x96_neardup_clusters",
-    # similarity: brute force, sign-LSH, IVF, kNN-over-IVF
+    "x115_neardup_clusters_fast",
+    "x117_incremental_dedup",
+    "x101_minhash_fast_exact_tier",
+    # similarity: brute force, sign-LSH, IVF, kNN-over-IVF, recall gate
     "x45_cosine_topk",
+    "x46_ann_bucketed",
     "x71_ivf_ann",
     "x100_ivf_knn_classify",
-    # production xxhash64 minhash family, hard-verified on the exact-set
-    # tier (x46's sign-LSH stays oracle-checked below the fold; the IVF
-    # pair above already carries the bucketed-ANN scale signal)
-    "x101_minhash_fast_exact_tier",
+    "x121_ivf_recall_contract",
+    "x112_embedding_quantize",
     # text analysis
     "x48_token_stats",
-    "x50_langid",
     # multimodal
-    "x52_binary_metadata",
     "x53_decode_mapinpandas",
     # Pandas-UDF surface
     "x73_gini_pandas_udf",
@@ -111,8 +117,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q79_volume_shipping",
     "q86_supplier_wait",
     "q95_market_share",
-    # training-data pipeline: sequence packing
+    # training-data pipeline: packing, shuffle, scrub, sampling
     "x97_sequence_pack",
+    "x104_global_shuffle",
+    "x111_pii_scrub",
+    "x113_token_budget_sample",
 )
 
 
