@@ -54,6 +54,11 @@ HEADLINE = [
     "q86_supplier_wait",
     "q95_market_share",
     "x96_neardup_clusters",
+    # production dedup path: xxhash64 clusters + incremental anti-join —
+    # benched so the fast family (not the md5 oracle-pinned x43/x96) is
+    # the number the 2×-gate watches (VERDICT r4 next-round #5)
+    "x115_neardup_clusters_fast",
+    "x117_incremental_dedup",
     "x97_sequence_pack",
     "x104_global_shuffle",
     "x111_pii_scrub",
