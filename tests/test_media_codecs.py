@@ -11,6 +11,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import pytest
 
@@ -79,9 +80,98 @@ def test_bmp_decode_strips_row_padding():
     assert d["mean_pixel"] == pytest.approx(20 / 255.0)
 
 
+def png(width: int, height: int, pixels: list[list[tuple]], filters=None) -> bytes:
+    """Minimal PNG encoder (test fixture): 8-bit RGB/RGBA/gray, one
+    explicit filter byte per row so every decoder filter path
+    (None/Sub/Up/Average/Paeth) gets exercised. ``pixels`` is rows of
+    per-pixel channel tuples."""
+    channels = len(pixels[0][0])
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raster = [bytes(c for px in row for c in px) for row in pixels]
+    filters = filters or [0] * height
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for row, ftype in zip(raster, filters):
+        raw.append(ftype)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            b, c = prev[i], (prev[i - channels] if i >= channels else 0)
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    # 3x5 RGB with a different filter on each row; gradient pixels so
+    # Sub/Up/Average/Paeth predictions are all non-trivial.
+    pixels = [
+        [((x * 40 + y * 10) % 256, (x * 7) % 256, (y * 90) % 256) for x in range(3)]
+        for y in range(5)
+    ]
+    payload = png(3, 5, pixels, filters=[0, 1, 2, 3, 4])
+    d = decode_image_real(payload)
+    flat = [c for row in pixels for px in row for c in px]
+    assert (d["width"], d["height"]) == (3, 5)
+    assert d["mean_pixel"] == pytest.approx(sum(flat) / len(flat) / 255.0)
+
+
+def test_png_decode_rgba_and_gray():
+    rgba = [[(10, 20, 30, 255), (40, 50, 60, 128)]]
+    d = decode_image_real(png(2, 1, rgba, filters=[4]))
+    flat = [c for px in rgba[0] for c in px]
+    assert (d["width"], d["height"]) == (2, 1)
+    assert d["mean_pixel"] == pytest.approx(sum(flat) / 8 / 255.0)
+    gray = [[(51,)], [(153,)]]
+    d = decode_image_real(png(1, 2, gray, filters=[2, 2]))
+    assert (d["width"], d["height"]) == (1, 2)
+    assert d["mean_pixel"] == pytest.approx(102 / 255.0)
+
+
+def test_png_unsupported_variants_raise():
+    # palette color type (3)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image_real(bad)
+    with pytest.raises(NotImplementedError):  # truncated stream
+        decode_image_real(b"\x89PNG\r\n\x1a\n....")
+
+
 def test_compressed_image_still_raises():
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG\r\n\x1a\n....")
+        decode_image_real(b"\xff\xd8\xff\xe0 jpeg needs PIL")
 
 
 def test_wav_decode_exact():
@@ -111,10 +201,12 @@ def test_real_bytes_through_mapinpandas(spark):
     DataFrame, Arrow-batched mapInPandas, exact pixel stats out."""
     from ua2sql_spark.queries.multimodal import decode_images
 
+    png_pixels = [[(60, 120, 180), (90, 150, 210)] for _ in range(3)]
     payloads = [
         (1, ppm(8, 4, rgb=(10, 20, 30))),
         (2, pgm(5, 3, value=51)),
         (3, bmp24(3, 2, bgr=(30, 20, 10))),
+        (4, png(2, 3, png_pixels, filters=[0, 1, 4])),
     ]
     df = spark.createDataFrame(payloads, "doc_id bigint, payload binary")
     got = {r["doc_id"]: r for r in decode_images(df).collect()}
@@ -124,6 +216,8 @@ def test_real_bytes_through_mapinpandas(spark):
     assert got[2]["mean_pixel"] == pytest.approx(0.2)
     assert (got[3]["width"], got[3]["height"]) == (3, 2)
     assert got[3]["mean_pixel"] == pytest.approx(20 / 255.0)
+    assert (got[4]["width"], got[4]["height"]) == (2, 3)
+    assert got[4]["mean_pixel"] == pytest.approx(135 / 255.0)
 
 
 def test_fake_and_real_share_schema(spark):

@@ -26,6 +26,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 
 FRAME_SIZE = 100  # fake codec: 1 "frame" per 100 payload bytes
 FRAME_STRIDE = 10  # sample every 10th frame
@@ -81,12 +82,95 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, bytes_px, rows
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse + fully decode a PNG: critical chunks (IHDR/IDAT/IEND),
+    zlib inflate, and all five scanline filters (None/Sub/Up/Average/
+    Paeth). 8-bit gray / RGB / gray+alpha / RGBA, non-interlaced —
+    i.e. what encoders actually emit for truecolor images. Returns
+    (width, height, channels, raster) with the raster defiltered to
+    raw samples in row-major order. Pure stdlib (zlib is the whole
+    compression layer of PNG); ancillary chunks are skipped, palette /
+    16-bit / interlaced variants raise ``NotImplementedError``."""
+    pos = len(PNG_SIG)
+    width = height = channels = -1
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                raise NotImplementedError("truncated PNG chunk")
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                    raise NotImplementedError(
+                        f"PNG bit_depth={depth} color_type={color} "
+                        f"interlace={interlace}: only 8-bit gray/RGB/GA/RGBA "
+                        "non-interlaced decodes natively"
+                    )
+                channels = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if channels < 0 or not idat:
+            raise NotImplementedError("PNG missing IHDR/IDAT")
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error) as exc:
+        raise NotImplementedError(f"invalid PNG stream: {exc}") from exc
+
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise NotImplementedError("PNG raster shorter than IHDR dimensions")
+    out = bytearray()
+    prev = bytes(stride)
+    rpos = 0
+    for _y in range(height):
+        ftype = raw[rpos]
+        row = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if ftype == 1:  # Sub: left neighbour
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out += row
+        prev = row
+    return width, height, channels, bytes(out)
+
+
 def decode_image_real(payload: bytes) -> dict:
     """Decode an image payload to (width, height, mean_pixel).
 
-    Real pure-stdlib decode for PPM/PGM (binary netpbm) and
-    uncompressed 24/32-bpp BMP; ``mean_pixel`` is the mean of all
-    channel samples normalized to [0, 1]. Compressed formats raise."""
+    Real pure-stdlib decode for PPM/PGM (binary netpbm), uncompressed
+    24/32-bpp BMP, and 8-bit non-interlaced PNG (zlib inflate + all
+    five scanline filters); ``mean_pixel`` is the mean of all channel
+    samples normalized to [0, 1]. Formats needing codecs this
+    container lacks (JPEG/WebP/…) raise."""
     magic = payload[:2]
     if magic in (b"P5", b"P6"):
         width, height, maxval, _, raster = _parse_pnm(payload)
@@ -97,9 +181,14 @@ def decode_image_real(payload: bytes) -> dict:
         n = sum(len(r) for r in rows)
         mean = (sum(sum(r) for r in rows) / n / 255.0) if n else 0.0
         return {"width": width, "height": height, "mean_pixel": mean}
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        width, height, _, raster = _parse_png(payload)
+        mean = (sum(raster) / len(raster) / 255.0) if raster else 0.0
+        return {"width": width, "height": height, "mean_pixel": mean}
     raise NotImplementedError(
-        f"image magic {magic!r}: compressed formats (PNG/JPEG/…) need "
-        "PIL/opencv, not in this container; PPM/PGM/BMP decode natively"
+        f"image magic {magic!r}: JPEG/WebP/video formats need "
+        "PIL/opencv/ffmpeg, not in this container; PPM/PGM/BMP/PNG "
+        "decode natively"
     )
 
 
