@@ -63,6 +63,9 @@ HEADLINE = [
     "x104_global_shuffle",
     "x111_pii_scrub",
     "x113_token_budget_sample",
+    # Zipfian hot-key join (sort-merge pinned): carries the SMJ cost the
+    # 100 TB plan pays; AQE skew-split engagement proven in tests/test_skew.py
+    "x122_skew_join_zipf",
 ]
 
 

@@ -136,6 +136,60 @@ def q66_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew pattern #2: Zipfian JOIN (the shape AQE skew-split exists for).
+# A derived key sends ~70% of events to ONE customer, then the fact
+# joins the customer table — the canonical hot-entity enrichment (one
+# viral user / one null-ish default key owning most of the fact rows).
+# The join is pinned sort-merge (`hint("merge")`): at 100 TB both sides
+# of this shape exceed any broadcast threshold, so the archetype must
+# carry the SMJ cost and rely on AQE's OptimizeSkewedJoin to split the
+# hot partition at runtime. Both SMJ children are plain shuffle stages
+# (scan → exchange → sort) — the pattern OptimizeSkewedJoin matches;
+# an aggregate between shuffle and join would defeat it.
+# tests/test_skew.py proves the split engages; session.py enables
+# skewJoin everywhere. Semantics are AQE-agnostic, so the DuckDB
+# oracle is a plain join.
+# ---------------------------------------------------------------------------
+@query(
+    "x122_skew_join_zipf",
+    oracle=f"""
+    WITH fact AS (
+        SELECT event_type, value,
+               CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id + 1 END AS skew_key
+        FROM events
+    )
+    SELECT f.event_type, c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('f.value')} AS total_value
+    FROM fact f JOIN customer c ON f.skew_key = c.c_custkey
+    GROUP BY f.event_type, c.c_mktsegment
+    """,
+)
+def x122_skew_join_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.queries.common import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    fact = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 10 < 7, F.lit(1).cast("long"))
+        .otherwise(F.col("user_id") + 1)
+        .alias("skew_key"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = fact.hint("merge").join(dim, fact.skew_key == dim.c_custkey)
+    # No distinct-agg on skew_key here: keeping the join key out of the
+    # downstream grouping keys means the final aggregate needs its own
+    # exchange REGARDLESS of the join's output partitioning, so AQE's
+    # skew split costs no extra shuffle and engages without
+    # forceOptimizeSkewedJoin.
+    return joined.groupBy("event_type", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F2: JSON construction — to_json over a struct (the inverse of the
 # JSONB-island reads). ignoreNullFields=false matches DuckDB's explicit
 # nulls.
