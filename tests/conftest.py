@@ -17,20 +17,21 @@ if REPO_ROOT not in sys.path:
 def _ensure_protobuf() -> None:
     """Spark 4's transformWithStateInPandas needs `google.protobuf` at
     runtime (its Python state-server protocol). This container has no
-    installed protobuf, but ships a pure-Python copy inside the gcloud
-    SDK's appengine platform dir — APPEND it (installed packages always
-    win) and export via PYTHONPATH so Spark's Python workers inherit it.
-    The vendored runtime (6.32-dev) trails pyspark's gencode (6.33) by
-    one wire-compatible minor, so protobuf's own documented escape hatch
-    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) is set alongside.
-    No-op wherever protobuf is properly provisioned."""
+    installed protobuf, so a pure-Python runtime is VENDORED under
+    tests/_vendor/ (BSD-licensed Google code, 6.32 pure-python tier;
+    see tests/_vendor/README.md) — APPEND it to sys.path (installed
+    packages always win) and export via PYTHONPATH so Spark's Python
+    workers inherit it. The vendored runtime trails pyspark's gencode
+    (6.33) by one wire-compatible minor, so protobuf's own documented
+    escape hatch (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) is set
+    alongside. No-op wherever protobuf is properly provisioned."""
     try:
         import google.protobuf  # noqa: F401
 
         return
     except ImportError:
         pass
-    vendored = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    vendored = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_vendor")
     if not os.path.isdir(os.path.join(vendored, "google", "protobuf")):
         return  # stay skipped via importorskip
     sys.path.append(vendored)
