@@ -403,3 +403,28 @@ def test_hash_ordered_matches_global_rank(spark, ids, parts):
     for pos, (i, w) in enumerate(order, start=1):
         run += w
         assert got[i] == (pos, run), (i, got[i], (pos, run))
+
+
+@given(
+    ids=st.lists(st.integers(0, 100_000), min_size=1, max_size=80, unique=True),
+    weights=st.data(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_ordered_invariant_to_prefix_len(spark, ids, weights):
+    """The scale dial is safe to turn: because the bucket key is a
+    *prefix* of the sort hash, (bucket, hash, id) order is identical for
+    every prefix_len — so pos and cum_weight must match bit-for-bit
+    between prefix_len=1 (16 buckets) and prefix_len=2 (256 buckets) on
+    random positive weights (VERDICT r4 next-round #8)."""
+    from ua2sql_spark.operators.ordering import hash_ordered
+
+    rows = [
+        (i, weights.draw(st.integers(1, 1_000), label=f"w{i}")) for i in ids
+    ]
+    df = spark.createDataFrame(rows, ["id", "w"]).repartition(5)
+
+    def run(prefix_len: int) -> dict[int, tuple[int, int]]:
+        out = hash_ordered(df, "id", weight_col="w", seed="s", prefix_len=prefix_len)
+        return {r["id"]: (r["pos"], r["cum_weight"]) for r in out.collect()}
+
+    assert run(1) == run(2)

@@ -76,16 +76,28 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigint_ts_to_micros():
     """Column expression converting a bigint ts to epoch micros, choosing
     the unit from the value magnitude: epoch seconds ~2e9, millis ~2e12,
-    micros ~2e15, nanos ~2e18 — four decades apart, so the per-row
-    magnitude test is unambiguous for any date this side of year 5000."""
+    micros ~2e15, nanos ~2e18 — four decades apart. The magnitude test is
+    taken on ``abs(ts)`` so pre-1970 (negative) values classify by the
+    same decades, symmetric around the epoch.
+
+    Supported range: the heuristic is exact for |date - 1970| ≳ 3.2 years
+    in each unit's band — i.e. dates between ~1973 and ~5138 (or the
+    mirror-image pre-1967 side) are unambiguous. A millis value inside
+    1970±3.2y (|ts| < 1e11) is indistinguishable from a far-future
+    seconds value and classifies as seconds; the driver testdata (2024+
+    event streams) sits far from that floor. Where precision matters for
+    historic data, prefer an explicit parquet logical timestamp type —
+    the schema branch in :func:`_load_events` then bypasses this
+    heuristic entirely."""
     from pyspark.sql import functions as F
 
     ts = F.col("ts")
+    mag = F.abs(ts)
     return (
-        F.when(ts >= F.lit(10**17), F.expr("ts div 1000"))   # nanos
-        .when(ts >= F.lit(10**14), ts)                        # micros
-        .when(ts >= F.lit(10**11), ts * F.lit(1000))          # millis
-        .otherwise(ts * F.lit(1_000_000))                     # seconds
+        F.when(mag >= F.lit(10**17), F.expr("ts div 1000"))   # nanos
+        .when(mag >= F.lit(10**14), ts)                        # micros
+        .when(mag >= F.lit(10**11), ts * F.lit(1000))          # millis
+        .otherwise(ts * F.lit(1_000_000))                      # seconds
     )
 
 

@@ -37,6 +37,11 @@ def hash_ordered(
     """All input columns plus ``pos`` (1-based global rank in
     md5(seed|id) order) and — when ``weight_col`` is given —
     ``cum_weight`` (inclusive running sum of the weight in that order).
+
+    Precondition: ``id_col`` values must be unique (callers pass primary
+    keys — doc_id, event id). Duplicate ids share an identical
+    (hash, id) sort key, so their relative order — hence pos/cum_weight
+    among the duplicates — would be nondeterministic across runs.
     """
     h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
     hashed = df.withColumn("__h", h).withColumn(

@@ -79,13 +79,19 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_ua2sql_spark_shipped", False):
         return
+    import atexit
     import shutil
     import tempfile
 
     import ua2sql_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(ua2sql_spark.__file__))
-    zip_base = os.path.join(tempfile.mkdtemp(prefix="ua2sql_pyfiles_"), "ua2sql_spark")
+    tmp_dir = tempfile.mkdtemp(prefix="ua2sql_pyfiles_")
+    # Spark copies the zip into its own work dir on addPyFile, so the
+    # staging dir is disposable once the process exits — clean it up so
+    # repeated harness launches don't accumulate temp dirs.
+    atexit.register(shutil.rmtree, tmp_dir, ignore_errors=True)
+    zip_base = os.path.join(tmp_dir, "ua2sql_spark")
     zip_path = shutil.make_archive(
         zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="ua2sql_spark"
     )
