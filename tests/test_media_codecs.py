@@ -169,9 +169,73 @@ def test_png_unsupported_variants_raise():
         decode_image_real(b"\x89PNG\r\n\x1a\n....")
 
 
-def test_compressed_image_still_raises():
+def test_unsupported_image_formats_raise():
+    with pytest.raises(NotImplementedError):  # WebP: no codec in container
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError):  # truncated JPEG stream
+        decode_image_real(b"\xff\xd8\xff\xe0 not a full jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: pure-stdlib encoder/decoder roundtrip (functions/jpeg.py).
+# The encoder uses simple uniform-length Huffman tables; real-world DHTs
+# (Annex K multi-length) exercise the same canonical decode path and were
+# verified against actual camera/encoder output during development.
+# ---------------------------------------------------------------------------
+def gradient_rgb(w: int, h: int) -> bytes:
+    return bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((x * 9) % 256, (y * 11) % 256, (x * 3 + y * 5) % 256)
+    )
+
+
+@pytest.mark.parametrize(
+    "quality,subsample,tol_max,tol_mean",
+    [(100, False, 4, 1.0), (92, False, 10, 1.5), (92, True, 16, 3.0)],
+)
+def test_jpeg_roundtrip_rgb(quality, subsample, tol_max, tol_mean):
+    from ua2sql_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 23, 17  # deliberately not multiples of 8/16: edge-block padding
+    raster = gradient_rgb(w, h)
+    enc = encode_jpeg(w, h, 3, raster, quality=quality, subsample=subsample)
+    W, H, C, out = decode_jpeg(enc)
+    assert (W, H, C) == (w, h, 3)
+    diffs = [abs(a - b) for a, b in zip(out, raster)]
+    assert max(diffs) <= tol_max
+    assert sum(diffs) / len(diffs) <= tol_mean
+
+
+def test_jpeg_roundtrip_grayscale():
+    from ua2sql_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    g = bytes((x * 7 + y * 13) % 256 for y in range(12) for x in range(9))
+    W, H, C, out = decode_jpeg(encode_jpeg(9, 12, 1, g, quality=95))
+    assert (W, H, C) == (9, 12, 1)
+    assert max(abs(a - b) for a, b in zip(out, g)) <= 4
+
+
+def test_jpeg_progressive_raises():
+    from ua2sql_spark.functions.jpeg import decode_jpeg
+
+    # minimal stream whose first frame marker is SOF2 (progressive)
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 1, 1, 1
+    ) + b"\x01\x11\x00"
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\xff\xd8\xff\xe0 jpeg needs PIL")
+        decode_jpeg(sof2)
+
+
+def test_jpeg_through_decode_image_real():
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+
+    w, h = 16, 8
+    raster = bytes([90, 150, 210] * (w * h))  # constant color
+    d = decode_image_real(encode_jpeg(w, h, 3, raster, quality=100))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_pixel"] == pytest.approx(150 / 255.0, abs=0.01)
 
 
 def test_wav_decode_exact():
@@ -201,15 +265,20 @@ def test_real_bytes_through_mapinpandas(spark):
     DataFrame, Arrow-batched mapInPandas, exact pixel stats out."""
     from ua2sql_spark.queries.multimodal import decode_images
 
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+
     png_pixels = [[(60, 120, 180), (90, 150, 210)] for _ in range(3)]
     payloads = [
         (1, ppm(8, 4, rgb=(10, 20, 30))),
         (2, pgm(5, 3, value=51)),
         (3, bmp24(3, 2, bgr=(30, 20, 10))),
         (4, png(2, 3, png_pixels, filters=[0, 1, 4])),
+        (5, encode_jpeg(16, 8, 3, bytes([90, 150, 210]) * 128, quality=100)),
     ]
     df = spark.createDataFrame(payloads, "doc_id bigint, payload binary")
     got = {r["doc_id"]: r for r in decode_images(df).collect()}
+    assert (got[5]["width"], got[5]["height"]) == (16, 8)
+    assert got[5]["mean_pixel"] == pytest.approx(150 / 255.0, abs=0.01)
     assert (got[1]["width"], got[1]["height"]) == (8, 4)
     assert got[1]["mean_pixel"] == pytest.approx(20 / 255.0)
     assert (got[2]["width"], got[2]["height"]) == (5, 3)

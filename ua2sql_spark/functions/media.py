@@ -5,11 +5,13 @@ partitioning) and the actual codecs.
 Two codec tiers share every signature and output shape:
 
 * ``decode_image_real`` / ``decode_audio_real`` / ``resize_image_real``
-  — REAL pure-stdlib codecs for the uncompressed container formats
-  (PPM/PGM binary, BMP 24/32-bpp, PCM WAV). No third-party libs; these
-  decode actual pixel/sample bytes. Compressed formats (PNG/JPEG/MP3,
-  video) still raise ``NotImplementedError`` naming the dependency —
-  this container ships no PIL/opencv/ffmpeg.
+  — REAL pure-stdlib codecs: PPM/PGM binary, BMP 24/32-bpp, PCM WAV,
+  8-bit non-interlaced PNG (zlib inflate + all five scanline filters),
+  and baseline JPEG (full T.81 sequential-DCT decode — Huffman, IDCT,
+  chroma upsampling, restart markers — see functions/jpeg.py; verified
+  against real camera/encoder output). No third-party libs. Formats
+  that genuinely need codecs this container lacks (WebP/MP3/video)
+  still raise ``NotImplementedError`` naming the dependency.
 * ``fake_*`` — deterministic stand-ins deriving outputs purely from
   payload length/content so the DuckDB oracle can replicate them in SQL;
   used by the oracle-checked queries (x52/x53/x83).
@@ -185,10 +187,16 @@ def decode_image_real(payload: bytes) -> dict:
         width, height, _, raster = _parse_png(payload)
         mean = (sum(raster) / len(raster) / 255.0) if raster else 0.0
         return {"width": width, "height": height, "mean_pixel": mean}
+    if payload[:2] == b"\xff\xd8":
+        from ua2sql_spark.functions.jpeg import decode_jpeg
+
+        width, height, _, raster = decode_jpeg(payload)
+        mean = (sum(raster) / len(raster) / 255.0) if raster else 0.0
+        return {"width": width, "height": height, "mean_pixel": mean}
     raise NotImplementedError(
-        f"image magic {magic!r}: JPEG/WebP/video formats need "
-        "PIL/opencv/ffmpeg, not in this container; PPM/PGM/BMP/PNG "
-        "decode natively"
+        f"image magic {magic!r}: WebP/video formats need "
+        "PIL/opencv/ffmpeg, not in this container; PPM/PGM/BMP/PNG/"
+        "baseline-JPEG decode natively"
     )
 
 
