@@ -228,6 +228,69 @@ def test_jpeg_progressive_raises():
         decode_jpeg(sof2)
 
 
+# ---------------------------------------------------------------------------
+# GIF: pure-stdlib LZW codec roundtrip (functions/gif.py). GIF is
+# lossless, so roundtrips are byte-exact; real-world files (palette +
+# deferred clears + Annex-style encoders) were verified during
+# development against idlelib's icon set.
+# ---------------------------------------------------------------------------
+def test_gif_roundtrip_forces_dictionary_growth_and_reset():
+    import random
+
+    from ua2sql_spark.functions.gif import decode_gif, encode_gif
+
+    rng = random.Random(3)
+    w, h = 200, 120  # 24k random 8-bit pixels: grows past 12 bits → reset
+    palette = [bytes([i, (i * 3) % 256, (i * 7) % 256]) for i in range(256)]
+    idx = bytes(rng.randrange(256) for _ in range(w * h))
+    W, H, C, rgb = decode_gif(encode_gif(w, h, palette, idx))
+    assert (W, H, C) == (w, h, 3)
+    assert rgb == b"".join(palette[i] for i in idx)
+
+
+def test_gif_roundtrip_repetitive_deep_chains():
+    from ua2sql_spark.functions.gif import decode_gif, encode_gif
+
+    w, h = 64, 48
+    pal = [b"\x00\x00\x00", b"\xff\x00\x00", b"\x00\xff\x00", b"\x00\x00\xff"]
+    idx = bytes((x // 7 + y // 5) % 4 for y in range(h) for x in range(w))
+    _, _, _, rgb = decode_gif(encode_gif(w, h, pal, idx))
+    assert rgb == b"".join(pal[i] for i in idx)
+
+
+def test_gif_interlaced_rows_reorder():
+    """Hand-pack an interlaced frame (flag 0x40, rows stored in the
+    4-pass order) and check the decoder un-interlaces it."""
+    from ua2sql_spark.functions.gif import _lzw_encode, decode_gif
+
+    w, h = 4, 10
+    idx = bytes((y % 4) for y in range(h) for _ in range(w))  # row y = color y%4
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = b"".join(idx[y * w : (y + 1) * w] for y in order)
+    pal = [b"\x01\x01\x01", b"\x02\x02\x02", b"\x03\x03\x03", b"\x04\x04\x04"]
+    table = b"".join(pal)
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0) + table
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40) + bytes([2])
+    )
+    data = _lzw_encode(2, stored)
+    gif += bytes([len(data)]) + data + b"\x00\x3b"
+    W, H, _, rgb = decode_gif(gif)
+    assert (W, H) == (w, h)
+    assert rgb == b"".join(pal[i] for i in idx)
+
+
+def test_gif_through_decode_image_real():
+    from ua2sql_spark.functions.gif import encode_gif
+
+    d = decode_image_real(encode_gif(3, 2, [bytes([60, 120, 180])], bytes(6)))
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["mean_pixel"] == pytest.approx(120 / 255.0)
+
+
 def test_jpeg_through_decode_image_real():
     from ua2sql_spark.functions.jpeg import encode_jpeg
 
@@ -287,6 +350,50 @@ def test_real_bytes_through_mapinpandas(spark):
     assert got[3]["mean_pixel"] == pytest.approx(20 / 255.0)
     assert (got[4]["width"], got[4]["height"]) == (2, 3)
     assert got[4]["mean_pixel"] == pytest.approx(135 / 255.0)
+
+
+def test_thumbnail_chain_all_formats():
+    """decode → downscale → JPEG re-encode for every supported input
+    format; output decodes back with the expected dims and brightness."""
+    from ua2sql_spark.functions.gif import encode_gif
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+    from ua2sql_spark.functions.media import thumbnail_real
+
+    flat = bytes([90, 150, 210])
+    sources = {
+        "ppm": ppm(64, 32, rgb=(90, 150, 210)),
+        "bmp": bmp24(48, 64, bgr=(210, 150, 90)),
+        "png": png(40, 20, [[(90, 150, 210)] * 40] * 20),
+        "jpeg": encode_jpeg(32, 48, 3, flat * (32 * 48), quality=95),
+        "gif": encode_gif(50, 25, [flat], bytes(50 * 25)),
+    }
+    for name, payload in sources.items():
+        thumb = thumbnail_real(payload, target_long_side=16, quality=90)
+        d = decode_image_real(thumb)
+        src = decode_image_real(payload)
+        assert max(d["width"], d["height"]) == 16, name
+        assert (d["width"], d["height"]) == resize_dims(
+            src["width"], src["height"], 16
+        ), name
+        assert d["mean_pixel"] == pytest.approx(150 / 255.0, abs=0.03), name
+
+
+def test_thumbnail_images_mapinpandas(spark):
+    """Thumbnail operator over a binary DataFrame: real codec chain in,
+    JPEG thumbs out; unsupported payloads become NULL, not failures."""
+    from ua2sql_spark.queries.multimodal import thumbnail_images
+
+    payloads = [
+        (1, ppm(64, 32, rgb=(90, 150, 210))),
+        (2, png(40, 20, [[(10, 20, 30)] * 40] * 20)),
+        (3, b"RIFF\x00\x00\x00\x00WEBPVP8 not supported"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in thumbnail_images(df, 16).collect()}
+    assert (got[1]["thumb_width"], got[1]["thumb_height"]) == (16, 8)
+    assert bytes(got[1]["thumb"])[:2] == b"\xff\xd8"  # JPEG out
+    assert (got[2]["thumb_width"], got[2]["thumb_height"]) == (16, 8)
+    assert got[3]["thumb"] is None and got[3]["thumb_width"] is None
 
 
 def test_fake_and_real_share_schema(spark):

@@ -165,38 +165,83 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
-def decode_image_real(payload: bytes) -> dict:
-    """Decode an image payload to (width, height, mean_pixel).
-
-    Real pure-stdlib decode for PPM/PGM (binary netpbm), uncompressed
-    24/32-bpp BMP, and 8-bit non-interlaced PNG (zlib inflate + all
-    five scanline filters); ``mean_pixel`` is the mean of all channel
-    samples normalized to [0, 1]. Formats needing codecs this
-    container lacks (JPEG/WebP/…) raise."""
+def decode_raster(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode any natively-supported image payload to (width, height,
+    channels, raster) with the raster as row-major interleaved 8-bit
+    samples. Dispatches on magic bytes: netpbm P5/P6, BMP 24/32-bpp,
+    PNG, baseline JPEG, GIF. Unsupported formats raise
+    ``NotImplementedError`` naming the missing dependency."""
     magic = payload[:2]
     if magic in (b"P5", b"P6"):
-        width, height, maxval, _, raster = _parse_pnm(payload)
-        mean = (sum(raster) / len(raster) / maxval) if raster else 0.0
-        return {"width": width, "height": height, "mean_pixel": mean}
+        width, height, maxval, channels, raster = _parse_pnm(payload)
+        if maxval != 255 and raster:  # normalize to 8-bit
+            raster = bytes(min(255, s * 255 // maxval) for s in raster)
+        return width, height, channels, raster
     if magic == b"BM":
-        width, height, _, rows = _parse_bmp(payload)
-        n = sum(len(r) for r in rows)
-        mean = (sum(sum(r) for r in rows) / n / 255.0) if n else 0.0
-        return {"width": width, "height": height, "mean_pixel": mean}
+        width, height, bytes_px, rows = _parse_bmp(payload)
+        # BMP rows are bottom-up BGR(A); emit top-down RGB
+        out = bytearray()
+        for row in reversed(rows):
+            for x in range(width):
+                px = row[x * bytes_px : x * bytes_px + 3]
+                out += bytes([px[2], px[1], px[0]])
+        return width, height, 3, bytes(out)
     if payload[: len(PNG_SIG)] == PNG_SIG:
-        width, height, _, raster = _parse_png(payload)
-        mean = (sum(raster) / len(raster) / 255.0) if raster else 0.0
-        return {"width": width, "height": height, "mean_pixel": mean}
-    if payload[:2] == b"\xff\xd8":
+        return _parse_png(payload)
+    if magic == b"\xff\xd8":
         from ua2sql_spark.functions.jpeg import decode_jpeg
 
-        width, height, _, raster = decode_jpeg(payload)
-        mean = (sum(raster) / len(raster) / 255.0) if raster else 0.0
-        return {"width": width, "height": height, "mean_pixel": mean}
+        return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ua2sql_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"image magic {magic!r}: WebP/video formats need "
         "PIL/opencv/ffmpeg, not in this container; PPM/PGM/BMP/PNG/"
-        "baseline-JPEG decode natively"
+        "baseline-JPEG/GIF decode natively"
+    )
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Decode an image payload to (width, height, mean_pixel).
+
+    Real pure-stdlib decode for every :func:`decode_raster` format;
+    ``mean_pixel`` is the mean of all channel samples normalized to
+    [0, 1]. Formats needing codecs this container lacks raise."""
+    width, height, _, raster = decode_raster(payload)
+    mean = (sum(raster) / len(raster) / 255.0) if raster else 0.0
+    return {"width": width, "height": height, "mean_pixel": mean}
+
+
+def thumbnail_real(
+    payload: bytes, target_long_side: int = 256, quality: int = 85
+) -> bytes:
+    """The production thumbnail chain, pure stdlib end-to-end: decode
+    any supported format (:func:`decode_raster`), aspect-preserving
+    nearest-neighbour downscale (never upscales), re-encode as baseline
+    JPEG (4:2:0 for color). Grayscale sources stay single-channel."""
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+
+    width, height, channels, raster = decode_raster(payload)
+    new_w, new_h = resize_dims(width, height, target_long_side)
+    if channels not in (1, 3):  # flatten alpha variants to their color channels
+        keep = 1 if channels == 2 else 3
+        raster = bytes(
+            raster[i * channels + c] for i in range(width * height) for c in range(keep)
+        )
+        channels = keep
+    if (new_w, new_h) != (width, height):
+        out = bytearray()
+        for y in range(new_h):
+            sy = y * height // new_h
+            for x in range(new_w):
+                sx = x * width // new_w
+                off = (sy * width + sx) * channels
+                out += raster[off : off + channels]
+        raster, width, height = bytes(out), new_w, new_h
+    return encode_jpeg(
+        width, height, channels, raster, quality=quality, subsample=channels == 3
     )
 
 

@@ -129,6 +129,48 @@ def x53_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
 
 
+def thumbnail_images(
+    df: DataFrame, target_long_side: int = 256, quality: int = 85
+) -> DataFrame:
+    """The X6 thumbnailing operator: (doc_id, payload binary) →
+    (doc_id, thumb binary, thumb_width, thumb_height) via Arrow-batched
+    mapInPandas. Decode → aspect-preserving downscale → baseline-JPEG
+    re-encode, all inside ``functions.media.thumbnail_real`` (pure
+    stdlib here; a cluster binds the same seam to libjpeg-turbo).
+    Payloads in unsupported formats pass through as NULL thumbs rather
+    than failing the batch — corrupt media must never kill a 100 TB
+    job."""
+    from ua2sql_spark.functions.media import decode_image_real, thumbnail_real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs, widths, heights = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    t = thumbnail_real(p, target_long_side, quality)
+                    d = decode_image_real(t)
+                    thumbs.append(t)
+                    widths.append(d["width"])
+                    heights.append(d["height"])
+                except NotImplementedError:
+                    thumbs.append(None)
+                    widths.append(None)
+                    heights.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_width": pd.array(widths, dtype="Int32"),
+                    "thumb_height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id bigint, thumb binary, thumb_width int, thumb_height int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # X6c: frame sampling — the 1→N multimodal expansion (one video payload
 # row out to many sampled-frame rows) through Arrow-batched mapInPandas.
