@@ -428,3 +428,44 @@ def test_hash_ordered_invariant_to_prefix_len(spark, ids, weights):
         return {r["id"]: (r["pos"], r["cum_weight"]) for r in out.collect()}
 
     assert run(1) == run(2)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2**31 - 1), st.integers(0, 2**31 - 1)),
+        min_size=1,
+        max_size=40,
+    ),
+    tri=st.lists(
+        st.tuples(
+            st.integers(0, 2**21 - 1),
+            st.integers(0, 2**21 - 1),
+            st.integers(0, 2**21 - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_column_matches_reference_morton(spark, pts, tri):
+    """The JVM bit-spreading schedule equals a bit-by-bit reference
+    Morton interleave for full-domain 2-D (31-bit) and 3-D (21-bit)
+    inputs."""
+    from ua2sql_spark.operators.layout import zorder_column
+
+    def morton(vals, bits):
+        z = 0
+        for b in range(bits):
+            for i, v in enumerate(vals):
+                z |= ((v >> b) & 1) << (b * len(vals) + i)
+        return z
+
+    df2 = spark.createDataFrame(pts, ["a", "b"])
+    got2 = [r["z"] for r in df2.select(zorder_column("a", "b").alias("z")).collect()]
+    assert sorted(got2) == sorted(morton(p, 31) for p in pts)
+
+    df3 = spark.createDataFrame(tri, ["a", "b", "c"])
+    got3 = [
+        r["z"] for r in df3.select(zorder_column("a", "b", "c").alias("z")).collect()
+    ]
+    assert sorted(got3) == sorted(morton(p, 21) for p in tri)

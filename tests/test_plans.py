@@ -322,3 +322,35 @@ def test_full_outer_joins_preaggregated_sides(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # aggregates feed the join, not the other way round
     assert plan.index("HashAggregate") > plan.index("FullOuter"), plan
+
+
+def test_zorder_layout_is_projection_plus_one_agg(spark):
+    """x124: Morton interleave is map-only codegen'd bit math; the only
+    exchange is the final per-bucket aggregate."""
+    df = all_queries()["x124_zorder_layout"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_zordered_range_partitions_on_z(spark, tmp_path):
+    """The z-order layout write plans one range exchange on the Morton
+    key (sampled range partitioning, no global single-partition sort)
+    and the written files carry disjoint z-ranges."""
+    from ua2sql_spark.operators.layout import write_zordered, zorder_column
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    o = o.withColumn("day", F.dayofyear(F.lit("2024-03-05")) + F.col("o_orderkey") % 300)
+    staged = (
+        o.withColumn("__z", zorder_column("o_custkey", "day"))
+        .repartitionByRange(4, F.col("__z"))
+        .sortWithinPartitions("__z")
+    )
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+
+    path = str(tmp_path / "zordered")
+    write_zordered(o, path, ["o_custkey", "day"], num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == o.count()
+    assert "__z" not in back.columns

@@ -15,4 +15,5 @@ from ua2sql_spark.queries import (  # noqa: F401
     pipeline_ops,
     udf_surface,
     corpus_ops,
+    layout_ops,
 )

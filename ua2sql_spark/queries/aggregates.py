@@ -295,3 +295,40 @@ def q114_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFra
             within(F.col("e50"), F.col("a50")) & within(F.col("e95"), F.col("a95"))
         ).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4b: mergeable HLL sketches (Apache DataSketches) under a union
+# contract — the 100 TB distributed-count-distinct path. Each data
+# split builds its own bounded sketch; sketches UNION losslessly (the
+# property that lets 1000 executors count independently and merge at
+# the driver / in a rollup table), and the query pins the merged
+# estimate to the exact distinct within 5%. Exactly q114's contract
+# pattern: the hashable signal is the boolean.
+# ---------------------------------------------------------------------------
+@query(
+    "q123_hll_union_contract",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           TRUE AS union_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q123_hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    even = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_custkey"))
+    odd = F.when(F.col("o_orderkey") % 2 == 1, F.col("o_custkey"))
+    agg = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg(even, F.lit(14)).alias("s_even"),
+        F.hll_sketch_agg(odd, F.lit(14)).alias("s_odd"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+    est = F.hll_sketch_estimate(F.hll_union("s_even", "s_odd"))
+    tol = F.greatest(F.col("exact_custkeys") * F.lit(0.05), F.lit(10.0))
+    return agg.select(
+        "o_orderpriority",
+        "exact_custkeys",
+        (F.abs(est - F.col("exact_custkeys")) <= tol).alias("union_ok"),
+    )
