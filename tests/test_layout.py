@@ -115,3 +115,98 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
     assert (
         spark.read.parquet(path).count() == o.count()
     )
+
+
+def test_manifest_prunes_clustered_files_exactly(spark, tmp_path):
+    """Footer-stats manifest over a range-clustered table: a point-ish
+    predicate survives to ≤2 of 8 files, and the pruned scan returns
+    exactly the full-scan answer."""
+    from ua2sql_spark.operators.manifest import (
+        build_file_manifest,
+        prune_files,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "orders_clustered")
+    o = load_table(spark, SF_DIR, "orders")
+    write_clustered(o, path, cluster_cols=["o_custkey"], num_files=8)
+
+    manifest = build_file_manifest(spark, path, columns=["o_custkey"]).cache()
+    assert manifest.filter(F.col("col") == "o_custkey").count() == 8
+    total_rows = manifest.filter(F.col("col") == "o_custkey").agg(
+        F.sum("row_count")
+    ).collect()[0][0]
+    assert total_rows == o.count()
+
+    lo = o.agg(F.min("o_custkey")).collect()[0][0]
+    files = prune_files(manifest, "o_custkey", lo, lo + 5)
+    assert 1 <= len(files) <= 2, files
+
+    got = read_pruned(spark, manifest, "o_custkey", lo, lo + 5)
+    expect = o.filter(F.col("o_custkey").between(lo, lo + 5))
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in expect.collect()
+    )
+
+
+def test_manifest_skips_files_for_zordered_box_query(spark, tmp_path):
+    """The z-order payoff: after write_zordered on (custkey, day), a box
+    predicate on EITHER dimension alone skips files via the manifest —
+    a single-column sort can only do this for its leading column."""
+    from ua2sql_spark.operators.layout import write_zordered
+    from ua2sql_spark.operators.manifest import build_file_manifest, prune_files
+
+    path = str(tmp_path / "orders_z")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", F.dayofyear("o_orderdate").alias("day")
+    )
+    write_zordered(o, path, ["o_custkey", "day"], num_files=16)
+
+    manifest = build_file_manifest(spark, path, columns=["o_custkey", "day"]).cache()
+    custs = o.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    c_lo, c_hi = custs[0], custs[1]
+    quarter = (c_hi - c_lo) // 4
+    f_cust = prune_files(manifest, "o_custkey", c_lo, c_lo + quarter)
+    f_day = prune_files(manifest, "day", 1, 60)
+    assert len(f_cust) < 16, "custkey box should skip files"
+    assert len(f_day) < 16, "day box should skip files too (z-order property)"
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """MERGE-shaped upsert: matched keys replaced, new keys appended,
+    untouched partitions byte-identical, return value = rows written."""
+    from ua2sql_spark.operators.merge import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "id bigint, day string, val string",
+    )
+    base.write.partitionBy("day").parquet(path)
+    stats0 = {s.partition: (s.num_files, s.total_bytes) for s in layout_stats(spark, path)}
+
+    batch = spark.createDataFrame(
+        [(3, "d2", "C2"), (5, "d2", "e"), (5, "d2", "e")],  # replace, insert, dup
+        "id bigint, day string, val string",
+    )
+    written = upsert_parquet(batch, path, key_cols=["id"], partition_col="day")
+    assert written == 2  # the deduped batch; no carried rows (id=3 replaced)
+
+    got = {
+        (r["id"], r["day"]): r["val"] for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "d1"): "a",
+        (2, "d1"): "b",
+        (3, "d2"): "C2",
+        (4, "d3"): "d",
+        (5, "d2"): "e",
+    }
+    stats1 = {s.partition: (s.num_files, s.total_bytes) for s in layout_stats(spark, path)}
+    assert stats1["day=d1"] == stats0["day=d1"]
+    assert stats1["day=d3"] == stats0["day=d3"]
+
+    # First-write path: absent table.
+    path2 = str(tmp_path / "tbl2")
+    assert upsert_parquet(batch, path2, ["id"], "day") == 2
+    assert spark.read.parquet(path2).count() == 2

@@ -1,0 +1,145 @@
+"""File-level statistics manifest + manifest-driven scan pruning.
+
+The payoff side of the layout work (``operators/layout.py``): once data
+is range- or z-order-clustered, per-file column min/max stats are
+narrow, and a predicate can drop whole files *before* Spark plans the
+scan — the lakehouse "data skipping" pattern (Delta/Iceberg keep these
+stats in their transaction log; for plain parquet directories we build
+them from the footers).
+
+Scale design:
+* Footer reads are DISTRIBUTED: file paths go into a DataFrame and each
+  task reads only the parquet footers of its slice (pyarrow reads the
+  metadata pages, not the data). A 100 TB / 800k-file table costs 800k
+  footer reads spread over the cluster, not a driver loop.
+* The manifest itself is tiny (one row per file × column) — persist it
+  as parquet next to the table and incrementally append for new files.
+* ``prune_files`` collects only the surviving *paths* (bounded by file
+  count, not rows) and hands them to ``spark.read.parquet(*files)`` —
+  Catalyst still applies row-group pruning and predicate pushdown
+  inside each chosen file, so manifest pruning composes with, never
+  replaces, the engine's own pushdown.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_SCHEMA = (
+    "file string, row_count bigint, col string, "
+    "min_val string, max_val string, null_count bigint"
+)
+
+
+def build_file_manifest(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """One row per (data file, column) with file-level min/max/null
+    stats folded across row groups. Values are canonical strings (the
+    caller compares after casting back, see :func:`prune_files`) so one
+    manifest schema serves every column type."""
+    from ua2sql_spark.operators.layout import _fs_and_path
+
+    fs, root = _fs_and_path(spark, path)
+    files = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        files.append(st.getPath().toString())
+    if not files:
+        return spark.createDataFrame([], _MANIFEST_SCHEMA)
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "file string")
+    want = columns
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fpath in pdf["file"]:
+                local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
+                meta = pq.ParquetFile(local).metadata
+                names = meta.schema.names
+                cols = [c for c in (want or names) if c in names]
+                acc: dict[str, list] = {c: [None, None, 0] for c in cols}
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for j in range(g.num_columns):
+                        c = g.column(j)
+                        cname = c.path_in_schema
+                        if cname not in acc:
+                            continue
+                        s = c.statistics
+                        if s is None or not s.has_min_max:
+                            acc[cname] = [None, None, None]
+                            continue
+                        mn, mx, nc = acc[cname]
+                        acc[cname] = [
+                            s.min if mn is None or s.min < mn else mn,
+                            s.max if mx is None or s.max > mx else mx,
+                            None if nc is None else nc + (s.null_count or 0),
+                        ]
+                for cname, (mn, mx, nc) in acc.items():
+                    rows.append(
+                        (
+                            fpath,
+                            meta.num_rows,
+                            cname,
+                            None if mn is None else str(mn),
+                            None if mx is None else str(mx),
+                            nc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "row_count", "col", "min_val", "max_val", "null_count",
+                ],
+            )
+
+    return paths_df.repartition(min(len(files), 64)).mapInPandas(
+        read_footers, schema=_MANIFEST_SCHEMA
+    )
+
+
+def prune_files(
+    manifest: DataFrame, col: str, lo, hi, cast: str = "bigint"
+) -> list[str]:
+    """Paths of files whose [min, max] range on ``col`` overlaps
+    [lo, hi] (files lacking stats are conservatively kept). Collects
+    paths only — bounded by the table's file count."""
+    m = manifest.filter(F.col("col") == col)
+    mn = F.col("min_val").cast(cast)
+    mx = F.col("max_val").cast(cast)
+    keep = (
+        F.col("min_val").isNull()
+        | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+    )
+    return [r["file"] for r in m.filter(keep).select("file").collect()]
+
+
+def read_pruned(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+    cast: str = "bigint",
+) -> DataFrame:
+    """Scan only the manifest-surviving files AND re-apply the predicate
+    (file-level stats prune conservatively; the filter does the exact
+    cut, pushed down into the chosen files)."""
+    files = prune_files(manifest, col, lo, hi, cast=cast)
+    if not files:
+        raise ValueError(f"no files overlap {col} in [{lo}, {hi}]")
+    return spark.read.parquet(*files).filter(
+        F.col(col).between(F.lit(lo), F.lit(hi))
+    )

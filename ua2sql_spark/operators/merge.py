@@ -1,0 +1,99 @@
+"""MERGE-shaped upsert for plain-parquet lakehouse tables.
+
+The parquet twin of ``sources/jdbc.py:upsert_feed_jdbc`` (reference
+ingest lands each logical row once — ua2sql.py:274-278 checkpoint-after-
+commit): re-delivered or corrected rows REPLACE their key-matched
+target rows, new keys append, and only the partitions the batch touches
+are rewritten. Delta/Iceberg express this as ``MERGE INTO``; on plain
+parquet directories the same semantics are one anti-join plus a dynamic
+partition overwrite.
+
+Scale design:
+* The target is read with a partition-pruned filter (touched partition
+  values only) — a day's re-ingest reads a day, never the table.
+* The touched-partition value list is driver-side but bounded by the
+  batch's distinct partitions (a daily batch touches ~1 partition).
+* The rewrite cost is proportional to the touched partitions' size;
+  the anti-join shuffles only those partitions against the batch, and
+  AQE broadcast-converts the batch side when it is small.
+* Single-writer-per-table assumption, same as the reference's serial
+  model (ua2sql.py:293-295); concurrent writers need a real table
+  format's commit protocol (Delta/Iceberg), not plain directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(
+    batch: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    max_touched_partitions: int = 10_000,
+) -> int:
+    """Upsert ``batch`` into the hive-partitioned parquet table at
+    ``path`` (created if absent): within each touched partition, target
+    rows whose ``key_cols`` match a batch row are replaced by the batch
+    row; all other target rows are carried over unchanged; untouched
+    partitions keep their files byte-identical. Returns the number of
+    rows written (batch + carried-over)."""
+    spark = batch.sparkSession
+    batch = batch.dropDuplicates(key_cols)
+
+    touched = [
+        r[0]
+        for r in batch.select(partition_col).distinct().limit(
+            max_touched_partitions + 1
+        ).collect()
+    ]
+    if len(touched) > max_touched_partitions:
+        raise ValueError(
+            f"batch touches more than {max_touched_partitions} partitions; "
+            "partition the upsert batches or raise the bound"
+        )
+
+    try:
+        target = spark.read.parquet(path)
+        has_target = True
+    except Exception:  # first write: table absent
+        has_target = False
+
+    if has_target:
+        # Partition-pruned slice of the target; the pruning filter is
+        # on the partition column, so only touched directories are read.
+        slice_df = target.filter(F.col(partition_col).isin(touched))
+        # eqNullSafe keeps NULL-keyed rows replaceable AND keeps the
+        # join an equi-join for the planner (hashable keys).
+        cond = None
+        for k in key_cols:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}"))
+            cond = c if cond is None else cond & c
+        carried = (
+            slice_df.alias("t")
+            .join(batch.alias("b"), cond, "left_anti")
+            .select(*batch.columns)
+        )
+        out = batch.select(*batch.columns).unionByName(carried)
+    else:
+        out = batch
+
+    from pyspark.sql import Observation
+
+    obs = Observation("upsert_parquet_rows")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            out.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return int(obs.get["rows"])
