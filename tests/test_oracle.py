@@ -72,7 +72,8 @@ def test_driver_window_families():
         # archetypes, training-data pipeline ops
         "q01_pricing_summary", "q04_join_inner", "q116_join_full_outer",
         "q35_asof_join", "q22_window_rank", "q28_json_extract",
-        "q114_approx_percentile_contract", "q40_tumbling_window",
+        "q114_approx_percentile_contract", "q123_hll_union_contract",
+        "q40_tumbling_window",
         "x41_exact_dedup", "x43_minhash_lsh_neardup", "x96_neardup_clusters",
         "x115_neardup_clusters_fast", "x117_incremental_dedup",
         "x101_minhash_fast_exact_tier",

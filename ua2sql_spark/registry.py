@@ -66,9 +66,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q08_join_anti",
     "q09_join_theta",
     "q116_join_full_outer",
-    # aggregates (incl. the approx-percentile sketch contract)
+    # aggregates (incl. the approx-percentile sketch contract and the
+    # HLL union contract — q123 strictly dominates the old q14 row: its
+    # exact_custkeys column hash-checks exact COUNT(DISTINCT) per group
+    # AND pins the mergeable-sketch estimate)
     "q13_groupby_having",
-    "q14_count_distinct",
+    "q123_hll_union_contract",
     "q16_rollup",
     "q18_percentiles",
     "q19_max_by_checkpoint",
