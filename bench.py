@@ -66,10 +66,12 @@ HEADLINE = [
     # Zipfian hot-key join (sort-merge pinned): carries the SMJ cost the
     # 100 TB plan pays; AQE skew-split engagement proven in tests/test_skew.py
     "x122_skew_join_zipf",
-    # layout + sketch paths added r5: Morton interleave (codegen'd bit
-    # math + one agg exchange) and mergeable HLL union
+    # layout + sketch + LM-scoring paths added r5: Morton interleave
+    # (codegen'd bit math + one agg exchange), mergeable HLL union,
+    # corpus-trained unigram-LM quality scoring
     "x124_zorder_layout",
     "q123_hll_union_contract",
+    "x125_unigram_logprob",
 ]
 
 

@@ -336,3 +336,68 @@ def x91_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_TERMS)
         .select("doc_id", "term", "tf", "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3g: corpus-trained unigram language-model scoring — the CCNet-style
+# quality signal: train the model (word -> corpus frequency) with ONE
+# aggregation over the corpus itself, then score every document by its
+# words' mean and minimum log-probability. Improbable-word-heavy docs
+# (garbled text, boilerplate, OCR noise) surface at the bottom.
+#
+# Scale: the "model" is a DataFrame, never collected — train is one
+# word shuffle with map-side partial aggregation; scoring joins the
+# exploded corpus to the model on word (AQE broadcast-converts the
+# model side when the vocabulary is small); the corpus-total is a
+# 1-row broadcast. Contrast x108_vocab_oov, which checks against a
+# FIXED bounded vocabulary; this one trains on unbounded corpora.
+# Determinism: LN is rounded to 4 decimals per word (the q33 policy),
+# then summed exactly via the decimal interior; the mean itself is NOT
+# re-rounded — the exact sum cast to double divided by the count is one
+# IEEE division of identical operands (the davg pattern), whereas a
+# final ROUND(quotient, 4) disagrees between engines at .00005 ties
+# (observed at sf0.1: 9/5000 docs off by exactly 1e-4).
+# ---------------------------------------------------------------------------
+@query(
+    "x125_unigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+        SELECT w.doc_id,
+               ROUND(LN(CAST(v.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 4) AS lnp
+        FROM words w JOIN vocab v USING (word) CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(CAST(SUM(CAST(lnp AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+                 / COUNT(*) AS avg_logprob,
+           MIN(lnp) AS min_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x125_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lnp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 4
+    )
+    scored = (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            F.sum(F.col("lnp").cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logprob"),
+        F.min("lnp").alias("min_logprob"),
+    )

@@ -701,3 +701,65 @@ def q95_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style "global sales opportunity": wealthy customers (account
+# balance above the positive-balance average) with no RECENT orders
+# (this corpus gives nearly every customer some historical order, so
+# the classic never-ordered cut is empty — recency keeps the archetype
+# and yields rows at every SF), grouped by nation. The two classic
+# decorrelations in one plan: the scalar subquery (global average)
+# becomes a broadcast one-row cross join, and NOT EXISTS(orders since
+# the cutoff) becomes a left-anti hash join over the date-filtered
+# orders — no per-row subquery execution anywhere, and the anti-join
+# build side shrinks with the date filter pushed to the orders scan.
+# nation broadcasts; the threshold is the exact-decimal mean so both
+# engines cut identically.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_sales_opportunity",
+    oracle=f"""
+    WITH thr AS (
+        SELECT {sql_dsum('c_acctbal')} / COUNT(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    CROSS JOIN thr
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    ORDER BY nation_name
+    """,
+)
+def q126_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count("c_acctbal")).alias("avg_bal")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+    )
+    return (
+        rich.join(F.broadcast(n), rich.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("nation_name")
+    )

@@ -212,3 +212,71 @@ def x77_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInPandas(
         zscore_group, schema="doc_id bigint, lang string, z_chars double"
     )
+
+
+# ---------------------------------------------------------------------------
+# x127: the batch-inference seam — what "run a quality classifier over
+# the corpus" compiles to on Spark. The model (here a fixed-weight
+# logistic over x49's features, deterministic so DuckDB can replay it)
+# ships inside the mapInPandas closure exactly the way a fastText /
+# sklearn / torch model object does in production: serialized once,
+# deserialized per executor, applied to Arrow-sized record batches.
+# Swapping in a real model changes ONLY the closure body — schema,
+# batching, partitioning, and the keep/score contract stay fixed.
+# Scale: map-only (zero shuffle), inference cost scales with executors;
+# the keep boolean is the downstream filter, so the classifier prunes
+# the corpus in the same pass that scores it.
+# Determinism: z is plain left-associated float64 arithmetic on exact
+# counts (identical in numpy / Spark / DuckDB); only the sigmoid needs
+# a 4-decimal round (cross-libm exp ulps, the q33 policy).
+# ---------------------------------------------------------------------------
+_CLS_STOPWORDS = ("the", "a")  # mirrors text_analysis.STOPWORDS
+
+
+@query(
+    "x127_classifier_scores",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uq,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ('the', 'a'))) AS DOUBLE) AS st
+        FROM documents
+    )
+    SELECT doc_id,
+           0.02 * nw + 1.5 * (uq / nw) - 0.8 * (st / nw) - 0.5 AS z,
+           ROUND(1.0 / (1.0 + EXP(-(0.02 * nw + 1.5 * (uq / nw)
+                                    - 0.8 * (st / nw) - 0.5))), 4) AS prob,
+           (0.02 * nw + 1.5 * (uq / nw) - 0.8 * (st / nw) - 0.5) > 0.0 AS keep
+    FROM feats
+    """,
+)
+def x127_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def infer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # "model load" happens here once per task, not per row
+        w_len, w_uniq, w_stop, bias = 0.02, 1.5, -0.8, -0.5
+        stop = set(_CLS_STOPWORDS)
+        for pdf in batches:
+            words = pdf["text"].str.split(" ")
+            nw = words.map(len).astype("float64")
+            uq = words.map(lambda ws: len(set(ws))).astype("float64")
+            st = words.map(lambda ws: sum(x in stop for x in ws)).astype("float64")
+            z = w_len * nw + w_uniq * (uq / nw) + w_stop * (st / nw) + bias
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "z": z,
+                    "prob": (1.0 / (1.0 + np.exp(-z))).round(4),
+                    "keep": z > 0.0,
+                }
+            )
+
+    return d.mapInPandas(
+        infer, schema="doc_id bigint, z double, prob double, keep boolean"
+    )
