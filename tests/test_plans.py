@@ -354,3 +354,34 @@ def test_write_zordered_range_partitions_on_z(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == o.count()
     assert "__z" not in back.columns
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches_inline(spark, tmp_path):
+    """save_ivf_index materializes cell-partitioned inverted lists; a
+    probe scans ONLY the probed cells (partition pruning visible in the
+    scan) and returns exactly the inline ivf_probe_topk answer."""
+    from ua2sql_spark.operators.ivf import (
+        ivf_probe_topk,
+        probe_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, centroid_stride=25)
+
+    probe_ids = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    queries = emb.join(probe_ids, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = probe_ivf_index(spark, path, queries, nprobe=2, k=5)
+
+    # partition pruning: the lists scan carries a cell IN (...) filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    inline = ivf_probe_topk(emb, probe_ids, centroid_stride=25, nprobe=2, k=5)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"]) for r in rows
+    )
+    assert key(got.collect()) == key(inline.collect())

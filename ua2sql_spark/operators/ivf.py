@@ -155,3 +155,80 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted index: the production IVF deployment shape. Build once,
+# write the inverted lists as cell-partitioned parquet; every later
+# query batch reads ONLY its probed cells' directories (real partition
+# pruning — the parquet analog of FAISS's inverted-list seek).
+# ---------------------------------------------------------------------------
+def save_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 25,
+) -> None:
+    """Materialize the IVF index at ``path``: ``centroids/`` (small) and
+    ``lists/`` (the corpus, hive-partitioned by cell id). Index build is
+    the one-time assign pass; probes after this are metadata-pruned
+    scans of the probed cells only."""
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
+    )
+    cent.write.mode("overwrite").parquet(path + "/centroids")
+    assigned = ivf_assign(emb, id_col, vec_col, centroid_stride)
+    (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "nemb")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/lists")
+    )
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k over a saved index: rank cells per query by centroid cosine
+    (broadcast centroids), then scan ONLY the probed cells via a
+    partition-pruning ``cell IN (...)`` filter on the lists table.
+
+    The probed-cell id list is collected driver-side — bounded by
+    |queries| × nprobe (a query *batch*, not the corpus). Same
+    determinism contract as ivf_probe_topk: 6-decimal rounding before
+    every rank, ties on id."""
+    cent = spark.read.parquet(path + "/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qemb")
+    )
+    qscore = q.crossJoin(F.broadcast(cent)).withColumn(
+        "__score", F.round(_cosine(F.col("__qemb"), F.col("cemb")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("cid"))
+    probe = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qemb", F.col("cid").alias("__qcell"))
+    )
+    cells = sorted({r["__qcell"] for r in probe.select("__qcell").collect()})
+    lists = spark.read.parquet(path + "/lists").filter(F.col("cell").isin(cells))
+    pairs = F.broadcast(probe).join(
+        lists,
+        (F.col("__qcell") == F.col("cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("__qemb"), F.col("nemb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
