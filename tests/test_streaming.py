@@ -417,3 +417,109 @@ def test_streaming_tumbling_equals_batch_q40(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q40_stream_parity").collect()
     }
     assert got == batch
+
+
+def test_stream_upsert_parquet_exactly_once_effect(spark, tmp_path):
+    """T4 lakehouse leg: streaming foreachBatch -> parquet MERGE upsert.
+    A re-delivered key is a no-op replace, a new key appends, and
+    replaying the whole stream from a fresh checkpoint (at-least-once
+    redelivery of everything) leaves the table unchanged."""
+    from ua2sql_spark.operators.merge import parquet_upsert_sink
+    from ua2sql_spark.streaming.ingest import stream_feed
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "tbl")
+    sink0 = parquet_upsert_sink(table, key_cols=["userid"], partition_col="day")
+
+    def sink(df, epoch_id):
+        # derive the date partition at write, the usual lakehouse shape
+        sink0(df.withColumn("day", F.to_date("ts")), epoch_id)
+
+    def run(ckpt):
+        q = stream_feed(spark, str(landing), "custom", str(tmp_path / ckpt), sink)
+        q.awaitTermination(120)
+
+    land(landing, "a.txt.gz", 0, 3)
+    run("ck1")
+    assert {r["userid"] for r in spark.read.parquet(table).collect()} == {
+        "u0", "u1", "u2"
+    }
+
+    # second dump: one overlapping key (re-delivery) + one new
+    land(landing, "b.txt.gz", 2, 2)
+    run("ck1")
+    got = spark.read.parquet(table)
+    assert {r["userid"] for r in got.collect()} == {"u0", "u1", "u2", "u3"}
+    assert got.count() == 4
+
+    # full replay from a fresh checkpoint: every row re-delivered
+    run("ck2")
+    again = spark.read.parquet(table)
+    assert again.count() == 4
+    assert {r["userid"] for r in again.collect()} == {"u0", "u1", "u2", "u3"}
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: the unconverted impression emits
+    with a NULL click only after the global watermark (min across both
+    inputs) passes its join window — proving both the outer emission
+    and the state eviction it depends on. Watermark state persists in
+    the checkpoint across availableNow runs."""
+    from ua2sql_spark.streaming.ingest import stream_stream_interval_join
+
+    imp_dir = tmp_path / "imps"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(d, name, rows):
+        with open(d / name, "w") as f:
+            for user_id, ts in rows:
+                f.write(json.dumps({"user_id": user_id, "ts": ts}) + "\n")
+
+    schema = "user_id BIGINT, ts TIMESTAMP"
+
+    def run():
+        imps = spark.readStream.schema(schema).json(str(imp_dir))
+        clicks = spark.readStream.schema(schema).json(str(clk_dir))
+        joined = stream_stream_interval_join(
+            imps, clicks, key="user_id", within="10 minutes",
+            left_watermark="10 minutes", right_watermark="10 minutes",
+            how="leftOuter",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("imp_ts"),
+            F.col("r.ts").alias("click_ts"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # u1 converts inside the window; u2 never does.
+    land(imp_dir, "a.json", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")])
+    land(clk_dir, "a.json", [(1, "2024-01-01 10:05:00")])
+    run()
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert 1 in got and str(got[1]["click_ts"]).startswith("2024-01-01 10:05")
+    assert 2 not in got  # outer result must NOT emit while u2 could still match
+
+    # Later traffic on BOTH inputs advances the global watermark past
+    # u2's window (10:10); the run after that applies it and flushes u2.
+    land(imp_dir, "b.json", [(9, "2024-01-01 11:00:00")])
+    land(clk_dir, "b.json", [(9, "2024-01-01 11:00:30")])
+    run()
+    land(imp_dir, "c.json", [(10, "2024-01-01 11:30:00")])
+    land(clk_dir, "c.json", [(10, "2024-01-01 11:30:30")])
+    run()
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert 2 in got, sorted(got)
+    assert got[2]["click_ts"] is None  # the unconverted impression

@@ -39,7 +39,17 @@ def upsert_parquet(
     rows whose ``key_cols`` match a batch row are replaced by the batch
     row; all other target rows are carried over unchanged; untouched
     partitions keep their files byte-identical. Returns the number of
-    rows written (batch + carried-over)."""
+    rows written (batch + carried-over).
+
+    Precondition: a key's ``partition_col`` value must be STABLE — the
+    partition must be a pure function of the key (e.g. ``day`` derived
+    from the row's event time, which is part of the key). Only the
+    batch's partitions are read and rewritten, so a key that re-arrives
+    under a DIFFERENT partition value would leave its stale copy in the
+    old partition. This is the standard partition-scoped-merge contract
+    (Hudi's non-global index / partition-path stability makes the same
+    assumption); keys that genuinely migrate need a record-level index
+    or a full-table merge."""
     spark = batch.sparkSession
     batch = batch.dropDuplicates(key_cols)
 
@@ -97,3 +107,18 @@ def upsert_parquet(
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return int(obs.get["rows"])
+
+
+def parquet_upsert_sink(
+    path: str, key_cols: list[str], partition_col: str
+):
+    """``foreachBatch`` closure over :func:`upsert_parquet` — plug into
+    ``streaming.ingest.stream_feed`` for the lakehouse twin of
+    ``sources/jdbc.py:jdbc_upsert_sink``: the checkpoint gives
+    at-least-once micro-batches, the key anti-join makes re-deliveries
+    and corrections land each logical row exactly once in the table."""
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        upsert_parquet(df, path, key_cols=key_cols, partition_col=partition_col)
+
+    return _sink

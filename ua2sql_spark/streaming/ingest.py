@@ -110,17 +110,22 @@ def stream_stream_interval_join(
     within: str = "10 minutes",
     left_watermark: str = "1 hour",
     right_watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with a time-bound correlation: a right
-    row matches a left row with the same ``key`` whose timestamp falls in
+    """Stream-stream join with a time-bound correlation: a right row
+    matches a left row with the same ``key`` whose timestamp falls in
     ``[left_ts, left_ts + within]`` (the impression→click attribution
-    shape).
+    shape). ``how="leftOuter"`` additionally emits each unmatched left row
+    (NULL right side) once the watermark passes its join window — the
+    "impressions that never converted" output, which only becomes safe
+    to emit when no matching click can still arrive.
 
     Bounded state is the 100 TB requirement: the watermarks on *both*
     inputs plus the two-sided time-range condition let Spark evict
     buffered rows once the watermark passes ``left_ts + within`` —
-    without them, each side's join state grows forever. The join itself
-    shuffles both streams on ``key``, the same hash partitioning a batch
+    without them, each side's join state grows forever (and outer
+    results could never be emitted at all). The join itself shuffles
+    both streams on ``key``, the same hash partitioning a batch
     equi-join would use."""
     l = left.withWatermark(left_ts, left_watermark).alias("l")
     r = right.withWatermark(right_ts, right_watermark).alias("r")
@@ -130,7 +135,7 @@ def stream_stream_interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def dedup_within_watermark(
