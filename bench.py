@@ -72,6 +72,8 @@ HEADLINE = [
     "x124_zorder_layout",
     "q123_hll_union_contract",
     "x125_unigram_logprob",
+    # Q22 archetype: scalar-subquery + anti-join decorrelation
+    "q126_sales_opportunity",
 ]
 
 

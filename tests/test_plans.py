@@ -385,3 +385,12 @@ def test_persisted_ivf_index_prunes_partitions_and_matches_inline(spark, tmp_pat
         (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"]) for r in rows
     )
     assert key(got.collect()) == key(inline.collect())
+
+
+def test_hybrid_search_uses_topk_not_global_sort(spark):
+    """x130: each retriever's top-N is TakeOrderedAndProject (bounded,
+    scale-safe), never a global Sort of the corpus; fusion windows rank
+    only the tiny top-N sets."""
+    df = all_queries()["x130_hybrid_search_rrf"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2, plan

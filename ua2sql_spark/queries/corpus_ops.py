@@ -364,3 +364,115 @@ def x113_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
         "doc_id", "n_tokens", "pos", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# x128: length-bucketed inference batching — the padding-waste
+# optimization every batched-inference / training pipeline runs: group
+# documents into length buckets so each batch pads to its own bucket's
+# max instead of the corpus max. Buckets cut at the exact length
+# quartiles; the output is the padding audit (rows, bucket max, wasted
+# padding tokens) that justifies the layout. At 100 TB the quartiles
+# come from the mergeable percentile sketch (q114's contract pins
+# sketch-vs-exact); the driver-checked tier uses exact percentiles so
+# DuckDB agrees bit-for-bit. One quantile pass (broadcast 1 row) + one
+# bucket aggregate; integer arithmetic throughout.
+# ---------------------------------------------------------------------------
+@query(
+    "x128_length_bucket_batching",
+    oracle="""
+    WITH lens AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cuts AS (
+        SELECT CAST(QUANTILE_CONT(n_tokens, 0.25) AS DOUBLE) AS q1,
+               CAST(QUANTILE_CONT(n_tokens, 0.50) AS DOUBLE) AS q2,
+               CAST(QUANTILE_CONT(n_tokens, 0.75) AS DOUBLE) AS q3
+        FROM lens
+    ),
+    bucketed AS (
+        SELECT n_tokens,
+               CASE WHEN n_tokens <= q1 THEN 0
+                    WHEN n_tokens <= q2 THEN 1
+                    WHEN n_tokens <= q3 THEN 2
+                    ELSE 3 END AS bucket
+        FROM lens CROSS JOIN cuts
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_tokens) AS min_len,
+           MAX(n_tokens) AS max_len,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def x128_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    cuts = lens.agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("q1"),
+        F.percentile("n_tokens", F.lit(0.50)).alias("q2"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("q3"),
+    )
+    bucketed = lens.crossJoin(F.broadcast(cuts)).select(
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("q1"), 0)
+        .when(F.col("n_tokens") <= F.col("q2"), 1)
+        .when(F.col("n_tokens") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_len"),
+            F.max("n_tokens").alias("max_len"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x129: per-domain document caps — the anti-domination guard: no source
+# (here: language) may contribute more than K documents, and which K
+# survive is a deterministic content-hash order, not arrival order —
+# rerun/partitioning/engine-stable, the same reproducibility contract as
+# x90/x99. One window per group (hash order), map-side everything else.
+# ---------------------------------------------------------------------------
+_DOMAIN_CAP = 150
+
+
+@query(
+    "x129_domain_cap",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {_DOMAIN_CAP}
+    """,
+)
+def x129_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    coin = F.md5(F.concat_ws("|", F.lit("cap"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(coin, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "lang")
+    )

@@ -477,3 +477,117 @@ def x100_ivf_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# X5d: hybrid retrieval — lexical overlap + vector cosine fused by
+# reciprocal-rank fusion (RRF), the production hybrid-search shape:
+# each retriever returns its own top-N (TakeOrderedAndProject — never a
+# global rank over the corpus), ranks exist only inside those tiny
+# top-N sets, and fusion full-outer-joins them so a doc surfaced by one
+# signal still scores. At 100 TB each retriever side is the already-
+# proven scale path (inverted/LSH candidates for lexical, IVF for
+# vectors); the fusion cost is |top-N|, independent of corpus size.
+# Determinism: integer overlaps; cosine rounded to 6 before ranking;
+# rank ties break on doc_id; RRF = sums of exact reciprocals of small
+# ints — bit-identical across engines with no final rounding.
+# ---------------------------------------------------------------------------
+_HYBRID_TOPN = 50
+_HYBRID_K = 10
+_RRF_C = 60  # the standard RRF constant
+
+
+@query(
+    "x130_hybrid_search_rrf",
+    oracle=f"""
+    WITH probe_words AS (
+        SELECT list_distinct(string_split(text, ' ')) AS pw
+        FROM documents WHERE doc_id = 0
+    ),
+    probe_vec AS (
+        SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+    ),
+    lex_top AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(list_intersect(
+                   string_split(text, ' '), pw))) AS BIGINT) AS overlap
+        FROM documents CROSS JOIN probe_words
+        WHERE doc_id <> 0
+        ORDER BY overlap DESC, doc_id
+        LIMIT {_HYBRID_TOPN}
+    ),
+    lex_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS r_lex
+        FROM lex_top
+    ),
+    vec_top AS (
+        SELECT vec_id AS doc_id,
+               ROUND({_sql_cosine('embedding', 'pv')}, 6) AS cs
+        FROM embeddings CROSS JOIN probe_vec
+        WHERE vec_id <> 0
+        ORDER BY cs DESC, doc_id
+        LIMIT {_HYBRID_TOPN}
+    ),
+    vec_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r_vec
+        FROM vec_top
+    )
+    SELECT doc_id,
+           COALESCE(1.0 / ({_RRF_C} + r_lex), 0.0)
+             + COALESCE(1.0 / ({_RRF_C} + r_vec), 0.0) AS rrf
+    FROM lex_rank FULL JOIN vec_rank USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_HYBRID_K}
+    """,
+)
+def x130_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    pw = d.filter(F.col("doc_id") == 0).select(
+        F.array_distinct(F.split(F.col("text"), " ")).alias("pw")
+    )
+    lex_top = (
+        d.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(pw))
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(F.split(F.col("text"), " "), F.col("pw"))
+            ).cast("bigint").alias("overlap"),
+        )
+        .orderBy(F.desc("overlap"), "doc_id")
+        .limit(_HYBRID_TOPN)
+    )
+    w_lex = Window.orderBy(F.desc("overlap"), "doc_id")
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    )
+
+    pv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    vec_top = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(pv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("pv")), 6).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), "doc_id")
+        .limit(_HYBRID_TOPN)
+    )
+    w_vec = Window.orderBy(F.desc("cs"), "doc_id")
+    vec_rank = vec_top.select(
+        "doc_id", F.row_number().over(w_vec).alias("r_vec")
+    )
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_vec")), F.lit(0.0))
+    return (
+        lex_rank.join(vec_rank, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_HYBRID_K)
+    )
