@@ -77,12 +77,13 @@ def test_driver_window_families():
         "x41_exact_dedup", "x43_minhash_lsh_neardup", "x96_neardup_clusters",
         "x115_neardup_clusters_fast", "x117_incremental_dedup",
         "x101_minhash_fast_exact_tier",
-        "x45_cosine_topk", "x46_ann_bucketed", "x71_ivf_ann",
+        "x130_hybrid_search_rrf", "x46_ann_bucketed", "x71_ivf_ann",
         "x100_ivf_knn_classify", "x121_ivf_recall_contract",
         "x48_token_stats",
-        "x53_decode_mapinpandas", "x73_gini_pandas_udf",
-        "x77_zscore_applyinpandas", "q54_pivot", "q56_correlated_exists",
-        "q79_volume_shipping", "q86_supplier_wait", "q95_market_share",
+        "x53_decode_mapinpandas", "x127_classifier_scores",
+        "x77_zscore_applyinpandas", "q56_correlated_exists",
+        "x124_zorder_layout",
+        "q126_sales_opportunity", "q86_supplier_wait", "q95_market_share",
         "x97_sequence_pack", "x104_global_shuffle", "x111_pii_scrub",
         "x113_token_budget_sample", "x112_embedding_quantize",
     }

@@ -54,9 +54,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # range — temporal rep is q35 as-of; q39 — event rep is q37/q40; x50 —
 # text rep is x48; x52 → x53 is the stronger multimodal row) to make
 # room for the round-3/4 operators that had never seen a driver check.
-# Everything below the fold stays covered by the local oracle suite
-# (tests/test_oracle.py runs ALL registered queries) and the alt-SF
-# sweep.
+# Late-r5 swaps for the operators built THIS round: q14 → q123 (HLL
+# union subsumes the exact distinct), x73 → x127 (scalar pandas_udf →
+# the mapInPandas inference seam; x77 keeps the grouped-map API in
+# window), q79 → q126 (Q7's two-nation shape is covered stronger by
+# q95/Q8; Q22 adds scalar-subquery + anti-join decorrelation), x45 →
+# x130 (hybrid RRF contains the brute-force cosine inside its top-N),
+# q54 → x124 (pivot stays local-proven; z-order is a new family with
+# no other driver row). Everything below the fold stays covered by the
+# local oracle suite (tests/test_oracle.py runs ALL registered
+# queries) and the alt-SF sweep.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational: filters+projection rep, every join flavor
     "q01_pricing_summary",
@@ -99,8 +106,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x115_neardup_clusters_fast",
     "x117_incremental_dedup",
     "x101_minhash_fast_exact_tier",
-    # similarity: brute force, sign-LSH, IVF, kNN-over-IVF, recall gate
-    "x45_cosine_topk",
+    # similarity: hybrid RRF (contains brute-force cosine), sign-LSH,
+    # IVF, kNN-over-IVF, recall gate
+    "x130_hybrid_search_rrf",
     "x46_ann_bucketed",
     "x71_ivf_ann",
     "x100_ivf_knn_classify",
@@ -110,14 +118,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x48_token_stats",
     # multimodal
     "x53_decode_mapinpandas",
-    # Pandas-UDF surface
-    "x73_gini_pandas_udf",
+    # Python-execution surface: grouped-map + the inference seam
+    "x127_classifier_scores",
     "x77_zscore_applyinpandas",
-    # advanced SQL
-    "q54_pivot",
+    # advanced SQL + data layout
     "q56_correlated_exists",
+    "x124_zorder_layout",
     # TPC-H archetypes
-    "q79_volume_shipping",
+    "q126_sales_opportunity",
     "q86_supplier_wait",
     "q95_market_share",
     # training-data pipeline: packing, shuffle, scrub, sampling
