@@ -208,6 +208,37 @@ def test_jpeg_roundtrip_rgb(quality, subsample, tol_max, tol_mean):
     assert sum(diffs) / len(diffs) <= tol_mean
 
 
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: encoder emits byte-aligned restart markers with DC
+    predictor resets; the decoder's restart handling (align, consume,
+    reset) reproduces the image. Smooth non-wrapping gradient so 4:2:0
+    chroma subsampling loss stays small and any RST desync — which
+    corrupts whole MCU strips — is unmistakable."""
+    from ua2sql_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 40, 33  # 3x3 MCUs at 4:2:0, 5x5 at 4:4:4
+    raster = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in (60 + x * 2, 40 + y * 3, 90 + x + y)
+    )
+    for subsample, ri, tol in [(False, 1, 10), (False, 3, 10), (True, 2, 24)]:
+        enc = encode_jpeg(
+            w, h, 3, raster, quality=95, subsample=subsample, restart_interval=ri
+        )
+        n_rst = sum(
+            1
+            for i in range(len(enc) - 1)
+            if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+        )
+        assert n_rst > 0, "no restart markers emitted"
+        W, H, C, out = decode_jpeg(enc)
+        assert (W, H, C) == (w, h, 3)
+        diffs = [abs(a - b) for a, b in zip(out, raster)]
+        assert max(diffs) <= tol, (subsample, ri, max(diffs))
+
+
 def test_jpeg_roundtrip_grayscale():
     from ua2sql_spark.functions.jpeg import decode_jpeg, encode_jpeg
 

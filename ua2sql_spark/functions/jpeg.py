@@ -407,9 +407,16 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
         if self.nbits:
             self.write(0x7F, 8 - self.nbits)  # pad with 1s per spec
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (markers are never stuffed)."""
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.out)
 
 
@@ -465,10 +472,14 @@ def encode_jpeg(
     raster: bytes,
     quality: int = 92,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an interleaved 8-bit raster (1 = gray, 3 = RGB) as a
     baseline JFIF JPEG. ``subsample=True`` emits 4:2:0 (2×2-averaged
-    chroma); else 4:4:4."""
+    chroma); else 4:4:4. ``restart_interval`` > 0 emits a DRI segment
+    and an RSTn marker (byte-aligned, DC predictors reset) every that
+    many MCUs — what camera firmware does for error resilience, and
+    what lets a parallel decoder split the scan."""
     if channels not in (1, 3):
         raise JpegError(f"encode: {channels}-channel raster unsupported")
     luma_q = _quant_table(_STD_LUMA_Q, quality)
@@ -529,6 +540,8 @@ def encode_jpeg(
         for tid in range(2 if channels == 3 else 1):
             body = bytes([(tclass << 4) | tid]) + bytes(bits) + vals
             out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([len(planes)])
     for i in range(len(planes)):
         td = ta = 0 if i == 0 else 1
@@ -544,6 +557,12 @@ def encode_jpeg(
     dc_pred = [0] * len(planes)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            mcu_index = my * mcus_x + mx
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.pad()
+                rst_no = (mcu_index // restart_interval - 1) % 8
+                writer.raw(bytes([0xFF, 0xD0 + rst_no]))
+                dc_pred = [0] * len(planes)
             for ci, ((plane, q), (h, v)) in enumerate(zip(planes, comp_hv)):
                 for by in range(v):
                     for bx in range(h):
