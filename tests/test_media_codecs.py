@@ -383,6 +383,97 @@ def test_real_bytes_through_mapinpandas(spark):
     assert got[4]["mean_pixel"] == pytest.approx(135 / 255.0)
 
 
+def tiff(width: int, height: int, samples: bytes, spp: int = 3, big_endian=False,
+         photometric: int | None = None, strips: int = 1) -> bytes:
+    """Minimal uncompressed TIFF writer (test fixture): 8-bit chunky,
+    gray/RGB, either byte order, split into ``strips`` strips."""
+    e = ">" if big_endian else "<"
+    rows_per = -(-height // strips)
+    strip_data, offs, cnts = [], [], []
+    row_bytes = width * spp
+    for s in range(strips):
+        d = samples[s * rows_per * row_bytes : (s + 1) * rows_per * row_bytes]
+        strip_data.append(d)
+    pm = photometric if photometric is not None else (2 if spp == 3 else 1)
+    entries = []  # (tag, type, count, value-or-values)
+    header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    ntags = 9
+    data_start = 8 + 2 + ntags * 12 + 4
+    bits_off = data_start
+    extra = b""
+    if spp > 2:  # BitsPerSample won't fit inline
+        extra += struct.pack(e + f"{spp}H", *([8] * spp))
+    strips_off = data_start + len(extra)
+    pos = strips_off + (8 * strips if strips > 1 else 0)
+    for d in strip_data:
+        offs.append(pos)
+        cnts.append(len(d))
+        pos += len(d)
+    if strips > 1:
+        extra += struct.pack(e + f"{strips}I", *offs)
+        extra += struct.pack(e + f"{strips}I", *cnts)
+
+    def entry(tag, ttype, count, value):
+        return struct.pack(e + "HHI", tag, ttype, count) + value
+
+    def inline_long(v):
+        return struct.pack(e + "I", v)
+
+    def inline_short(v):
+        # SHORT values pack into the first 2 of the 4 value bytes
+        return struct.pack(e + "HH", v, 0)
+
+    entries.append(entry(256, 4, 1, inline_long(width)))
+    entries.append(entry(257, 4, 1, inline_long(height)))
+    if spp > 2:
+        entries.append(entry(258, 3, spp, inline_long(bits_off)))
+    else:
+        entries.append(entry(258, 3, 1, inline_short(8)))
+    entries.append(entry(259, 3, 1, inline_short(1)))  # uncompressed
+    entries.append(entry(262, 3, 1, inline_short(pm)))
+    if strips > 1:
+        entries.append(entry(273, 4, strips, inline_long(strips_off)))
+    else:
+        entries.append(entry(273, 4, 1, inline_long(offs[0])))
+    entries.append(entry(277, 3, 1, inline_short(spp)))
+    entries.append(entry(278, 4, 1, inline_long(rows_per)))
+    if strips > 1:
+        entries.append(entry(279, 4, strips, inline_long(strips_off + 4 * strips)))
+    else:
+        entries.append(entry(279, 4, 1, inline_long(cnts[0])))
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(e + "I", 0)
+    return header + ifd + extra + b"".join(strip_data)
+
+
+def test_tiff_decode_both_endians_and_strips():
+    from ua2sql_spark.functions.media import decode_raster
+
+    w, h = 7, 6
+    rgb = bytes((x * 30 + y * 7 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    for be in (False, True):
+        for strips in (1, 3):
+            W, H, C, out = decode_raster(tiff(w, h, rgb, spp=3, big_endian=be, strips=strips))
+            assert (W, H, C) == (w, h, 3), (be, strips)
+            assert out == rgb, (be, strips)
+    gray = bytes((x * 11 + y * 5) % 256 for y in range(h) for x in range(w))
+    W, H, C, out = decode_raster(tiff(w, h, gray, spp=1))
+    assert (W, H, C, out) == (w, h, 1, gray)
+    # WhiteIsZero inverts
+    W, H, C, out = decode_raster(tiff(w, h, gray, spp=1, photometric=0))
+    assert out == bytes(255 - s for s in gray)
+
+
+def test_tiff_compressed_raises():
+    from ua2sql_spark.functions.media import decode_raster
+
+    payload = bytearray(tiff(2, 2, bytes(12)))
+    # flip the Compression entry value (tag 259) to 5 (LZW)
+    i = payload.find(struct.pack("<HHI", 259, 3, 1))
+    payload[i + 8] = 5
+    with pytest.raises(NotImplementedError):
+        decode_raster(bytes(payload))
+
+
 def test_thumbnail_chain_all_formats():
     """decode → downscale → JPEG re-encode for every supported input
     format; output decodes back with the expected dims and brightness."""

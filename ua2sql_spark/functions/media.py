@@ -196,10 +196,12 @@ def decode_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         from ua2sql_spark.functions.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff(payload)
     raise NotImplementedError(
         f"image magic {magic!r}: WebP/video formats need "
         "PIL/opencv/ffmpeg, not in this container; PPM/PGM/BMP/PNG/"
-        "baseline-JPEG/GIF decode natively"
+        "baseline-JPEG/GIF/uncompressed-TIFF decode natively"
     )
 
 
@@ -353,3 +355,63 @@ def fake_sample_frames(
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Real TIFF decode: baseline uncompressed, 8-bit, gray/RGB/RGBA, both
+# byte orders, strip layout. Compressed variants (LZW/Deflate/JPEG-in-
+# TIFF) raise naming the scheme.
+# ---------------------------------------------------------------------------
+def _parse_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
+    order = payload[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise NotImplementedError("not a TIFF stream")
+    if struct.unpack_from(e + "H", payload, 2)[0] != 42:
+        raise NotImplementedError("bad TIFF magic")
+    ifd = struct.unpack_from(e + "I", payload, 4)[0]
+    n = struct.unpack_from(e + "H", payload, ifd)[0]
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def read_tag(pos: int) -> tuple[int, list[int]]:
+        tag, ttype, count = struct.unpack_from(e + "HHI", payload, pos)
+        if ttype not in _TYPE_SIZE:
+            return tag, []
+        size = _TYPE_SIZE[ttype] * count
+        off = pos + 8 if size <= 4 else struct.unpack_from(e + "I", payload, pos + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        return tag, list(struct.unpack_from(e + str(count) + fmt, payload, off))
+
+    tags = dict(read_tag(ifd + 2 + 12 * i) for i in range(n))
+    width = tags.get(256, [0])[0]
+    height = tags.get(257, [0])[0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    planar = tags.get(284, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression scheme {compression}: only uncompressed "
+            "decodes natively (LZW/Deflate/JPEG-in-TIFF need libtiff)"
+        )
+    if any(b != 8 for b in bits) or planar != 1 or photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF bits={bits} planar={planar} photometric={photometric}: "
+            "only 8-bit chunky gray/RGB supported"
+        )
+    if not width or not height or 273 not in tags or 279 not in tags:
+        raise NotImplementedError("TIFF missing required tags")
+    raster = bytearray()
+    for off, cnt in zip(tags[273], tags[279]):
+        raster += payload[off : off + cnt]
+    need = width * height * spp
+    if len(raster) < need:
+        raise NotImplementedError("TIFF strips shorter than dimensions")
+    raster = raster[:need]
+    if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+        raster = bytes(255 - s for s in raster)
+    return width, height, spp, bytes(raster)

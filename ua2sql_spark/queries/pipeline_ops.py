@@ -543,3 +543,88 @@ def x112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_sum"),
         F.array_max(q).cast("bigint").alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x131: temperature-based language rebalancing — the mT5/CC-100 recipe:
+# sample language l at rate ∝ p_l^alpha (alpha<1 upweights tails), so
+# low-resource languages keep proportionally more documents. Unlike
+# x99's FIXED mixture weights, the rates here are TRAINED from the
+# corpus itself (one count aggregate), then quantized to a 16-bit
+# cutoff compared against each document's md5 coin — so the keep/drop
+# decision is pure integer/string comparison, deterministic across
+# engines, reruns, and partitionings. The only cross-libm exposure is
+# POW inside the cutoff computation, quantized away by the 16-bit
+# floor (a mismatch needs the rate within one double ulp of a 1/65536
+# grid line, across 5 languages).
+# Scale: counts aggregate = |languages| rows broadcast back; the
+# keep/drop pass is map-only on the corpus scan.
+# ---------------------------------------------------------------------------
+_TEMP_ALPHA = 0.3
+
+
+@query(
+    "x131_temperature_resample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY lang
+    ),
+    weights AS (
+        SELECT lang, n_total,
+               POW(CAST(n_total AS DOUBLE) / (SELECT SUM(n_total) FROM counts),
+                   {_TEMP_ALPHA} - 1.0) AS w
+        FROM counts
+    ),
+    cuts AS (
+        SELECT lang, n_total,
+               CAST(LEAST(65536,
+                    FLOOR(w / (SELECT MAX(w) FROM weights) * 65536))
+                    AS BIGINT) AS cutoff
+        FROM weights
+    )
+    SELECT d.lang,
+           MAX(c.n_total) AS n_total,
+           CAST(COUNT(*) FILTER (
+               WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                     < printf('%04x', c.cutoff)
+                  OR c.cutoff = 65536
+           ) AS BIGINT) AS n_kept,
+           MAX(c.cutoff) AS cutoff_16bit
+    FROM documents d JOIN cuts c USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def x131_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    total = counts.agg(F.sum("n_total").alias("grand"))
+    weights = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_total",
+        F.pow(
+            F.col("n_total").cast("double") / F.col("grand"),
+            F.lit(_TEMP_ALPHA - 1.0),
+        ).alias("w"),
+    )
+    wmax = weights.agg(F.max("w").alias("wmax"))
+    cuts = weights.crossJoin(F.broadcast(wmax)).select(
+        "lang",
+        "n_total",
+        F.least(F.lit(65536), F.floor(F.col("w") / F.col("wmax") * 65536))
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    keep = (coin < F.format_string("%04x", F.col("cutoff"))) | (
+        F.col("cutoff") == 65536
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.count(F.when(keep, 1)).cast("bigint").alias("n_kept"),
+            F.max("cutoff").alias("cutoff_16bit"),
+        )
+    )
