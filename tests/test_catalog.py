@@ -66,3 +66,20 @@ def test_load_events_normalises_every_ts_encoding(spark, tmp_path, encoding):
     else:
         expect = _TS
     assert got == {1: expect[0], 2: expect[1]}, (encoding, got)
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Lakehouse reality: feeds gain columns over time. Old files read
+    through mergeSchema surface the new column as NULL — same
+    missing→NULL semantics the ingest projection (P1) applies at write
+    time, here at read time across file generations."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    rows = {r["id"]: (r["v"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(merged.columns) == {"id", "v", "score"}

@@ -591,3 +591,83 @@ def x130_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(_HYBRID_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# X4c: embedding outlier detection — the curation filter that drops
+# mis-embedded / mislabeled vectors: distance to the OWN label's
+# centroid, flagged beyond the label's 95th percentile. Composes the
+# engine's proven primitives: x88's decimal-interior centroids (map-
+# side partial aggregation, shuffle ≤ |labels|·d rows), a broadcast
+# centroid join on (label, dim), one per-vector aggregate with the
+# decimal interior (dim-order independent), and q18's exact-percentile
+# parity for the threshold. At 100 TB everything is scan-shaped except
+# two bounded aggregates; the percentile upgrades to the mergeable
+# sketch under q114's contract.
+# ---------------------------------------------------------------------------
+@query(
+    "x132_embedding_outliers",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM pts GROUP BY label, i
+    ),
+    dists AS (
+        SELECT p.vec_id, p.label,
+               ROUND(SQRT(CAST(CAST(SUM(CAST((p.x - c.c) * (p.x - c.c)
+                   AS DECIMAL(28,8))) AS STRING) AS DOUBLE)), 6) AS dist
+        FROM pts p JOIN cent c ON p.label = c.label AND p.i = c.i
+        GROUP BY p.vec_id, p.label
+    ),
+    thr AS (
+        SELECT label, QUANTILE_CONT(dist, 0.95) AS p95_dist
+        FROM dists GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist, t.p95_dist,
+           d.dist > t.p95_dist AS is_outlier
+    FROM dists d JOIN thr t USING (label)
+    """,
+)
+def x132_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DEC = "decimal(28,8)"
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "xr")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),  # 1-based like the oracle
+        F.col("xr").cast("double").alias("x"),
+    )
+    cent = pts.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("x") - F.col("c")
+    dists = (
+        pts.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((diff * diff).cast(DEC)).cast("double")), 6
+            ).alias("dist")
+        )
+    )
+    thr = dists.groupBy("label").agg(
+        F.percentile("dist", F.lit(0.95)).alias("p95_dist")
+    )
+    return dists.join(F.broadcast(thr), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        "p95_dist",
+        (F.col("dist") > F.col("p95_dist")).alias("is_outlier"),
+    )
