@@ -532,3 +532,66 @@ def test_fake_and_real_share_schema(spark):
     assert real.schema.simpleString() == (
         "struct<doc_id:bigint,width:int,height:int,mean_pixel:double>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Property-based codec roundtrips (hypothesis): GIF must be byte-exact
+# for ANY palette image (LZW dictionary growth, KwKwK repetitions,
+# single-pixel edge); JPEG on flat 8x8-aligned blocks is DC-only, so
+# roundtrip error is bounded by quantization rounding alone.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    ncolors=st.integers(1, 17),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_gif_roundtrip_property(w, h, ncolors, data):
+    from ua2sql_spark.functions.gif import decode_gif, encode_gif
+
+    palette = [
+        bytes([(i * 37) % 256, (i * 101) % 256, (i * 11) % 256])
+        for i in range(ncolors)
+    ]
+    idx = bytes(
+        data.draw(st.integers(0, ncolors - 1), label=f"px{i}")
+        for i in range(w * h)
+    )
+    W, H, C, rgb = decode_gif(encode_gif(w, h, palette, idx))
+    assert (W, H, C) == (w, h, 3)
+    assert rgb == b"".join(palette[i] for i in idx)
+
+
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 4),
+    data=st.data(),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_jpeg_flat_blocks_roundtrip_property(bw, bh, data):
+    from ua2sql_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = bw * 8, bh * 8
+    blocks = [
+        [
+            tuple(data.draw(st.integers(0, 255), label=f"c{by}_{bx}_{k}")
+                  for k in range(3))
+            for bx in range(bw)
+        ]
+        for by in range(bh)
+    ]
+    raster = bytes(
+        c for y in range(h) for x in range(w) for c in blocks[y // 8][x // 8]
+    )
+    W, H, C, out = decode_jpeg(encode_jpeg(w, h, 3, raster, quality=100))
+    assert (W, H, C) == (w, h, 3)
+    # flat blocks -> DC-only spectra; error = quant rounding + color
+    # transform rounding, a few LSBs
+    assert max(abs(a - b) for a, b in zip(out, raster)) <= 6
