@@ -507,3 +507,36 @@ def test_upsert_parquet_matches_dict_semantics(spark, ops, tmp_path_factory):
         r["id"]: (r["day"], r["val"]) for r in spark.read.parquet(path).collect()
     }
     assert got == expect
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2**31 - 1), st.integers(0, 2**31 - 1)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_sql_matches_reference_in_duckdb(pts):
+    """The SQL twin (zorder_sql) computes the identical Morton code in
+    DuckDB for full-domain 31-bit inputs — x124 exercises it only on
+    8-bit dims, this covers the whole schedule. No Spark involved."""
+    import duckdb
+
+    from ua2sql_spark.operators.layout import zorder_sql
+
+    def morton(a, b):
+        z = 0
+        for i in range(31):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    got = [r[0] for r in con.execute(
+        f"SELECT {zorder_sql('a', 'b')} FROM pts ORDER BY rowid"
+    ).fetchall()]
+    con.close()
+    assert got == [morton(a, b) for a, b in pts]
