@@ -394,3 +394,47 @@ def test_hybrid_search_uses_topk_not_global_sort(spark):
     df = all_queries()["x130_hybrid_search_rrf"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_unigram_logprob_joins_model_no_cartesian(spark):
+    """x125: the LM 'model' joins on word (equi), the corpus total is a
+    broadcast one-row cross join, and nothing falls back to Python
+    eval or a cartesian product."""
+    df = all_queries()["x125_unigram_logprob"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert broadcast_join_count(df) >= 1  # the 1-row total (and/or vocab)
+
+
+def test_sales_opportunity_decorrelates_to_anti_join(spark):
+    """q126: the scalar subquery is a broadcast join, NOT EXISTS is a
+    left-anti hash join over the recency-filtered orders — no per-row
+    subquery shape survives, and the date filter reaches the orders
+    scan."""
+    df = all_queries()["q126_sales_opportunity"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert any("o_orderdate" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_temperature_resample_sampling_is_integer_comparison(spark):
+    """x131: the keep/drop pass is codegen'd string/integer comparison
+    joined against a broadcast 5-row cutoff table — no Python eval, no
+    cartesian."""
+    df = all_queries()["x131_temperature_resample"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1  # the cutoff table
+
+
+def test_embedding_outliers_broadcasts_centroids_and_thresholds(spark):
+    """x132: centroid and threshold tables broadcast (bounded by
+    |labels|·d and |labels|); the corpus explodes map-side and joins
+    without a cartesian."""
+    df = all_queries()["x132_embedding_outliers"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2, plan
