@@ -595,3 +595,114 @@ def test_jpeg_flat_blocks_roundtrip_property(bw, bh, data):
     # flat blocks -> DC-only spectra; error = quant rounding + color
     # transform rounding, a few LSBs
     assert max(abs(a - b) for a, b in zip(out, raster)) <= 6
+
+
+# ---------------------------------------------------------------------------
+# Audio containers beyond WAV + metadata probing for codec-bound
+# formats (MP3 frame walk, MP4 box walk).
+# ---------------------------------------------------------------------------
+def aiff(channels: int, rate: int, samples: list[int]) -> bytes:
+    """Minimal AIFF writer: 16-bit PCM, 80-bit extended-float rate."""
+    n_frames = len(samples) // channels
+    # 80-bit extended float for integer rates < 2^32
+    exp = 16383 + 63
+    mant = rate
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    ext = struct.pack(">HQ", exp, mant)
+    comm = struct.pack(">hIh", channels, n_frames, 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + struct.pack(f">{len(samples)}h", *samples)
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def au(encoding: int, rate: int, channels: int, data: bytes) -> bytes:
+    return struct.pack(">4s5I", b".snd", 24, len(data), encoding, rate, channels) + data
+
+
+def test_aiff_decode_exact():
+    samples = [1000, -1000] * 400  # stereo constant magnitude
+    d = decode_audio_real(aiff(2, 44100, samples))
+    assert d["channels"] == 2 and d["sample_rate"] == 44100
+    assert d["n_samples"] == 400
+    assert d["rms"] == pytest.approx(1000.0)
+
+
+def test_au_linear16_decode_exact():
+    samples = [500] * 800
+    payload = au(3, 8000, 1, struct.pack(">800h", *samples))
+    d = decode_audio_real(payload)
+    assert (d["channels"], d["sample_rate"], d["n_samples"]) == (1, 8000, 800)
+    assert d["duration_s"] == pytest.approx(0.1)
+    assert d["rms"] == pytest.approx(500.0)
+
+
+def test_au_mulaw_anchor_values():
+    """G.711 mu-law anchors: 0xFF/0x7F are the zero codes, 0x00 is the
+    negative rail (-32124), 0x80 the positive rail (+32124)."""
+    d0 = decode_audio_real(au(1, 8000, 1, bytes([0xFF, 0x7F])))
+    assert d0["rms"] == pytest.approx(0.0)
+    rail = decode_audio_real(au(1, 8000, 1, bytes([0x00, 0x80])))
+    assert rail["rms"] == pytest.approx(32124.0)
+
+
+def mp3_frames(n: int) -> bytes:
+    # MPEG1 Layer III, 128 kbps, 44.1 kHz, no padding → 417-byte frames
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    return frame * n
+
+
+def test_probe_mp3_duration_and_id3_skip():
+    from ua2sql_spark.functions.media import probe_mp3
+
+    d = probe_mp3(mp3_frames(10))
+    assert d["sample_rate"] == 44100 and d["bitrate_kbps"] == 128
+    assert d["n_frames"] == 10
+    assert d["duration_s"] == pytest.approx(10 * 1152 / 44100)
+
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    d2 = probe_mp3(id3 + mp3_frames(3))
+    assert d2["n_frames"] == 3
+
+
+def test_probe_mp4_boxes():
+    from ua2sql_spark.functions.media import probe_mp4
+
+    mvhd = b"\x00\x00\x00\x00" + bytes(8) + struct.pack(">II", 1000, 90_000)
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    trak_box = struct.pack(">I", 8) + b"trak"
+    moov_body = mvhd_box + trak_box + trak_box
+    moov = struct.pack(">I", 8 + len(moov_body)) + b"moov" + moov_body
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    d = probe_mp4(ftyp + moov)
+    assert d["brand"] == "isom"
+    assert d["duration_s"] == pytest.approx(90.0)
+    assert d["n_tracks"] == 2
+
+
+def test_probe_media_unified(spark):
+    """The triage operator: mixed payloads in one DataFrame, typed
+    metadata out, unknowns survive as kind='unknown'."""
+    from ua2sql_spark.queries.multimodal import probe_media
+
+    payloads = [
+        (1, ppm(8, 4)),
+        (2, wav16(800, rate=8000)),
+        (3, aiff(2, 44100, [100, -100] * 50)),
+        (4, mp3_frames(5)),
+        (5, b"garbage that matches nothing"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in probe_media(df).collect()}
+    assert got[1]["kind"] == "image" and (got[1]["width"], got[1]["height"]) == (8, 4)
+    assert got[2]["kind"] == "audio" and got[2]["duration_s"] == pytest.approx(0.1)
+    assert got[3]["kind"] == "audio" and got[3]["sample_rate"] == 44100
+    assert got[4]["kind"] == "audio" and got[4]["duration_s"] == pytest.approx(
+        5 * 1152 / 44100
+    )
+    assert got[5]["kind"] == "unknown" and got[5]["width"] is None

@@ -5,13 +5,17 @@ partitioning) and the actual codecs.
 Two codec tiers share every signature and output shape:
 
 * ``decode_image_real`` / ``decode_audio_real`` / ``resize_image_real``
-  — REAL pure-stdlib codecs: PPM/PGM binary, BMP 24/32-bpp, PCM WAV,
-  8-bit non-interlaced PNG (zlib inflate + all five scanline filters),
-  and baseline JPEG (full T.81 sequential-DCT decode — Huffman, IDCT,
-  chroma upsampling, restart markers — see functions/jpeg.py; verified
-  against real camera/encoder output). No third-party libs. Formats
-  that genuinely need codecs this container lacks (WebP/MP3/video)
-  still raise ``NotImplementedError`` naming the dependency.
+  — REAL pure-stdlib codecs: PPM/PGM binary, BMP 24/32-bpp, 8-bit PNG
+  (zlib inflate + all five scanline filters), baseline JPEG (full T.81
+  sequential-DCT decode — Huffman, IDCT, chroma upsampling, restart
+  markers — see functions/jpeg.py; verified against real camera
+  output), GIF (LZW, functions/gif.py), uncompressed TIFF; audio: PCM
+  WAV, AIFF/AIFF-C, Sun AU (G.711 mu-law + linear). No third-party
+  libs. Formats whose FULL decode genuinely needs a native codec
+  (WebP, MP3 PCM, video pixels) raise naming the dependency — but
+  ``probe_media_metadata`` still extracts their header-level metadata
+  (MP3 duration/bitrate via frame walk, MP4 duration/tracks via box
+  walk), which is what pipeline filters gate on.
 * ``fake_*`` — deterministic stand-ins deriving outputs purely from
   payload length/content so the DuckDB oracle can replicate them in SQL;
   used by the oracle-checked queries (x52/x53/x83).
@@ -260,9 +264,15 @@ def fake_decode_image(payload: bytes) -> dict:
 # Real audio decode: PCM WAV via the stdlib wave module.
 # ---------------------------------------------------------------------------
 def decode_audio_real(payload: bytes) -> dict:
-    """Decode a PCM WAV payload to (channels, sample_rate, n_samples,
-    duration_s, rms). 16-bit PCM only (the overwhelmingly common case);
-    compressed audio raises."""
+    """Decode an audio payload to (channels, sample_rate, n_samples,
+    duration_s, rms). Containers: 16-bit PCM WAV, AIFF/AIFF-C (16-bit
+    PCM), Sun AU (G.711 mu-law + 8/16-bit linear). Compressed audio
+    (MP3/AAC/...) raises — use :func:`probe_media_metadata` for the
+    header-level duration/bitrate those formats still expose."""
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return _samples_stats(*_parse_aiff(payload))
+    if payload[:4] == b".snd":
+        return _samples_stats(*_parse_au(payload))
     try:
         with wave.open(io.BytesIO(payload)) as w:
             if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
@@ -415,3 +425,253 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     if photometric == 0:  # WhiteIsZero: invert to the usual polarity
         raster = bytes(255 - s for s in raster)
     return width, height, spp, bytes(raster)
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode: AIFF (big-endian PCM, 80-bit extended-float rate)
+# and Sun AU (G.711 mu-law + linear PCM) — parsed with struct directly,
+# no deprecated stdlib audio modules.
+# ---------------------------------------------------------------------------
+def _ext80_to_float(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF sample-rate field)."""
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return -val if se & 0x8000 else val
+
+
+def _parse_aiff(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """(channels, rate, n_frames, samples) for an AIFF/AIFF-C file.
+    16-bit PCM only; compressed AIFF-C raises naming the codec."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise NotImplementedError("not an AIFF stream")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos = 12
+    channels = rate = n_frames = sampwidth = None
+    samples: list[int] = []
+    ssnd = None
+    while pos + 8 <= len(payload):
+        ckid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks pad to even
+        if ckid == b"COMM":
+            channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
+            rate = int(round(_ext80_to_float(body[8:18])))
+            sampwidth = bits
+            if is_aifc and len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
+                raise NotImplementedError(
+                    f"AIFF-C compression {body[18:22]!r} needs an audio codec"
+                )
+        elif ckid == b"SSND":
+            (offset, _block) = struct.unpack_from(">II", body, 0)
+            ssnd = body[8 + offset :]
+    if channels is None or ssnd is None:
+        raise NotImplementedError("AIFF missing COMM/SSND")
+    if sampwidth != 16:
+        raise NotImplementedError(f"AIFF {sampwidth}-bit samples unsupported")
+    n = min(n_frames * channels, len(ssnd) // 2)
+    samples = list(struct.unpack(f">{n}h", ssnd[: 2 * n]))
+    return channels, rate, n_frames, samples
+
+
+def _mulaw_expand(u: int) -> int:
+    """G.711 mu-law byte -> linear 16-bit sample."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    sample = (((mant << 3) + 0x84) << exp) - 0x84
+    return -sample if sign else sample
+
+
+def _parse_au(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """(channels, rate, n_frames, samples) for a Sun AU file.
+    Encodings: 1 = 8-bit G.711 mu-law, 2 = 8-bit linear, 3 = 16-bit
+    linear big-endian."""
+    if payload[:4] != b".snd":
+        raise NotImplementedError("not an AU stream")
+    _magic, offset, size, enc, rate, channels = struct.unpack_from(">6I", payload, 0)
+    data = payload[offset : offset + size if size != 0xFFFFFFFF else len(payload)]
+    if enc == 1:
+        samples = [_mulaw_expand(b) for b in data]
+    elif enc == 2:
+        samples = [(b - 256 if b >= 128 else b) << 8 for b in data]
+    elif enc == 3:
+        samples = list(struct.unpack(f">{len(data) // 2}h", data[: len(data) & ~1]))
+    else:
+        raise NotImplementedError(f"AU encoding {enc}: needs an audio codec")
+    n_frames = len(samples) // max(1, channels)
+    return channels, rate, n_frames, samples
+
+
+def _samples_stats(channels, rate, n_frames, samples) -> dict:
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 if samples else 0.0
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": rms,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Metadata probing for formats whose FULL decode genuinely needs a
+# native codec: MP3 (frame-header walk -> duration/bitrate) and
+# MP4/MOV (box walk -> duration/track count). This is the part a
+# pipeline FILTER needs (drop audio < 1 s, video > 10 min) — honest
+# scope: no PCM/pixels are decoded.
+# ---------------------------------------------------------------------------
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Walk MPEG audio frame headers: (sample_rate, mean bitrate_kbps,
+    n_frames, duration_s). Skips an ID3v2 prefix; stops at the first
+    unsynced byte after at least one valid frame."""
+    pos = 0
+    if payload[:3] == b"ID3":  # syncsafe 28-bit size
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    duration = 0.0
+    kbps_total = 0
+    rate = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            break
+        version = (payload[pos + 1] >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (payload[pos + 1] >> 1) & 0x03    # 1 = Layer III
+        br_idx = (payload[pos + 2] >> 4) & 0x0F
+        sr_idx = (payload[pos + 2] >> 2) & 0x03
+        padding = (payload[pos + 2] >> 1) & 0x01
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        kbps = table[br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        spf = 1152 if version == 3 else 576  # samples per Layer III frame
+        frame_len = spf // 8 * kbps * 1000 // rate + padding
+        if frame_len <= 4:
+            break
+        n_frames += 1
+        duration += spf / rate
+        kbps_total += kbps
+        pos += frame_len
+    if n_frames == 0:
+        raise NotImplementedError("no MPEG audio frames found")
+    return {
+        "sample_rate": rate,
+        "bitrate_kbps": kbps_total // n_frames,
+        "n_frames": n_frames,
+        "duration_s": duration,
+    }
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Walk ISO-BMFF boxes: (duration_s, n_tracks, brand) from
+    moov/mvhd. Handles 32- and 64-bit box sizes and mvhd v0/v1."""
+    brand = None
+    duration = None
+    n_tracks = 0
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        nonlocal brand, duration, n_tracks
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            btype = payload[pos + 4 : pos + 8]
+            head = 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                head = 16
+            elif size == 0:
+                size = hi - pos
+            if size < head:
+                break
+            if btype == b"ftyp":
+                brand = payload[pos + head : pos + head + 4].decode("ascii", "replace")
+            elif btype == b"moov":
+                walk(pos + head, pos + size, depth + 1)
+            elif btype == b"trak":
+                n_tracks += 1
+            elif btype == b"mvhd":
+                ver = payload[pos + head]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, pos + head + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, pos + head + 12)
+                duration = dur / ts if ts else 0.0
+            pos += size
+
+    walk(0, len(payload))
+    if brand is None and duration is None:
+        raise NotImplementedError("not an ISO-BMFF (MP4/MOV) stream")
+    return {"brand": brand, "duration_s": duration, "n_tracks": n_tracks}
+
+
+def probe_media_metadata(payload: bytes) -> dict:
+    """Unified media probe: (kind, width, height, duration_s,
+    sample_rate, n_tracks) with NULLs for inapplicable fields — the
+    single-pass metadata pipeline filters gate on (drop images under
+    64 px, audio under 1 s, video over 10 min) without full decode.
+    Unknown formats return kind='unknown' rather than raising: a
+    corrupt payload must never kill a 100 TB job."""
+    out = {
+        "kind": "unknown",
+        "width": None,
+        "height": None,
+        "duration_s": None,
+        "sample_rate": None,
+        "n_tracks": None,
+    }
+    is_image = (
+        payload[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8")
+        or payload[: len(PNG_SIG)] == PNG_SIG
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+        or payload[:4] in (b"II*\x00", b"MM\x00*")
+    )
+    is_container_audio = (
+        payload[:4] == b".snd"
+        or (payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"))
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
+    )
+    try:
+        if is_image:
+            w, h, _, _ = decode_raster(payload)
+            out.update(kind="image", width=w, height=h)
+        elif is_container_audio:
+            d = decode_audio_real(payload)
+            out.update(
+                kind="audio",
+                duration_s=d["duration_s"],
+                sample_rate=d["sample_rate"],
+                n_tracks=d["channels"],
+            )
+        elif payload[:3] == b"ID3" or (
+            len(payload) > 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+        ):
+            d = probe_mp3(payload)
+            out.update(
+                kind="audio",
+                duration_s=d["duration_s"],
+                sample_rate=d["sample_rate"],
+                n_tracks=1,
+            )
+        elif len(payload) > 12 and payload[4:8] == b"ftyp":
+            d = probe_mp4(payload)
+            out.update(
+                kind="video", duration_s=d["duration_s"], n_tracks=d["n_tracks"]
+            )
+    except NotImplementedError:
+        pass  # leave kind='unknown'
+    return out

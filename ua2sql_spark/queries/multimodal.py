@@ -171,6 +171,47 @@ def thumbnail_images(
     )
 
 
+def probe_media(df: DataFrame) -> DataFrame:
+    """The X6 media-triage operator: (doc_id, payload binary) → typed
+    metadata (kind, width, height, duration_s, sample_rate, n_tracks)
+    via Arrow-batched mapInPandas over ``functions.media``'s unified
+    probe. Full image decode where supported, header-level probing for
+    MP3/MP4 (the duration/bitrate a pipeline filter needs, no PCM or
+    pixels), kind='unknown' for anything else — corrupt payloads never
+    fail the batch. This is the first pass of every multimodal ingest:
+    gate on dimensions/duration before any expensive decode."""
+    from ua2sql_spark.functions.media import probe_media_metadata
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = [probe_media_metadata(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [d["kind"] for d in probed],
+                    "width": pd.array([d["width"] for d in probed], dtype="Int32"),
+                    "height": pd.array([d["height"] for d in probed], dtype="Int32"),
+                    "duration_s": pd.array(
+                        [d["duration_s"] for d in probed], dtype="Float64"
+                    ),
+                    "sample_rate": pd.array(
+                        [d["sample_rate"] for d in probed], dtype="Int32"
+                    ),
+                    "n_tracks": pd.array(
+                        [d["n_tracks"] for d in probed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, kind string, width int, height int, "
+            "duration_s double, sample_rate int, n_tracks int"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X6c: frame sampling — the 1→N multimodal expansion (one video payload
 # row out to many sampled-frame rows) through Arrow-batched mapInPandas.
