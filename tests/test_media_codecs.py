@@ -156,8 +156,8 @@ def test_png_decode_rgba_and_gray():
 
 
 def test_png_unsupported_variants_raise():
-    # palette color type (3)
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
     bad = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
@@ -167,6 +167,61 @@ def test_png_unsupported_variants_raise():
         decode_image_real(bad)
     with pytest.raises(NotImplementedError):  # truncated stream
         decode_image_real(b"\x89PNG\r\n\x1a\n....")
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def test_png_palette_decode():
+    """Color type 3: indices expand through PLTE to RGB."""
+    pal = b"".join(bytes([i * 50, i * 30, i * 10]) for i in range(4))
+    idx_rows = [bytes([0, 1, 2]), bytes([3, 2, 1])]
+    raw = b"".join(b"\x00" + r for r in idx_rows)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    from ua2sql_spark.functions.media import decode_raster
+
+    w, h, c, out = decode_raster(payload)
+    assert (w, h, c) == (3, 2, 3)
+    expect = b"".join(pal[3 * i : 3 * i + 3] for i in (0, 1, 2, 3, 2, 1))
+    assert out == expect
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: seven independently filtered sub-images scatter back to
+    the full raster; checked against a known 9x9 gray gradient."""
+    from ua2sql_spark.functions.media import _ADAM7, decode_raster
+
+    w = h = 9
+    full = [[(x * 13 + y * 29) % 256 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for ry in range(ph):
+            raw.append(0)  # filter None
+            for rx in range(pw):
+                raw.append(full[y0 + ry * dy][x0 + rx * dx])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    W, H, C, out = decode_raster(payload)
+    assert (W, H, C) == (w, h, 1)
+    assert out == bytes(v for row in full for v in row)
 
 
 def test_unsupported_image_formats_raise():

@@ -6,7 +6,8 @@ Two codec tiers share every signature and output shape:
 
 * ``decode_image_real`` / ``decode_audio_real`` / ``resize_image_real``
   — REAL pure-stdlib codecs: PPM/PGM binary, BMP 24/32-bpp, 8-bit PNG
-  (zlib inflate + all five scanline filters), baseline JPEG (full T.81
+  (all five scanline filters, Adam7 interlacing, palette
+  expansion), baseline JPEG (full T.81
   sequential-DCT decode — Huffman, IDCT, chroma upsampling, restart
   markers — see functions/jpeg.py; verified against real camera
   output), GIF (LZW, functions/gif.py), uncompressed TIFF; audio: PCM
@@ -92,53 +93,21 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
 
-def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Parse + fully decode a PNG: critical chunks (IHDR/IDAT/IEND),
-    zlib inflate, and all five scanline filters (None/Sub/Up/Average/
-    Paeth). 8-bit gray / RGB / gray+alpha / RGBA, non-interlaced —
-    i.e. what encoders actually emit for truecolor images. Returns
-    (width, height, channels, raster) with the raster defiltered to
-    raw samples in row-major order. Pure stdlib (zlib is the whole
-    compression layer of PNG); ancillary chunks are skipped, palette /
-    16-bit / interlaced variants raise ``NotImplementedError``."""
-    pos = len(PNG_SIG)
-    width = height = channels = -1
-    idat = bytearray()
-    try:
-        while pos + 8 <= len(payload):
-            (length,) = struct.unpack_from(">I", payload, pos)
-            ctype = payload[pos + 4 : pos + 8]
-            data = payload[pos + 8 : pos + 8 + length]
-            if len(data) < length:
-                raise NotImplementedError("truncated PNG chunk")
-            pos += 12 + length  # length + type + data + crc
-            if ctype == b"IHDR":
-                width, height, depth, color, _comp, _filt, interlace = (
-                    struct.unpack(">IIBBBBB", data)
-                )
-                if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
-                    raise NotImplementedError(
-                        f"PNG bit_depth={depth} color_type={color} "
-                        f"interlace={interlace}: only 8-bit gray/RGB/GA/RGBA "
-                        "non-interlaced decodes natively"
-                    )
-                channels = _PNG_CHANNELS[color]
-            elif ctype == b"IDAT":
-                idat += data
-            elif ctype == b"IEND":
-                break
-        if channels < 0 or not idat:
-            raise NotImplementedError("PNG missing IHDR/IDAT")
-        raw = zlib.decompress(bytes(idat))
-    except (struct.error, zlib.error) as exc:
-        raise NotImplementedError(f"invalid PNG stream: {exc}") from exc
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_defilter(raw: bytes, rpos: int, width: int, height: int, channels: int):
+    """Undo PNG scanline filters for one (sub-)image starting at
+    ``rpos``; returns (rows, new_rpos)."""
     stride = width * channels
-    if len(raw) < height * (stride + 1):
-        raise NotImplementedError("PNG raster shorter than IHDR dimensions")
-    out = bytearray()
+    if len(raw) - rpos < height * (stride + 1):
+        raise NotImplementedError("PNG raster shorter than dimensions")
+    rows = []
     prev = bytes(stride)
-    rpos = 0
     for _y in range(height):
         ftype = raw[rpos]
         row = bytearray(raw[rpos + 1 : rpos + 1 + stride])
@@ -164,8 +133,84 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 row[i] = (row[i] + pred) & 0xFF
         elif ftype != 0:
             raise NotImplementedError(f"PNG filter type {ftype}")
-        out += row
+        rows.append(bytes(row))
         prev = row
+    return rows, rpos
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse + fully decode a PNG: critical chunks (IHDR/PLTE/IDAT/
+    IEND), zlib inflate, all five scanline filters, Adam7 interlacing,
+    and 8-bit palette expansion. 8-bit gray / RGB / gray+alpha / RGBA /
+    indexed. Returns (width, height, channels, raster) with the raster
+    defiltered to raw samples in row-major order. Pure stdlib (zlib is
+    the whole compression layer of PNG); ancillary chunks are skipped;
+    16-bit and sub-byte depths raise ``NotImplementedError``."""
+    pos = len(PNG_SIG)
+    width = height = channels = -1
+    color = interlace = 0
+    palette: list[bytes] = []
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                raise NotImplementedError("truncated PNG chunk")
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if depth != 8 or (color not in _PNG_CHANNELS and color != 3):
+                    raise NotImplementedError(
+                        f"PNG bit_depth={depth} color_type={color}: only "
+                        "8-bit gray/RGB/GA/RGBA/indexed decodes natively"
+                    )
+                channels = 1 if color == 3 else _PNG_CHANNELS[color]
+            elif ctype == b"PLTE":
+                palette = [data[i : i + 3] for i in range(0, len(data), 3)]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if channels < 0 or not idat:
+            raise NotImplementedError("PNG missing IHDR/IDAT")
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error) as exc:
+        raise NotImplementedError(f"invalid PNG stream: {exc}") from exc
+
+    if interlace == 0:
+        rows, _ = _png_defilter(raw, 0, width, height, channels)
+        out = bytearray().join(rows)
+    elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        out = bytearray(width * height * channels)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, rpos = _png_defilter(raw, rpos, pw, ph, channels)
+            for ry, row in enumerate(rows):
+                y = y0 + ry * dy
+                for rx in range(pw):
+                    x = x0 + rx * dx
+                    off = (y * width + x) * channels
+                    out[off : off + channels] = row[
+                        rx * channels : (rx + 1) * channels
+                    ]
+    else:
+        raise NotImplementedError(f"PNG interlace method {interlace}")
+
+    if color == 3:  # expand indices through the palette
+        if not palette:
+            raise NotImplementedError("indexed PNG missing PLTE")
+        expanded = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            expanded[3 * i : 3 * i + 3] = palette[idx]
+        return width, height, 3, bytes(expanded)
     return width, height, channels, bytes(out)
 
 
