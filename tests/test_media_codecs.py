@@ -156,8 +156,8 @@ def test_png_decode_rgba_and_gray():
 
 
 def test_png_unsupported_variants_raise():
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    # sub-byte depth (4-bit indexed): genuinely unsupported
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 3, 0, 0, 0)
     bad = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
@@ -761,3 +761,29 @@ def test_probe_media_unified(spark):
         5 * 1152 / 44100
     )
     assert got[5]["kind"] == "unknown" and got[5]["width"] is None
+
+
+def test_png_16bit_decode_high_byte():
+    """16-bit PNG: filters run at byte level with left-distance =
+    bytes-per-pixel; samples downcast to their high byte. Sub filter on
+    a 16-bit gray gradient exercises the 2-byte left distance."""
+    from ua2sql_spark.functions.media import decode_raster
+
+    w, h = 4, 3
+    vals = [[(x * 1000 + y * 7000) & 0xFFFF for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(1)  # Sub
+        rowbytes = b"".join(struct.pack(">H", v) for v in vals[y])
+        for i, b in enumerate(rowbytes):
+            left = rowbytes[i - 2] if i >= 2 else 0
+            raw.append((b - left) & 0xFF)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    W, H, C, out = decode_raster(payload)
+    assert (W, H, C) == (w, h, 1)
+    assert out == bytes(v >> 8 for row in vals for v in row)

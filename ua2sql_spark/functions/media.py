@@ -100,10 +100,14 @@ _ADAM7 = (
 )
 
 
-def _png_defilter(raw: bytes, rpos: int, width: int, height: int, channels: int):
+def _png_defilter(raw: bytes, rpos: int, width: int, height: int,
+                  channels: int, bps: int = 1):
     """Undo PNG scanline filters for one (sub-)image starting at
-    ``rpos``; returns (rows, new_rpos)."""
-    stride = width * channels
+    ``rpos``; returns (rows, new_rpos). ``bps`` = bytes per sample —
+    PNG filters operate on BYTES with the 'left' distance equal to
+    bytes-per-pixel (channels × bps), per the spec."""
+    bpp = channels * bps
+    stride = width * bpp
     if len(raw) - rpos < height * (stride + 1):
         raise NotImplementedError("PNG raster shorter than dimensions")
     rows = []
@@ -113,20 +117,20 @@ def _png_defilter(raw: bytes, rpos: int, width: int, height: int, channels: int)
         row = bytearray(raw[rpos + 1 : rpos + 1 + stride])
         rpos += 1 + stride
         if ftype == 1:  # Sub: left neighbour
-            for i in range(channels, stride):
-                row[i] = (row[i] + row[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = row[i - channels] if i >= channels else 0
+                a = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth predictor
             for i in range(stride):
-                a = row[i - channels] if i >= channels else 0
+                a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -163,12 +167,16 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 width, height, depth, color, _comp, _filt, interlace = (
                     struct.unpack(">IIBBBBB", data)
                 )
-                if depth != 8 or (color not in _PNG_CHANNELS and color != 3):
+                if depth not in (8, 16) or (
+                    color not in _PNG_CHANNELS and color != 3
+                ) or (depth == 16 and color == 3):
                     raise NotImplementedError(
                         f"PNG bit_depth={depth} color_type={color}: only "
-                        "8-bit gray/RGB/GA/RGBA/indexed decodes natively"
+                        "8/16-bit gray/RGB/GA/RGBA and 8-bit indexed "
+                        "decode natively"
                     )
                 channels = 1 if color == 3 else _PNG_CHANNELS[color]
+                bps = depth // 8
             elif ctype == b"PLTE":
                 palette = [data[i : i + 3] for i in range(0, len(data), 3)]
             elif ctype == b"IDAT":
@@ -181,28 +189,29 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
     except (struct.error, zlib.error) as exc:
         raise NotImplementedError(f"invalid PNG stream: {exc}") from exc
 
+    bpp = channels * bps
     if interlace == 0:
-        rows, _ = _png_defilter(raw, 0, width, height, channels)
+        rows, _ = _png_defilter(raw, 0, width, height, channels, bps)
         out = bytearray().join(rows)
     elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        out = bytearray(width * height * channels)
+        out = bytearray(width * height * bpp)
         rpos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            rows, rpos = _png_defilter(raw, rpos, pw, ph, channels)
+            rows, rpos = _png_defilter(raw, rpos, pw, ph, channels, bps)
             for ry, row in enumerate(rows):
                 y = y0 + ry * dy
                 for rx in range(pw):
                     x = x0 + rx * dx
-                    off = (y * width + x) * channels
-                    out[off : off + channels] = row[
-                        rx * channels : (rx + 1) * channels
-                    ]
+                    off = (y * width + x) * bpp
+                    out[off : off + bpp] = row[rx * bpp : (rx + 1) * bpp]
     else:
         raise NotImplementedError(f"PNG interlace method {interlace}")
+    if bps == 2:  # 16-bit samples: keep the high byte (big-endian)
+        out = out[::2]
 
     if color == 3:  # expand indices through the palette
         if not palette:
