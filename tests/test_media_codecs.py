@@ -787,3 +787,29 @@ def test_png_16bit_decode_high_byte():
     W, H, C, out = decode_raster(payload)
     assert (W, H, C) == (w, h, 1)
     assert out == bytes(v >> 8 for row in vals for v in row)
+
+
+def test_probe_webp_all_variants():
+    """WebP dims from VP8 (lossy), VP8L (lossless), VP8X (extended)
+    headers — metadata probing, no pixel decode."""
+    from ua2sql_spark.functions.media import probe_media_metadata, probe_webp
+
+    def riff(fourcc: bytes, body: bytes) -> bytes:
+        chunk = fourcc + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    lossy = riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240))
+    assert probe_webp(lossy) == {"width": 320, "height": 240, "variant": "lossy"}
+
+    bits = (99 - 1) | ((77 - 1) << 14)
+    lossless = riff(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits))
+    assert probe_webp(lossless) == {"width": 99, "height": 77, "variant": "lossless"}
+
+    ext = riff(
+        b"VP8X",
+        bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"),
+    )
+    assert probe_webp(ext) == {"width": 640, "height": 480, "variant": "extended"}
+
+    d = probe_media_metadata(lossy)
+    assert d["kind"] == "image" and (d["width"], d["height"]) == (320, 240)

@@ -721,6 +721,9 @@ def probe_media_metadata(payload: bytes) -> dict:
                 sample_rate=d["sample_rate"],
                 n_tracks=1,
             )
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            d = probe_webp(payload)
+            out.update(kind="image", width=d["width"], height=d["height"])
         elif len(payload) > 12 and payload[4:8] == b"ftyp":
             d = probe_mp4(payload)
             out.update(
@@ -729,3 +732,32 @@ def probe_media_metadata(payload: bytes) -> dict:
     except NotImplementedError:
         pass  # leave kind='unknown'
     return out
+
+
+def probe_webp(payload: bytes) -> dict:
+    """WebP header probe: (width, height, variant) from the VP8 (lossy
+    key-frame header), VP8L (lossless 14-bit dims), or VP8X (extended,
+    24-bit canvas dims) chunk. Pixel decode needs libwebp — dimensions
+    are what ingest filters gate on."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise NotImplementedError("not a WebP stream")
+    fourcc = payload[12:16]
+    if fourcc == b"VP8 ":  # lossy: key-frame start code then 14-bit dims
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise NotImplementedError("WebP VP8 chunk missing key frame")
+        w, h = struct.unpack_from("<HH", payload, 26)
+        return {"width": w & 0x3FFF, "height": h & 0x3FFF, "variant": "lossy"}
+    if fourcc == b"VP8L":  # lossless: signature byte then 2x14 bits
+        if payload[20] != 0x2F:
+            raise NotImplementedError("WebP VP8L bad signature")
+        (bits,) = struct.unpack_from("<I", payload, 21)
+        return {
+            "width": (bits & 0x3FFF) + 1,
+            "height": ((bits >> 14) & 0x3FFF) + 1,
+            "variant": "lossless",
+        }
+    if fourcc == b"VP8X":  # extended: 24-bit canvas dims minus one
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return {"width": w, "height": h, "variant": "extended"}
+    raise NotImplementedError(f"WebP chunk {fourcc!r} unsupported")
