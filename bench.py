@@ -74,6 +74,11 @@ HEADLINE = [
     "x125_unigram_logprob",
     # Q22 archetype: scalar-subquery + anti-join decorrelation
     "q126_sales_opportunity",
+    # tokenizer-training + graph-dataflow paths added late r5: BPE
+    # merge-pair counting (vocab-first explode), domain PageRank
+    # (3 unrolled iterations over the checkpointed syndication graph)
+    "x134_bpe_merge_pairs",
+    "x138_domain_pagerank",
 ]
 
 

@@ -81,8 +81,9 @@ def test_driver_window_families():
         "x100_ivf_knn_classify", "x121_ivf_recall_contract",
         "x48_token_stats",
         "x53_decode_mapinpandas", "x127_classifier_scores",
-        "x77_zscore_applyinpandas", "q56_correlated_exists",
-        "x124_zorder_layout",
+        "x77_zscore_applyinpandas",
+        "x124_zorder_layout", "x133_quantized_recall_contract",
+        "x138_domain_pagerank",
         "q126_sales_opportunity", "q86_supplier_wait", "q95_market_share",
         "x97_sequence_pack", "x104_global_shuffle", "x111_pii_scrub",
         "x113_token_budget_sample", "x112_embedding_quantize",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ua2sql_spark.catalog import load_table
 from ua2sql_spark.plans.explain import (
     broadcast_join_count,
+    formatted_plan,
     pushed_filters,
     scan_read_schema,
     shuffle_count,
@@ -438,3 +439,69 @@ def test_embedding_outliers_broadcasts_centroids_and_thresholds(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2, plan
+
+
+def test_bloom_runtime_filter_injects(spark):
+    """q135: with the size thresholds scaled down to test-data sizes
+    (production defaults — creation ≤10 MB, application scan ≥10 GB —
+    are tuned for cluster scale), InjectRuntimeFilter builds a bloom
+    filter over the filtered o_orderkey set and pushes
+    `might_contain(xxhash64(l_orderkey))` into the lineitem side, so
+    the fact shuffle carries only rows that can join. Result values
+    are injection-invariant (pure pre-filter), which q135's oracle row
+    in CORRECTNESS pins separately."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # SMJ: the shape that pays the shuffle
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = all_queries()["q135_bloom_semijoin_reduction"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "might_contain" in plan, plan[:4000]
+        assert "bloom_filter_agg" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_bpe_merge_pairs_explodes_vocab_not_corpus(spark):
+    """x134: the pair explode must run over the distinct-word
+    DICTIONARY (post-aggregation), not the corpus scan — the Sennrich
+    trick that makes BPE training linear in corpus size. Plan shape:
+    word-count aggregate BEFORE the generate, and the final top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x134_bpe_merge_pairs"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    gen_pos = plan.find("Generate")
+    # Two Generate nodes: corpus word split + vocab pair expansion.
+    # The vocab-side Generate must sit ABOVE (earlier in the string
+    # than) the word-count HashAggregate pair, which itself consumes
+    # the corpus-side Generate.
+    assert gen_pos != -1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # The aggregate over words appears between the two generates:
+    # corpus split (bottom) -> agg -> pair explode (top).
+    segments = plan.split("Generate")
+    assert len(segments) == 3, f"expected exactly 2 Generate nodes\n{plan}"
+    assert "HashAggregate" in segments[1], plan
+
+
+def test_pagerank_reuses_materialized_edges(spark):
+    """x138: every PageRank iteration must read the ONE materialized
+    (localCheckpoint'd) edge list — the shingle self-join appears zero
+    times in the final plan (it ran once, eagerly) and each of the 3
+    iterations scans the checkpoint RDD instead of re-deriving edges."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x138_domain_pagerank"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    # 3 iterations × (contribution join + outdeg) + final outdeg join
+    # all source from the checkpoint scan:
+    assert plan.count("ExistingRDD") >= 3, plan
+    assert "CartesianProduct" not in plan

@@ -389,12 +389,118 @@ def resize_dims(width: int, height: int, target_long_side: int) -> tuple[int, in
     )
 
 
+def _avi_video_chunks(payload: bytes) -> list[tuple[int, bytes]]:
+    """Walk the RIFF tree of an AVI payload and return the video stream
+    chunks (``##dc`` compressed / ``##db`` uncompressed DIB, in file
+    order) as (byte_offset, body) pairs. Reference analog: the
+    'multimodal columns' north star — video as an opaque binary column
+    whose container structure the engine understands enough to slice."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI stream")
+    frames: list[tuple[int, bytes]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body0, body1 = pos + 8, pos + 8 + size
+            if body1 > end:
+                raise NotImplementedError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body0 + 4, body1)  # first 4 bytes = list type fourcc
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append((body0, payload[body0:body1]))
+            pos = body1 + (size & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(payload))
+    return frames
+
+
 def sample_frames_real(payload: bytes, stride: int = FRAME_STRIDE) -> list[dict]:
-    """Decode a video payload and return every ``stride``-th frame."""
-    raise NotImplementedError(
-        "real frame sampling needs ffmpeg/pyav (not in this container); "
-        "use fake_sample_frames — identical signature and row shape"
+    """Decode an AVI/MJPEG video payload and return every ``stride``-th
+    frame, fully decoded through the pure-stdlib baseline-JPEG codec.
+    Same row shape as ``fake_sample_frames`` (frame_no, frame_offset,
+    frame_hash) plus the decoded geometry; frame_hash here digests the
+    DECODED raster, so two containers holding identical video bytes
+    fingerprint identically regardless of chunk layout. Non-AVI
+    containers (MP4/MKV — needs ffmpeg/pyav) and non-MJPEG codecs
+    raise ``NotImplementedError`` naming the dependency."""
+    from ua2sql_spark.functions.jpeg import decode_jpeg
+
+    chunks = _avi_video_chunks(payload)
+    out = []
+    for frame_no in range(0, len(chunks), stride):
+        offset, body = chunks[frame_no]
+        if body[:2] != b"\xff\xd8":
+            raise NotImplementedError(
+                "AVI video chunk is not an MJPEG frame (non-JPEG codec "
+                "needs ffmpeg/pyav, not in this container)"
+            )
+        width, height, channels, raster = decode_jpeg(body)
+        out.append(
+            {
+                "frame_no": frame_no,
+                "frame_offset": offset,
+                "frame_hash": hashlib.md5(raster).hexdigest(),
+                "width": width,
+                "height": height,
+                "channels": channels,
+            }
+        )
+    return out
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+) -> bytes:
+    """Assemble baseline-JPEG frames into a standards-shaped AVI/MJPEG
+    container (RIFF → hdrl(avih + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER)) → movi('00dc' chunks) → idx1). The writer half
+    of the video shard path: training pipelines re-shard sampled clips
+    the same way corpus_export re-shards text."""
+    max_size = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, max_size * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(jpeg_frames), 0, 1, max_size, width, height, 0, 0, 0, 0,
     )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG",
+        0,                    # dwFlags
+        0, 0,                 # wPriority, wLanguage
+        0,                    # dwInitialFrames
+        1, fps,               # dwScale / dwRate = fps
+        0, len(jpeg_frames),  # dwStart, dwLength (frames)
+        max_size, 10_000,     # dwSuggestedBufferSize, dwQuality
+        0,                    # dwSampleSize (0 = one sample per chunk)
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the 'movi' fourcc (the common form).
+    idx_entries, off = [], 4
+    for f in jpeg_frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
 
 
 def fake_sample_frames(

@@ -332,3 +332,67 @@ def q123_hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_custkeys",
         (F.abs(est - F.col("exact_custkeys")) <= tol).alias("union_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q137: correlation / covariance / regression slope from EXACT sums —
+# the distributed bivariate-statistics shape. Spark's corr()/covar_*
+# stream Welford-style moments whose float accumulation is
+# partitioning-dependent; at 1000 executors two runs of the same query
+# can differ in the last bits. Instead: five exact decimal sums (Sx,
+# Sy, Sxy, Sxx, Syy — each a one-pass partial-aggregate shuffle, all
+# five share ONE exchange) and the closed forms on top. Identical
+# operands → identical doubles in every engine and every partitioning;
+# this is the same exact-interior policy as q21's variance.
+# ---------------------------------------------------------------------------
+@query(
+    "q137_bivariate_stats",
+    oracle=f"""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('l_quantity')} AS sx,
+               {sql_dsum('l_extendedprice')} AS sy,
+               {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+               {sql_dsum('l_quantity * l_quantity')} AS sxx,
+               {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+               AS corr_qty_price,
+           ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta_price_on_qty
+    FROM sums
+    """,
+)
+def q137_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_samp"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "beta_price_on_qty"
+        ),
+    )

@@ -476,3 +476,160 @@ def x129_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _DOMAIN_CAP)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x138: domain-authority PageRank over the content-syndication graph —
+# the web-corpus quality signal (domain-level PageRank is a standard
+# feature in crawl-quality scoring, e.g. Common-Crawl-derived corpora
+# weight domains by harmonic/PageRank centrality). Everything derives
+# from the corpus itself:
+#
+# * EDGES: source A links to source B when they share an 8-word
+#   shingle (content syndication). Scale-safely built from the
+#   per-(source, gram) DISTINCT projection — the join fan-out per gram
+#   is bounded by |sources sharing that gram|, never |docs|² (the
+#   x106 contamination shape); the resulting edge list is |domains|²
+#   at absolute worst and sparse in practice, so it's materialized
+#   once with localCheckpoint (the components.py discipline) and
+#   reused by every iteration instead of re-deriving the shingle join
+#   K times.
+# * RANKS: K=3 synchronous iterations of
+#   r'(v) = (1-d)/N + d·Σ_{u→v} r(u)/outdeg(u), d = 0.85. Each
+#   iteration is ONE shuffle (contribution aggregate on dst) plus a
+#   broadcast-joined node table; K is fixed, so the whole query is a
+#   statically-unrolled 3-stage dataflow — no driver-side loop state.
+# * DETERMINISM: contributions are per-row double divisions (identical
+#   operands both engines); the per-dst sum uses the exact
+#   DECIMAL(28,12) interior; each iteration rounds to 12 decimals so
+#   accumulated ranks stay bit-identical across engines and
+#   partitionings. Dangling nodes (outdeg 0) contribute only teleport
+#   mass — the no-redistribution PageRank variant, identical in both
+#   engines by construction.
+# ---------------------------------------------------------------------------
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_GRAM = 8
+
+_SQL_DSUM12 = "CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)"
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    contrib = _SQL_DSUM12.format(expr="p.r / od.deg")
+    return f"""
+    {out} AS (
+        SELECT n.source,
+               ROUND((1 - {_PR_D}) / nn.n + {_PR_D} * COALESCE(c.s, 0.0), 12) AS r
+        FROM nodes n CROSS JOIN ncount nn
+        LEFT JOIN (
+            SELECT e.dst AS source, {contrib} AS s
+            FROM {prev} p
+            JOIN outdeg od ON od.source = p.source
+            JOIN edges e ON e.src = p.source
+            GROUP BY e.dst
+        ) c ON c.source = n.source
+    )"""
+
+
+@query(
+    "x138_domain_pagerank",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source, array_to_string(w[i:i+{_PR_GRAM - 1}], ' ') AS g
+        FROM words, unnest(range(1, len(w) - {_PR_GRAM - 2})) AS t(i)
+        WHERE len(w) >= {_PR_GRAM}
+    ),
+    edges AS (
+        SELECT DISTINCT a.source AS src, b.source AS dst
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source <> b.source
+    ),
+    nodes AS (SELECT DISTINCT source FROM documents),
+    ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (
+        SELECT src AS source, CAST(COUNT(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY src
+    ),
+    r0 AS (
+        SELECT n.source, ROUND(1.0 / nn.n, 12) AS r
+        FROM nodes n CROSS JOIN ncount nn
+    ),
+    {_pr_iter_sql('r0', 'r1')},
+    {_pr_iter_sql('r1', 'r2')},
+    {_pr_iter_sql('r2', 'r3')}
+    SELECT r3.source,
+           ROUND(r3.r, 6) AS pagerank,
+           CAST(COALESCE(od.deg, 0) AS BIGINT) AS n_out
+    FROM r3 LEFT JOIN outdeg od ON od.source = r3.source
+    """,
+)
+def x138_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        d.filter(F.size(w) >= _PR_GRAM)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (_PR_GRAM - 1)),
+                    lambda i: F.array_join(F.slice(w, i, _PR_GRAM), " "),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    ga = grams.select(F.col("source").alias("src"), "g")
+    gb = grams.select(F.col("source").alias("dst"), "g")
+    edges = (
+        ga.join(gb, "g")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        # |domains|-bounded; materialize once, every iteration reuses it.
+        .localCheckpoint()
+    )
+    # |domains| rows; materialized once so the 3 iterations (plus the
+    # teleport count) don't each re-run the corpus-wide distinct.
+    nodes = d.select("source").distinct().localCheckpoint()
+    ncount = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = edges.groupBy(F.col("src").alias("source")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        "source", F.round(F.lit(1.0) / F.col("n"), 12).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(outdeg, "source")
+            .join(edges, ranks.source == edges.src)
+            .groupBy(F.col("dst").alias("source"))
+            .agg(
+                F.sum((F.col("r") / F.col("deg")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(ncount))
+            .join(contrib, "source", "left")
+            .select(
+                "source",
+                F.round(
+                    (1 - _PR_D) / F.col("n")
+                    + _PR_D * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(outdeg.withColumnRenamed("deg", "od"), "source", "left")
+        .select(
+            "source",
+            F.round(F.col("r"), 6).alias("pagerank"),
+            F.coalesce(F.col("od"), F.lit(0.0)).cast("bigint").alias("n_out"),
+        )
+    )

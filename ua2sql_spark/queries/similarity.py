@@ -671,3 +671,129 @@ def x132_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p95_dist",
         (F.col("dist") > F.col("p95_dist")).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x133: int8-quantized ANN recall contract — asymmetric-distance ranking
+# over the x112 symmetric per-vector int8 quantization. The production
+# 100 TB retrieval path stores int8 codes (4× smaller than fp32, so 4×
+# more vectors per executor page and 4× less shuffle when candidates
+# move); ranking runs on DEQUANTIZED values (code * scale). This query
+# pins the quality of that path: top-k under quantized cosine vs top-k
+# under exact cosine, recall >= 0.9, same q15-style boolean contract as
+# x121 (the oracle asserts TRUE, so a recall regression in either
+# engine is a hash mismatch, not a silent drift).
+# Determinism: quantize = round(x/scale, 0) — the exact expression
+# hash-verified cross-engine by x112; dequantize/cosine are per-row
+# IEEE folds in identical order; cosines rounded to 6 before ranking
+# with a total tie-break order.
+# Scale shape: probe side is bounded (NQ rows) and broadcast; the
+# candidate side streams — same linear-scan-per-query shape as x45,
+# with IVF (x71/x121) as the sub-linear composition.
+# ---------------------------------------------------------------------------
+_QREC_NQ = 20
+_QREC_K = 5
+
+_SQL_DEQUANT = (
+    "list_transform({e}, x -> round(CAST(x AS DOUBLE) / {s}, 0) * {s})"
+)
+
+
+@query(
+    "x133_quantized_recall_contract",
+    oracle=f"""
+    WITH dq AS (
+        SELECT vec_id,
+               {_SQL_DEQUANT.format(e='embedding', s='scale')} AS dqe,
+               embedding
+        FROM (
+            SELECT vec_id, embedding,
+                   CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                                               x -> abs(CAST(x AS DOUBLE)))) AS amax
+                FROM embeddings
+            )
+        )
+    ),
+    approx_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({_sql_cosine('q.dqe', 'c.dqe')}, 6) AS cs
+            FROM dq q JOIN dq c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_QREC_NQ}
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) <= {_QREC_K}
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cs
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_QREC_NQ}
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) <= {_QREC_K}
+    )
+    SELECT CAST({_QREC_NQ} AS BIGINT) AS n_queries,
+           CAST({_QREC_K} AS BIGINT) AS k,
+           COUNT(*) AS quant_hits,
+           ROUND(COUNT(*) / {_QREC_NQ * _QREC_K}.0, 4) AS recall,
+           TRUE AS recall_ok
+    FROM approx_topk a JOIN exact_topk e USING (query_id, neighbor_id)
+    """,
+)
+def x133_quantized_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    with_scale = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(amax == 0, F.lit(1.0)).otherwise(amax / 127.0).alias("scale"),
+    )
+    dq = with_scale.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") / F.col("scale"), 0) * F.col("scale"),
+        ).alias("dqe"),
+    )
+
+    def topk(src: DataFrame, col: str) -> DataFrame:
+        q = src.filter(F.col("vec_id") < _QREC_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col(col).alias("qv")
+        )
+        c = src.select(F.col("vec_id").alias("neighbor_id"), F.col(col).alias("cv"))
+        pairs = (
+            F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _QREC_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    approx = topk(dq, "dqe")
+    exact = topk(dq, "embedding")
+    denom = _QREC_NQ * _QREC_K
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("quant_hits"))
+        .select(
+            F.lit(_QREC_NQ).cast("long").alias("n_queries"),
+            F.lit(_QREC_K).cast("long").alias("k"),
+            F.col("quant_hits"),
+            F.round(F.col("quant_hits") / F.lit(float(denom)), 4).alias("recall"),
+            (F.col("quant_hits") / F.lit(float(denom)) >= F.lit(0.9)).alias("recall_ok"),
+        )
+    )

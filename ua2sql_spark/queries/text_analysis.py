@@ -401,3 +401,70 @@ def x125_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_logprob"),
         F.min("lnp").alias("min_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3h: BPE merge-pair counting — the inner statistic of a BPE tokenizer
+# training round: for every adjacent character pair inside a word,
+# count corpus-weighted occurrences; the arg-max pair is the next merge.
+# The classic trainer trick (Sennrich et al. 2016; used by every
+# production BPE implementation) makes this tractable at corpus scale:
+# aggregate the corpus to its DISTINCT-WORD dictionary first (one
+# shuffle, output |vocab| rows — millions, not billions), then explode
+# character pairs over the dictionary only, weighting each pair by the
+# word's corpus frequency. The pair explode — the quadratic-looking
+# part — runs over the vocabulary, which is ~5 orders of magnitude
+# smaller than a 100 TB corpus; the corpus-sized stage is a plain
+# word-count. Top pairs are returned with a total (count DESC, pair)
+# order so the merge choice is deterministic.
+# ---------------------------------------------------------------------------
+_MERGE_TOPK = 30
+
+
+@query(
+    "x134_bpe_merge_pairs",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE len(word) >= 2
+        GROUP BY word
+    ),
+    pairs AS (
+        SELECT substring(word, i, 2) AS pair, freq
+        FROM vocab, unnest(range(1, len(word))) AS t(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_MERGE_TOPK}
+    """,
+)
+def x134_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # Adjacent character pairs via substring over 1..len-1 — pure
+    # codegen (sequence + transform + explode), no UDF.
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_MERGE_TOPK)
+    )

@@ -763,3 +763,53 @@ def q126_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q135: semi-join reduction via RUNTIME BLOOM FILTER — the archetype
+# Spark's InjectRuntimeFilter optimization targets: a fact scan joined
+# to a highly selective filtered side (urgent orders in one quarter,
+# ~1% of the orders table). At production scale the optimizer builds a
+# bloom filter over the filtered o_orderkey set and pushes
+# `bloom_filter_might_contain` into the lineitem scan, discarding
+# ~99% of fact rows BEFORE the shuffle — the shuffle write shrinks by
+# the creation side's selectivity, which at 100 TB is the difference
+# between shuffling 100 TB and shuffling 1 TB. The default thresholds
+# (creation side ≤ 10 MB post-filter, application scan ≥ 10 GB) are
+# tuned for exactly this cluster-scale shape, so injection does not
+# fire at local test scale; tests/test_plans.py::
+# test_bloom_runtime_filter_injects lowers the thresholds and pins the
+# might_contain filter in this query's physical plan. The query result
+# is injection-invariant (the bloom filter is a pure pre-filter —
+# false positives still hit the exact join), which is what makes the
+# plan feature safe to rely on.
+# ---------------------------------------------------------------------------
+@query(
+    "q135_bloom_semijoin_reduction",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q135_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

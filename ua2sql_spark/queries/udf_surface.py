@@ -280,3 +280,54 @@ def x127_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         infer, schema="doc_id bigint, z double, prob double, keep boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# x136: grouped-map via applyInArrow — the zero-copy sibling of x77's
+# applyInPandas (Spark 4 API surface). The function receives each
+# group as a pyarrow.Table straight off the shuffle's Arrow batches —
+# no pandas materialization, no numpy conversion — which matters when
+# the per-group payload is large binary/text (the multimodal columns):
+# pandas would copy every buffer, Arrow slices them. Statistics are
+# integer-exact (sum, discrete median = lower-middle of the sorted
+# values, max) so the oracle is engine-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "x136_lang_stats_applyinarrow",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(list_sort(list(n_chars))[CAST((COUNT(*) - 1) // 2 AS INTEGER) + 1]
+                AS BIGINT) AS median_lo_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def x136_lang_stats_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lang_stats(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
+        chars = tbl.column("n_chars").combine_chunks()
+        sorted_chars = chars.take(pc.sort_indices(chars))
+        return pa.table(
+            {
+                "lang": pa.array([tbl.column("lang")[0].as_py()], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "total_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
+                "median_lo_chars": pa.array(
+                    [sorted_chars[(n - 1) // 2].as_py()], pa.int64()
+                ),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return d.groupBy("lang").applyInArrow(
+        lang_stats,
+        schema="lang string, n_docs bigint, total_chars bigint, "
+        "median_lo_chars bigint, max_chars bigint",
+    )

@@ -61,9 +61,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # q95/Q8; Q22 adds scalar-subquery + anti-join decorrelation), x45 →
 # x130 (hybrid RRF contains the brute-force cosine inside its top-N),
 # q54 → x124 (pivot stays local-proven; z-order is a new family with
-# no other driver row). Everything below the fold stays covered by the
-# local oracle suite (tests/test_oracle.py runs ALL registered
-# queries) and the alt-SF sweep.
+# no other driver row); q56 → x138 (correlated-EXISTS decorrelation is
+# driver-proven by q86's stronger EXISTS+NOT-EXISTS row; PageRank is a
+# new iterative-dataflow family), q23 → x133 (lag/lead stays
+# local-proven while W keeps rank/top-k/order-limit in window; the
+# int8-quantized retrieval path gains its recall gate). Everything
+# below the fold stays covered by the local oracle suite
+# (tests/test_oracle.py runs ALL registered queries) and the alt-SF
+# sweep.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational: filters+projection rep, every join flavor
     "q01_pricing_summary",
@@ -86,7 +91,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q114_approx_percentile_contract",
     # windows + sorts
     "q22_window_rank",
-    "q23_window_lag_gap",
     "q25_topk_per_group",
     "q26_order_limit",
     # scalar-function families: JSON, Spark-4 variant, arrays
@@ -113,6 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x71_ivf_ann",
     "x100_ivf_knn_classify",
     "x121_ivf_recall_contract",
+    "x133_quantized_recall_contract",
     "x112_embedding_quantize",
     # text analysis
     "x48_token_stats",
@@ -121,9 +126,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Python-execution surface: grouped-map + the inference seam
     "x127_classifier_scores",
     "x77_zscore_applyinpandas",
-    # advanced SQL + data layout
-    "q56_correlated_exists",
+    # advanced SQL + data layout + iterative graph dataflow
     "x124_zorder_layout",
+    "x138_domain_pagerank",
     # TPC-H archetypes
     "q126_sales_opportunity",
     "q86_supplier_wait",
