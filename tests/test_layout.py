@@ -210,3 +210,67 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     path2 = str(tmp_path / "tbl2")
     assert upsert_parquet(batch, path2, ["id"], "day") == 2
     assert spark.read.parquet(path2).count() == 2
+
+
+def test_vacuum_orphans_deletes_only_aged_unreferenced(spark, tmp_path):
+    """VACUUM contract: only files that are BOTH absent from the commit
+    manifest AND older than the retention window go; manifest-listed
+    data files, young orphans (possible in-flight writes), and commit
+    markers all survive. A fresh read over the vacuumed table matches
+    the manifest'd content exactly (the orphans' duplicate rows are
+    gone with them)."""
+    import os
+    import shutil
+
+    from ua2sql_spark.operators.layout import vacuum_orphans
+    from ua2sql_spark.operators.manifest import build_file_manifest
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id % 3 AS day").write.partitionBy(
+        "day"
+    ).parquet(path)
+    # the commit record: manifest built when the write landed
+    manifest = build_file_manifest(spark, path, columns=["id"]).cache()
+    manifest.count()
+    expect = {(i, i % 3) for i in range(100)}
+
+    # Fabricate orphans from an interrupted rewrite: stale part-files
+    # that match the data glob but postdate the manifest.
+    part = os.path.join(path, "day=0")
+    live_file = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    old_orphan = os.path.join(part, "part-orphan-old.parquet")
+    young_orphan = os.path.join(part, "part-orphan-young.parquet")
+    shutil.copy(os.path.join(part, live_file), old_orphan)
+    shutil.copy(os.path.join(part, live_file), young_orphan)
+    stale = 10 * 24 * 3600
+    os.utime(old_orphan, (os.path.getatime(old_orphan) - stale,
+                          os.path.getmtime(old_orphan) - stale))
+
+    # dry run reports, touches nothing
+    reported = vacuum_orphans(spark, path, manifest, max_age_hours=168)
+    assert reported == [old_orphan]
+    assert os.path.exists(old_orphan)
+
+    deleted = vacuum_orphans(
+        spark, path, manifest, max_age_hours=168, dry_run=False
+    )
+    assert deleted == [old_orphan]
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(young_orphan)  # inside retention: kept
+
+    # age the young orphan past retention -> second vacuum removes it,
+    # and a FRESH listing of the table equals the committed content
+    os.utime(young_orphan, (os.path.getatime(young_orphan) - stale,
+                            os.path.getmtime(young_orphan) - stale))
+    assert vacuum_orphans(
+        spark, path, manifest, max_age_hours=168, dry_run=False
+    ) == [young_orphan]
+    spark.catalog.clearCache()
+    fresh = {
+        (r["id"], r["day"])
+        for r in spark.read.option(
+            "modifiedAfter", "1900-01-01T00:00:00"
+        ).parquet(path).collect()
+    }
+    assert fresh == expect
+    manifest.unpersist()

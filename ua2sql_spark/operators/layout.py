@@ -301,3 +301,60 @@ def write_clustered(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def vacuum_orphans(
+    spark: SparkSession,
+    path: str,
+    manifest,
+    max_age_hours: float = 168.0,
+    dry_run: bool = True,
+) -> list[str]:
+    """Delete (or, with ``dry_run=True``, just report) data files under
+    ``path`` that the table's file MANIFEST does not reference and that
+    are older than ``max_age_hours`` — the lakehouse VACUUM discipline.
+
+    Plain parquet directories have no transaction log, so the reader's
+    own listing can never distinguish a committed data file from a
+    stale one left by an interrupted rewrite (compaction,
+    dynamic-partition overwrite, upsert_parquet) — both match the same
+    glob. The file manifest (operators/manifest.py,
+    ``build_file_manifest`` run at commit time) IS this table layout's
+    commit record, and is already what scan pruning trusts
+    (``read_pruned``); vacuum trusts the same source: orphan = on disk,
+    not in manifest, older than the retention window. The age floor
+    keeps in-flight writes safe — the same contract as Delta VACUUM's
+    retention window.
+
+    ``manifest`` is the manifest DataFrame (or any DataFrame with a
+    ``file`` column of qualified paths). Its distinct file list is
+    collected driver-side — bounded by the table's FILE count, which
+    scales with partitioning discipline, not data bytes (the
+    layout_stats bound). The disk walk is the same driver-side
+    metadata iteration as ``layout_stats``.
+    """
+    import time
+
+    def _norm(f: str) -> str:
+        return f[len("file:"):] if f.startswith("file:") else f
+
+    live = {_norm(r["file"]) for r in manifest.select("file").distinct().collect()}
+    fs, root = _fs_and_path(spark, path)
+    cutoff_ms = (time.time() - max_age_hours * 3600.0) * 1000.0
+    orphans: list[str] = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # commit markers / checksums are not data files
+        raw = p.toUri().getPath()
+        if raw in live:
+            continue
+        if st.getModificationTime() > cutoff_ms:
+            continue  # possibly an in-flight write: retention window
+        orphans.append(raw)
+        if not dry_run:
+            fs.delete(p, False)
+    return sorted(orphans)

@@ -396,3 +396,118 @@ def q137_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_price_on_qty"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q139: theta-sketch SET-OPERATION contract — the sketch family HLL
+# cannot provide: distinct-set INTERSECTION and DIFFERENCE estimates
+# (DataSketches theta, Spark 4.1). The 1000-executor audience-overlap
+# shape: build one sketch per segment (mergeable partials, one tiny
+# final row each), intersect/difference driver-side in the plan. The
+# exact overlap counts are computed alongside from one custkey-grouped
+# pass and hash-checked; the sketch estimates are pinned to within
+# max(5%, 50) of exact via q15-style boolean contracts (theta rsd at
+# the default 4096 nominal entries is ~1.6%, so 5% is ~3 sigma).
+# ---------------------------------------------------------------------------
+@query(
+    "q139_theta_setops_contract",
+    oracle="""
+    WITH flags AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS b
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(a * b) AS BIGINT) AS n_both,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n_only_a,
+           CAST(SUM(b * (1 - a)) AS BIGINT) AS n_only_b,
+           TRUE AS inter_ok,
+           TRUE AS diff_ok
+    FROM flags
+    """,
+)
+def q139_theta_setops_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    base = o.filter(yr.isin(1996, 1997)).select(
+        "o_custkey", yr.alias("y")
+    )
+    flags = base.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("y") == 1996, 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("y") == 1997, 1).otherwise(0)).alias("b"),
+    )
+    exact = flags.agg(
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n_both"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n_only_a"),
+        F.sum(F.col("b") * (1 - F.col("a"))).cast("bigint").alias("n_only_b"),
+    )
+    ska = (
+        base.filter(F.col("y") == 1996)
+        .agg(F.theta_sketch_agg("o_custkey").alias("ska"))
+    )
+    skb = (
+        base.filter(F.col("y") == 1997)
+        .agg(F.theta_sketch_agg("o_custkey").alias("skb"))
+    )
+    est = ska.crossJoin(skb).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("ska"), F.col("skb"))
+        ).alias("est_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("ska"), F.col("skb"))
+        ).alias("est_only_a"),
+    )
+
+    def ok(est_col: str, exact_col: str):
+        tol = F.greatest(F.col(exact_col) * 0.05, F.lit(50.0))
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= tol
+
+    return exact.crossJoin(est).select(
+        "n_both",
+        "n_only_a",
+        "n_only_b",
+        ok("est_both", "n_both").alias("inter_ok"),
+        ok("est_only_a", "n_only_a").alias("diff_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140: EXACT mergeable distinct-count via bitmaps — the third tier of
+# the count-distinct ladder (exact shuffle-heavy COUNT(DISTINCT) →
+# approximate HLL q123 → exact-AND-mergeable bitmaps). Values are
+# bucketed (bitmap_bucket_number) and bit-positioned into 4KB bitmap
+# chunks built per (group, bucket, shard); bitmap_or_agg merges shards
+# exactly — partial aggregation works, re-aggregation works, and the
+# count is EXACT, unlike any sketch. This is how a 1000-executor
+# pipeline maintains per-partition distinct-count cubes it can roll up
+# later without a re-scan. Oracle: plain COUNT(DISTINCT) — equality,
+# not a tolerance contract.
+# ---------------------------------------------------------------------------
+@query(
+    "q140_bitmap_exact_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q140_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # shard = physical-split stand-in (year here): bitmaps built per
+    # shard then OR-merged, proving the partial/merge contract.
+    per_shard = o.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("bucket"),
+        F.year("o_orderdate").alias("shard"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm")
+    )
+    merged = per_shard.groupBy("o_orderpriority", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct")
+    )

@@ -538,7 +538,8 @@ def _pr_iter_sql(prev: str, out: str) -> str:
         SELECT source, string_split(text, ' ') AS w FROM documents
     ),
     grams AS (
-        SELECT DISTINCT source, array_to_string(w[i:i+{_PR_GRAM - 1}], ' ') AS g
+        SELECT DISTINCT source,
+               substr(md5(array_to_string(w[i:i+{_PR_GRAM - 1}], ' ')), 1, 16) AS g
         FROM words, unnest(range(1, len(w) - {_PR_GRAM - 2})) AS t(i)
         WHERE len(w) >= {_PR_GRAM}
     ),
@@ -568,25 +569,51 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 def x138_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    grams = (
-        d.filter(F.size(w) >= _PR_GRAM)
-        .select(
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - (_PR_GRAM - 1)),
-                    lambda i: F.array_join(F.slice(w, i, _PR_GRAM), " "),
-                )
-            ).alias("g"),
-        )
-        .distinct()
+    grams = d.filter(F.size(w) >= _PR_GRAM).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (_PR_GRAM - 1)),
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice(w, i, _PR_GRAM), " ")), 1, 16
+                ),
+            )
+        ).alias("g"),
     )
-    ga = grams.select(F.col("source").alias("src"), "g")
-    gb = grams.select(F.col("source").alias("dst"), "g")
+    # Edge derivation is ONE gram shuffle, and the shuffle KEY is the
+    # 16-hex-char md5 prefix of the gram, not the ~50-char gram string
+    # (the compact-shuffle-key discipline; replayed VERBATIM by the
+    # oracle, so even a prefix collision yields the same edge in both
+    # engines). collect_set dedups sources
+    # per gram map-side+reduce-side (no separate pre-distinct, no
+    # self-join); the pair expansion runs over the per-gram source
+    # SETS, whose size is bounded by |sources sharing that gram| —
+    # the x106 fan-in bound — so it never touches |docs|² even for a
+    # viral gram. The oracle keeps the equivalent self-join phrasing
+    # (the edge SET is identical); this is the plan you'd want at
+    # 100 TB, where shuffling each (source, gram) pair twice more for
+    # a join would double the largest exchange in the query.
+    shared = (
+        grams.groupBy("g")
+        .agg(F.collect_set("source").alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
     edges = (
-        ga.join(gb, "g")
+        shared.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda a: F.transform(
+                            F.col("ss"),
+                            lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
         # |domains|-bounded; materialize once, every iteration reuses it.
         .localCheckpoint()

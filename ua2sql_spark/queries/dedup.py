@@ -499,3 +499,196 @@ def x117_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return batch.join(index_side, "f", "left_anti").select("doc_id", "n_batch_copies")
+
+
+# ---------------------------------------------------------------------------
+# x141: SPAN-level dedup — the C4/CCNet sub-document technique: exact
+# dedup at whole-document granularity (x41) misses boilerplate
+# repeated INSIDE otherwise-distinct documents, so production corpora
+# also dedup fixed word-window spans corpus-wide, keeping only each
+# span's first occurrence (deterministic (doc_id, block) order) and
+# reassembling documents from their surviving blocks. One explode
+# (blocks carry only (doc_id, block_idx, span)), ONE shuffle on the
+# span string for the first-occurrence window, one groupBy doc to
+# reassemble — the span shuffle is the natural key and its fan-in per
+# span is the duplication factor, never |docs|. At 100 TB the span
+# string would be replaced by its xxhash64 (the x101 discipline);
+# the md5-free plan here keeps the oracle replayable verbatim.
+# ---------------------------------------------------------------------------
+_SPAN_WORDS = 10
+
+
+@query(
+    "x141_span_dedup",
+    oracle=f"""
+    WITH blocks AS (
+        SELECT doc_id, b,
+               array_to_string(w[(b * {_SPAN_WORDS} + 1):((b + 1) * {_SPAN_WORDS})], ' ') AS span
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), unnest(range(0, CAST(CEIL(len(w) / {_SPAN_WORDS}.0) AS BIGINT))) AS t(b)
+    ),
+    kept AS (
+        SELECT doc_id, b, span FROM blocks
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, b) = 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(CEIL(len(string_split(d.text, ' ')) / {_SPAN_WORDS}.0) AS BIGINT) AS n_blocks,
+           COALESCE(k.clean_md5, md5('')) AS clean_md5
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(span, ' ' ORDER BY b)) AS clean_md5
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = d.doc_id
+    """,
+)
+def x141_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(w) / float(_SPAN_WORDS)).cast("bigint")
+    blocks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.array_join(
+                        F.slice(w, b * _SPAN_WORDS + 1, _SPAN_WORDS), " "
+                    ).alias("span"),
+                ),
+            )
+        ).alias("blk"),
+    ).select("doc_id", F.col("blk.b").alias("b"), F.col("blk.span").alias("span"))
+    first = Window.partitionBy("span").orderBy("doc_id", "b")
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        d.select("doc_id", n_blocks.alias("n_blocks"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            "n_blocks",
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x142: content-defined chunking (CDC) — the insertion-robust
+# complement to x141's fixed blocks: chunk boundaries are a pure
+# function of LOCAL content (a 4-gram hash hitting a 1/64 pattern), so
+# inserting one word shifts at most the two chunks around the edit
+# while fixed blocks shift EVERY downstream block. This is the
+# FastCDC/rsync discipline applied to corpus text: chunk fingerprints
+# feed the same first-occurrence / incremental-index machinery as
+# x41/x117 at sub-document granularity. Map-only until the single
+# chunk-duplication aggregate; the boundary predicate here is a
+# replayable md5-of-4-gram so the oracle mirrors it verbatim — at
+# 100 TB the per-position digest becomes a gear/rolling hash inside
+# one mapInPandas pass (same plumbing, cheaper constant).
+# ---------------------------------------------------------------------------
+_CDC_W = 4  # boundary window (chars)
+_CDC_PAT = ("00", "40", "80", "c0")  # 4/256 -> mean chunk ~64 chars
+
+
+@query(
+    "x142_cdc_chunks",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT doc_id, text,
+               list_filter(range(1, len(text) - {_CDC_W - 2}),
+                           i -> substr(md5(substr(text, CAST(i AS INTEGER), {_CDC_W})), 1, 2)
+                                IN {_CDC_PAT}) AS cuts
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(substr(text,
+                          CAST(p[j] + 1 AS INTEGER),
+                          CAST(p[j + 1] - p[j] AS INTEGER))) AS chunk_md5,
+               p[j + 1] - p[j] AS chunk_len
+        FROM (
+            SELECT doc_id, text,
+                   list_prepend(0, list_append(cuts, len(text))) AS p
+            FROM bounds
+        ), unnest(range(1, len(p))) AS t(j)
+        WHERE p[j + 1] > p[j]
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(MIN(chunk_len) AS BIGINT) AS min_chunk,
+           CAST(MAX(chunk_len) AS BIGINT) AS max_chunk,
+           md5(string_agg(chunk_md5, '' ORDER BY chunk_md5)) AS chunks_fp
+    FROM chunks
+    GROUP BY doc_id
+    """,
+)
+def x142_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.length(t) - (_CDC_W - 1)),
+        lambda i: F.substring(F.md5(t.substr(i, F.lit(_CDC_W))), 1, 2).isin(
+            *_CDC_PAT
+        ),
+    )
+    with_p = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.array(F.lit(0)), cuts, F.array(F.length(t))
+        ).alias("p"),
+    )
+    chunks = with_p.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("p") - 1),
+                    lambda j: F.struct(
+                        F.md5(
+                            F.col("text").substr(
+                                F.element_at(F.col("p"), j) + 1,
+                                F.element_at(F.col("p"), j + 1)
+                                - F.element_at(F.col("p"), j),
+                            )
+                        ).alias("chunk_md5"),
+                        (
+                            F.element_at(F.col("p"), j + 1)
+                            - F.element_at(F.col("p"), j)
+                        ).alias("chunk_len"),
+                    ),
+                ),
+                lambda s: s["chunk_len"] > 0,
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_md5"), F.col("c.chunk_len"))
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.min("chunk_len").cast("bigint").alias("min_chunk"),
+        F.max("chunk_len").cast("bigint").alias("max_chunk"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("chunk_md5")), "")).alias(
+            "chunks_fp"
+        ),
+    )
