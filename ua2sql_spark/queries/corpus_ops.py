@@ -660,3 +660,82 @@ def x138_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("od"), F.lit(0.0)).cast("bigint").alias("n_out"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x143: Unicode NFC normalization — the first transform every real
+# crawl pipeline applies: visually-identical strings with different
+# codepoint sequences (composed U+00E9 vs e + combining U+0301) break
+# exact dedup, shingle matching, and tokenizer vocab lookup unless the
+# corpus is canonicalized first. The synthetic corpus is ASCII, so the
+# query INJECTS composed/decomposed suffixes deterministically by
+# doc_id in BOTH engines (the x111 PII-injection pattern) — the
+# normalizer provably fires (changed=true rows exist) and its output
+# digests are hash-checked byte-for-byte against DuckDB's
+# nfc_normalize. Spark side runs stdlib unicodedata inside one
+# Arrow-batched mapInPandas (no JVM NFC builtin) — map-only, no
+# shuffle; at 100 TB this rides the same scan as the rest of the
+# cleaning pass.
+# ---------------------------------------------------------------------------
+@query(
+    "x143_unicode_normalize",
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id,
+               text || CASE
+                   WHEN doc_id % 3 = 0 THEN ' caf' || chr(101) || chr(769)
+                   WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                   ELSE ''
+               END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(raw) <> raw AS changed,
+           CAST(len(raw) AS BIGINT) AS n_chars_raw,
+           CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_chars_norm,
+           md5(nfc_normalize(raw)) AS norm_md5
+    FROM injected
+    """,
+)
+def x143_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    # Two literals that RENDER identically but are different codepoint
+    # sequences: branch 0 decomposed (e U+0065 + combining acute U+0301,
+    # which NFC composes), branch 1 precomposed (U+00E9, an NFC
+    # fixpoint). Written as escapes so no editor/tool can silently
+    # recompose them; mirrors the oracle's chr(101)||chr(769) / chr(233).
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" caf\u0065\u0301"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" caf\u00e9"))
+        .otherwise(F.lit(""))
+    )
+    injected = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("raw")
+    )
+
+    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = pdf["raw"].map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "changed": norm != pdf["raw"],
+                    "n_chars_raw": pdf["raw"].str.len().astype("int64"),
+                    "n_chars_norm": norm.str.len().astype("int64"),
+                    "norm_md5": norm.map(
+                        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+
+    return injected.mapInPandas(
+        normalize,
+        schema="doc_id bigint, changed boolean, n_chars_raw bigint, "
+        "n_chars_norm bigint, norm_md5 string",
+    )
