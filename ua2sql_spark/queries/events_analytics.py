@@ -305,3 +305,84 @@ def q82_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q144: time-series gap fill + forward fill — the resampling operator
+# every metrics/feature pipeline needs: project irregular events onto a
+# regular (user × day) grid, then carry the last observation forward
+# across silent days (LOCF). The grid is generated, not scanned:
+# sequence() over the corpus's [min_day, max_day] span (a 1-row
+# broadcast, the x138 teleport-denominator shape) crossed with the
+# distinct-user list, so grid size is |users| × |days| regardless of
+# event count. The forward fill is one window (last ignorenulls over
+# an unbounded-preceding frame) — at 100 TB this partitions by the
+# entity key, the same key the daily aggregate already shuffled on, so
+# AQE reuses the partitioning and the fill adds NO extra exchange.
+# Days before a user's first activity stay NULL (is_observed marks
+# real vs carried rows); daily sums run the exact-decimal interior.
+# ---------------------------------------------------------------------------
+@query(
+    "q144_gap_fill_locf",
+    oracle=f"""
+    WITH span AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    grid AS (
+        SELECT u.user_id, CAST(g.day AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ) g
+    ),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               {sql_dsum('value')} AS day_sum
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+           d.day_sum IS NOT NULL AS is_observed,
+           last_value(d.day_sum IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def q144_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    users = e.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("day_sum")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # timestamp, not date: the comparison contract normalizes
+            # datetime64 on both sides; date objects don't roundtrip.
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("day_sum").isNotNull().alias("is_observed"),
+            F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )
