@@ -75,6 +75,7 @@ def test_driver_window_families():
         "q114_approx_percentile_contract", "q123_hll_union_contract",
         "q40_tumbling_window",
         "x41_exact_dedup", "x43_minhash_lsh_neardup", "x96_neardup_clusters",
+        "x141_span_dedup", "q140_bitmap_exact_distinct",
         "x115_neardup_clusters_fast", "x117_incremental_dedup",
         "x101_minhash_fast_exact_tier",
         "x130_hybrid_search_rrf", "x46_ann_bucketed", "x71_ivf_ann",

@@ -511,3 +511,86 @@ def q140_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderpriority").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145: A/B experiment readout — Welch's t-statistic per metric from
+# EXACT sums (the q137/q21 policy applied to experimentation): the
+# assignment is a deterministic user-id hash (the operators/split.py
+# discipline — rerun-stable, no RNG), and every moment derives from
+# decimal-interior sums, so the verdict bit is identical across
+# engines, partitionings, and reruns. IEEE sqrt/division are
+# correctly-rounded on identical operands, so even t itself matches
+# bit-for-bit. One shuffle (event_type × arm partial aggregate),
+# closed forms on one row per metric.
+# ---------------------------------------------------------------------------
+@query(
+    "q145_ab_welch_ttest",
+    oracle=f"""
+    WITH arms AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS INTEGER) AS arm,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('value')} AS s,
+               {sql_dsum('value * value')} AS ss
+        FROM events
+        GROUP BY event_type, CAST(user_id % 2 AS INTEGER)
+    ),
+    wide AS (
+        SELECT event_type,
+               MAX(CASE WHEN arm = 0 THEN n END) AS na,
+               MAX(CASE WHEN arm = 0 THEN s END) AS sa,
+               MAX(CASE WHEN arm = 0 THEN ss END) AS ssa,
+               MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+               MAX(CASE WHEN arm = 1 THEN s END) AS sb,
+               MAX(CASE WHEN arm = 1 THEN ss END) AS ssb
+        FROM arms GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND(sa / na, 6) AS mean_a,
+           ROUND(sb / nb, 6) AS mean_b,
+           ROUND((sa / na - sb / nb)
+                 / SQRT(((ssa - sa * sa / na) / (na - 1)) / na
+                        + ((ssb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_welch,
+           ABS((sa / na - sb / nb)
+               / SQRT(((ssa - sa * sa / na) / (na - 1)) / na
+                      + ((ssb - sb * sb / nb) / (nb - 1)) / nb)) > 1.96
+               AS significant_95
+    FROM wide
+    """,
+)
+def q145_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    arms = e.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(v).alias("s"),
+        dsum(v * v).alias("ss"),
+    )
+
+    def pick(col: str, arm: int):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    wide = arms.groupBy("event_type").agg(
+        pick("n", 0).alias("na"), pick("s", 0).alias("sa"), pick("ss", 0).alias("ssa"),
+        pick("n", 1).alias("nb"), pick("s", 1).alias("sb"), pick("ss", 1).alias("ssb"),
+    )
+    na, sa, ssa = F.col("na"), F.col("sa"), F.col("ssa")
+    nb, sb, ssb = F.col("nb"), F.col("sb"), F.col("ssb")
+    t = (sa / na - sb / nb) / F.sqrt(
+        ((ssa - sa * sa / na) / (na - 1)) / na
+        + ((ssb - sb * sb / nb) / (nb - 1)) / nb
+    )
+    return wide.select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_welch"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )

@@ -68,7 +68,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # int8-quantized retrieval path gains its recall gate). Everything
 # below the fold stays covered by the local oracle suite
 # (tests/test_oracle.py runs ALL registered queries) and the alt-SF
-# sweep.
+# sweep. Final late-r5 swaps: q18 -> q140 (exact percentiles are
+# recomputed INSIDE q114's contract oracle; the bitmap exact-distinct
+# tier is a new mergeable-exactness family), x81 -> x141 (survivor
+# selection is semantically inside x96's min-id clusters; span-level
+# dedup is a new sub-document family).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational: filters+projection rep, every join flavor
     "q01_pricing_summary",
@@ -85,7 +89,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q13_groupby_having",
     "q123_hll_union_contract",
     "q16_rollup",
-    "q18_percentiles",
+    "q140_bitmap_exact_distinct",
     "q19_max_by_checkpoint",
     "q20_collect_set",
     "q114_approx_percentile_contract",
@@ -105,7 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # xxhash64 production family), incremental index
     "x41_exact_dedup",
     "x43_minhash_lsh_neardup",
-    "x81_neardup_dedup",
+    "x141_span_dedup",
     "x96_neardup_clusters",
     "x115_neardup_clusters_fast",
     "x117_incremental_dedup",
