@@ -594,3 +594,62 @@ def q145_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_welch"),
         (F.abs(t) > 1.96).alias("significant_95"),
     )
+
+# ---------------------------------------------------------------------------
+# q146: equi-WIDTH histogram — the fixed-bin complement to NTILE's
+# equi-depth deciles (q118) and the percentile sketches (q114): bin
+# boundaries are a pure function of the domain (no data-dependent
+# cuts), so per-partition histograms merge by adding counts — the
+# mergeable shape data-profiling passes want. The bucket expression is
+# written out identically in both engines (floor((x-lo)·n/(hi-lo))+1
+# with edge clamps) rather than via a width_bucket builtin, so the
+# bucket id is the same IEEE arithmetic on both sides at every
+# boundary. One partial-agg shuffle on (priority, bucket).
+# ---------------------------------------------------------------------------
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600_000.0, 12
+
+
+def _bucket_sql(x: str) -> str:
+    return (
+        f"CASE WHEN {x} < {_HIST_LO} THEN 0 "
+        f"WHEN {x} >= {_HIST_HI} THEN {_HIST_N + 1} "
+        f"ELSE CAST(FLOOR((({x} - {_HIST_LO}) * {_HIST_N}.0) / ({_HIST_HI} - {_HIST_LO})) AS BIGINT) + 1 END"
+    )
+
+
+@query(
+    "q146_histogram_equi_width",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST({_bucket_sql('o_totalprice')} AS BIGINT) AS bucket,
+           ROUND({_HIST_LO} + ({_bucket_sql('o_totalprice')} - 1)
+                 * ({_HIST_HI} - {_HIST_LO}) / {_HIST_N}, 2) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q146_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x < _HIST_LO, F.lit(0))
+        .when(x >= _HIST_HI, F.lit(_HIST_N + 1))
+        .otherwise(
+            F.floor(((x - _HIST_LO) * float(_HIST_N)) / (_HIST_HI - _HIST_LO)).cast(
+                "bigint"
+            )
+            + 1
+        )
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            bucket.cast("bigint").alias("bucket"),
+            F.round(
+                _HIST_LO + (bucket - 1) * (_HIST_HI - _HIST_LO) / _HIST_N, 2
+            ).alias("bucket_lo"),
+        )
+        .groupBy("o_orderpriority", "bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )

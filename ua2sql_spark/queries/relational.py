@@ -394,3 +394,66 @@ def q116_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
         F.coalesce(F.col("n_low"), F.lit(0)).alias("n_low"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x146: record linkage / entity resolution — the structured-data
+# sibling of text near-dup: BLOCK on cheap exact keys (nation ×
+# market segment — the shuffle key), compare only within blocks
+# (pairs bounded by block size, never |table|²), score candidate
+# pairs with an edit-distance feature, and emit matches under a
+# deterministic rule. Levenshtein is exact integer DP in both engines.
+# At 100 TB the blocking key IS the partitioning: each block's pair
+# expansion happens inside one task, the x43 bucket discipline applied
+# to entities. The a.key < b.key guard keeps each pair once.
+# ---------------------------------------------------------------------------
+@query(
+    "x146_record_linkage",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_nationkey AS nation, a.c_mktsegment AS segment,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+           ROUND(ABS(a.c_acctbal - b.c_acctbal), 2) AS bal_gap,
+           (levenshtein(a.c_name, b.c_name) <= 1
+            AND ABS(a.c_acctbal - b.c_acctbal) < 1000.0) AS is_match
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def x146_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, ["nation", "segment"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 2)
+        .select(
+            "id_a",
+            "id_b",
+            "nation",
+            "segment",
+            dist.cast("bigint").alias("name_dist"),
+            F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 2).alias("bal_gap"),
+            (
+                (dist <= 1)
+                & (F.abs(F.col("bal_a") - F.col("bal_b")) < 1000.0)
+            ).alias("is_match"),
+        )
+    )
