@@ -389,3 +389,53 @@ def test_export_jsonl_gz_roundtrip(spark, tmp_path):
     assert {r["doc_id"] for r in back.collect()} == {
         r["doc_id"] for r in d.collect()
     }
+
+
+def test_unity_backup_writer_atomic_commit(spark, tmp_path):
+    """Python DataSource WRITER leg: tasks stage hidden shards, the
+    driver's commit publishes them + a manifest atomically; overwrite
+    replaces prior shards; abort leaves nothing visible. Read-back via
+    Spark's JSON reader must reproduce the rows exactly."""
+    import gzip
+    import json
+    import os
+
+    from ua2sql_spark.sources.datasource import (
+        UnityBackupDataSource,
+        UnityBackupWriter,
+        _BackupCommit,
+    )
+
+    spark.dataSource.register(UnityBackupDataSource)
+    path = str(tmp_path / "backup")
+    df = spark.range(100).selectExpr("id", "id * 3 AS v").repartition(4)
+    df.write.format("unity_backup").option("path", path).mode("append").save()
+
+    files = sorted(os.listdir(path))
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 4 and "_MANIFEST.json" in files
+    assert not [f for f in files if f.startswith(".staged")]
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    assert sum(s["rows"] for s in manifest["shards"]) == 100
+
+    back = spark.read.json(os.path.join(path, "part-*.jsonl.gz"))
+    got = {(r["id"], r["v"]) for r in back.collect()}
+    assert got == {(i, i * 3) for i in range(100)}
+
+    # overwrite: fewer tasks -> old shards must not survive
+    df2 = spark.range(10).selectExpr("id", "id AS v").repartition(1)
+    df2.write.format("unity_backup").option("path", path).mode("overwrite").save()
+    parts2 = [f for f in sorted(os.listdir(path)) if f.startswith("part-")]
+    assert len(parts2) == 1
+    assert json.load(open(os.path.join(path, "_MANIFEST.json")))["total_rows"] == 10
+
+    # abort sweeps staged files and publishes nothing
+    staged = os.path.join(path, ".staged-deadbeef.jsonl.gz")
+    with gzip.open(staged, "wt") as fh:
+        fh.write("{}\n")
+    UnityBackupWriter(path, overwrite=False).abort(
+        [_BackupCommit(staged=staged, rows=1)]
+    )
+    assert not os.path.exists(staged)
+    assert len([f for f in os.listdir(path) if f.startswith("part-")]) == 1

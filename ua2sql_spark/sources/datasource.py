@@ -302,3 +302,92 @@ def parse_export_manifest(df, feed: str):
                 yield pd.DataFrame(rows, columns=cols, dtype=object)
 
     return df.mapInPandas(_parse, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Writer leg: `unity_backup` — the reference's backup/archive sink
+# (ua2sql.py: backup of job results to disk) as a TRANSACTIONAL Python
+# DataSource writer. Demonstrates the DSv2 commit protocol in the
+# Python API: each task streams its rows to a hidden .staged shard and
+# returns a WriterCommitMessage; only the DRIVER's commit() publishes
+# (renames) the shards and writes the _MANIFEST.json — so readers
+# never observe a partial write, and a failed/speculated task's
+# leftovers are invisible by construction (and swept by abort()).
+# Complements sources/corpus_export.py (which targets fixed shard
+# COUNTS via hash-sharding); this sink preserves the DataFrame's own
+# partitioning — one shard per task, the natural shape when an
+# upstream repartition already sized the work.
+# ---------------------------------------------------------------------------
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _BackupCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class UnityBackupDataSource(DataSource):
+    """gzip-JSONL archive sink with driver-side atomic publication."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "unity_backup"
+
+    def writer(self, schema: StructType, overwrite: bool) -> "UnityBackupWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("unity_backup requires .option('path', ...)")
+        return UnityBackupWriter(path, overwrite)
+
+
+class UnityBackupWriter(DataSourceWriter):
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _BackupCommit:
+        # Executor-side: stream rows to a hidden staged shard. The
+        # leading dot keeps Spark/DuckDB globs from ever reading it.
+        import gzip
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}.jsonl.gz")
+        n = 0
+        with gzip.open(staged, "wt", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(recursive=True),
+                                    sort_keys=True, default=str))
+                fh.write("\n")
+                n += 1
+        return _BackupCommit(staged=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        # Driver-side: publish atomically — rename every staged shard
+        # to its final name (task-order indexed), then the manifest.
+        import json
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
+        manifest = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl.gz")
+            os.replace(m.staged, final)
+            manifest.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump({"shards": manifest, "total_rows": sum(s["rows"] for s in manifest)}, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
