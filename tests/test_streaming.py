@@ -523,3 +523,62 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
     assert 2 in got, sorted(got)
     assert got[2]["click_ts"] is None  # the unconverted impression
+
+
+def test_timer_closed_sessions_tws(spark, tmp_path):
+    """T10 timers: a per-user session closes exactly when the WATERMARK
+    passes (last_seen + GAP) — handleExpiredTimer emits the summary and
+    clears state. Three single-file microbatches (maxFilesPerTrigger=1)
+    advance the watermark deterministically: user 1's timer (10:00:40)
+    expires during batch 3 (watermark 10:10:00 from batch 2); user 2's
+    (10:10:30) expires in the final AvailableNow flush batch (watermark
+    10:20:00); user 3's (10:20:30) is beyond the final watermark and
+    stays pending — exactly two emitted rows, user 3 absent."""
+    pytest.importorskip("google.protobuf")
+    from ua2sql_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        session_timeout_tws,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    waves = [
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:00:10", "user_id": 1, "value": 2.0},
+        ],
+        [{"event_id": 3, "ts": "2024-01-01 10:10:00", "user_id": 2, "value": 3.0}],
+        [{"event_id": 4, "ts": "2024-01-01 10:20:00", "user_id": 3, "value": 4.0}],
+    ]
+    for i, rows in enumerate(waves):
+        p = src / f"wave{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .select("user_id", "ts")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        _run_to_memory(session_timeout_tws(stream), "timer_sessions", "append")
+        got = {
+            r["user_id"]: (r["n_events"], r["first_ms"], r["last_ms"])
+            for r in spark.sql("SELECT * FROM timer_sessions").collect()
+        }
+        t0 = 1_704_103_200_000  # 2024-01-01 10:00:00 UTC in epoch ms
+        assert got == {
+            1: (2, t0, t0 + 10_000),
+            2: (1, t0 + 600_000, t0 + 600_000),
+        }, got
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -122,3 +122,97 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# T10 extension: TIMER-driven session timeout — the stateful pattern
+# watermark-windowed aggregation cannot express: emit a per-user
+# session summary exactly when the user goes quiet for GAP, not when a
+# fixed window closes. Event-time timers make it deterministic: the
+# processor re-registers a timer at (last_seen + GAP) on every input,
+# and when the WATERMARK passes that mark Spark calls
+# handleExpiredTimer — so expiry is driven by data progress, never by
+# wall-clock (replayable, testable, skew-tolerant). Stale timers (the
+# user came back before the old timer fired) are detected by
+# re-checking the expiry condition against current state; the live
+# timer set is pruned with deleteTimer. State clears on emission, so
+# per-key state is O(1) and the RocksDB store bounds total state by
+# ACTIVE sessions only.
+# ---------------------------------------------------------------------------
+SESSION_GAP_MS = 30_000
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, first_ms BIGINT, last_ms BIGINT"
+)
+_SESSION_STATE_SCHEMA = "n BIGINT, first_ms BIGINT, last_ms BIGINT"
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Close a user session GAP ms after their last event (event time)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._sess = handle.getValueState("sess", _SESSION_STATE_SCHEMA)
+        self._handle = handle
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, first_ms, last_ms = (
+            self._sess.get() if self._sess.exists() else (0, None, None)
+        )
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            n += len(ms)
+            first_ms = min(ms) if first_ms is None else min(first_ms, min(ms))
+            last_ms = max(ms) if last_ms is None else max(last_ms, max(ms))
+        if n:
+            self._sess.update((n, first_ms, last_ms))
+            # one live timer per key: drop superseded marks, arm the new one
+            for t in self._handle.listTimers():
+                if t != last_ms + SESSION_GAP_MS:
+                    self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_ms + SESSION_GAP_MS)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self._sess.exists():
+            return iter(())
+        n, first_ms, last_ms = self._sess.get()
+        if expiredTimerInfo.getExpiryTimeInMs() < last_ms + SESSION_GAP_MS:
+            return iter(())  # stale: the user came back, a newer timer exists
+        self._sess.clear()
+        (user_id,) = key
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "first_ms": [first_ms],
+                        "last_ms": [last_ms],
+                    }
+                )
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_timeout_tws(events: DataFrame) -> DataFrame:
+    """Timer-closed sessions over a watermarked event stream; requires
+    the RocksDB state store provider (ROCKSDB_PROVIDER)."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionTimeoutProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
