@@ -582,3 +582,58 @@ def test_timer_closed_sessions_tws(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_typed_state_map_and_list_profile(spark, tmp_path):
+    """MapState (per-type counts, entry-local upserts) + ListState
+    (last-3 recency buffer, appendList/truncate) — the remaining typed
+    state handles, asserted across two microbatches so state genuinely
+    persists between them."""
+    pytest.importorskip("google.protobuf")
+    from ua2sql_spark.streaming.stateful import ROCKSDB_PROVIDER, user_profiles_tws
+
+    src = tmp_path / "prof_src"
+    src.mkdir()
+    waves = [
+        [
+            {"user_id": 1, "event_type": "buy", "value": 1.0},
+            {"user_id": 1, "event_type": "view", "value": 2.0},
+            {"user_id": 1, "event_type": "view", "value": 3.0},
+        ],
+        [
+            {"user_id": 1, "event_type": "buy", "value": 4.0},
+            {"user_id": 1, "event_type": "buy", "value": 5.0},
+        ],
+    ]
+    for i, rows in enumerate(waves):
+        p = src / f"w{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_100 + i, 1_700_000_100 + i))
+
+    schema = "user_id BIGINT, event_type STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        _run_to_memory(user_profiles_tws(stream), "profiles", "update")
+        rows = spark.sql(
+            "SELECT * FROM profiles"
+        ).collect()
+        # update mode memory sink keeps one row per batch; the LAST row
+        # is the final profile: counts buy=3 > view=2, recency = last 3
+        last = rows[-1]
+        assert (last["n_types"], last["top_type"], last["top_type_n"]) == (2, "buy", 3)
+        assert (last["recent_n"], last["recent_sum"]) == (3, 3.0 + 4.0 + 5.0)
+        first = rows[0]
+        assert (first["top_type"], first["top_type_n"]) == ("view", 2)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

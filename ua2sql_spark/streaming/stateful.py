@@ -216,3 +216,72 @@ def session_timeout_tws(events: DataFrame) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed-state completion: ListState + MapState in one processor — the
+# per-user event-type profile a feature store maintains online:
+# MapState holds per-event-type counts (point lookups + upserts, no
+# full-map rewrite — RocksDB stores each map entry as its own KV, so a
+# 1M-type map costs one entry touch per event), ListState holds the
+# last-N event values (appendList + truncate-on-read; bounded recency
+# buffer). Together with the ValueState processors above this exercises
+# every typed-state handle the Spark 4 API offers.
+# ---------------------------------------------------------------------------
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_types BIGINT, top_type STRING, top_type_n BIGINT, "
+    "recent_n BIGINT, recent_sum DOUBLE"
+)
+_PROFILE_RECENT_KEEP = 3
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Per-user online profile: event-type counts (MapState) + last-N
+    values (ListState)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "t STRING", "n BIGINT")
+        self._recent = handle.getListState("recent", "v DOUBLE")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        appended = []
+        for pdf in rows:
+            for t, n in pdf.groupby("event_type").size().items():
+                cur = self._counts.getValue((t,)) if self._counts.containsKey((t,)) else None
+                self._counts.updateValue((t,), ((cur[0] if cur else 0) + int(n),))
+            appended.extend((float(v),) for v in pdf["value"])
+        if appended:
+            self._recent.appendList(appended)
+        # truncate the recency buffer to the last N (list is append-ordered)
+        vals = [v[0] for v in self._recent.get()]
+        if len(vals) > _PROFILE_RECENT_KEEP:
+            vals = vals[-_PROFILE_RECENT_KEEP:]
+            self._recent.put([(v,) for v in vals])
+        counts = {t[0]: n[0] for t, n in self._counts.iterator()}
+        top = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_types": [len(counts)],
+                "top_type": [top[0]],
+                "top_type_n": [top[1]],
+                "recent_n": [len(vals)],
+                "recent_sum": [float(sum(vals))],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """Map+List typed-state profile; requires the RocksDB provider."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
