@@ -647,8 +647,15 @@ _CDC_PAT = ("00", "40", "80", "c0")  # 4/256 -> mean chunk ~64 chars
 def x142_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    cuts = F.filter(
+    # Guard: Spark's sequence(1, n) DESCENDS for n < 1 (unlike DuckDB's
+    # empty range), so texts shorter than the boundary window must get
+    # an explicitly empty cut list — they become one whole-text chunk.
+    positions = F.when(
+        F.length(t) >= _CDC_W,
         F.sequence(F.lit(1), F.length(t) - (_CDC_W - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        positions,
         lambda i: F.substring(F.md5(t.substr(i, F.lit(_CDC_W))), 1, 2).isin(
             *_CDC_PAT
         ),
