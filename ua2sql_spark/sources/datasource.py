@@ -330,7 +330,14 @@ class _BackupCommit(WriterCommitMessage):
 
 
 class UnityBackupDataSource(DataSource):
-    """gzip-JSONL archive sink with driver-side atomic publication."""
+    """gzip-JSONL archive sink with driver-side atomic publication.
+
+    Targets a filesystem shared by driver and executors (local mode,
+    NFS, a fuse-mounted store) — the reference's disk-backup analog.
+    The atomic step is os.replace, so an object-store deployment would
+    swap the rename for a staged-multipart commit; the task/driver
+    commit PROTOCOL (stage → message → publish) is the part that
+    carries over unchanged."""
 
     @classmethod
     def name(cls) -> str:
