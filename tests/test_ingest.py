@@ -430,6 +430,15 @@ def test_unity_backup_writer_atomic_commit(spark, tmp_path):
     assert len(parts2) == 1
     assert json.load(open(os.path.join(path, "_MANIFEST.json")))["total_rows"] == 10
 
+    # append after overwrite must EXTEND: new shards number past the
+    # existing ones, the manifest unions prior + new
+    df3 = spark.range(5).selectExpr("id", "id AS v").repartition(1)
+    df3.write.format("unity_backup").option("path", path).mode("append").save()
+    parts3 = [f for f in sorted(os.listdir(path)) if f.startswith("part-")]
+    assert parts3 == ["part-00000.jsonl.gz", "part-00001.jsonl.gz"]
+    man3 = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert man3["total_rows"] == 15 and len(man3["shards"]) == 2
+
     # abort sweeps staged files and publishes nothing
     staged = os.path.join(path, ".staged-deadbeef.jsonl.gz")
     with gzip.open(staged, "wt") as fh:
@@ -438,4 +447,4 @@ def test_unity_backup_writer_atomic_commit(spark, tmp_path):
         [_BackupCommit(staged=staged, rows=1)]
     )
     assert not os.path.exists(staged)
-    assert len([f for f in os.listdir(path) if f.startswith("part-")]) == 1
+    assert len([f for f in os.listdir(path) if f.startswith("part-")]) == 2

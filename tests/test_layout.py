@@ -298,3 +298,31 @@ def test_write_with_bloom_adds_filters(spark, tmp_path):
     assert size(bloomed) - size(plain) > 100 * 1024, (size(plain), size(bloomed))
     got = spark.read.parquet(bloomed).orderBy("k").collect()
     assert len(got) == 200_000 and got[17]["v"] == 34
+
+
+def test_manifest_keeps_stats_less_files(spark, tmp_path):
+    """Files whose columns carry no statistics must surface as NULL
+    min/max in the manifest and be conservatively KEPT by prune_files —
+    data skipping may only skip what stats PROVE absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ua2sql_spark.operators.manifest import build_file_manifest, prune_files
+
+    path = tmp_path / "tbl"
+    path.mkdir()
+    spark.range(0, 50).selectExpr("id AS k").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(path))
+    # a second file written WITHOUT statistics, holding k in [1000, 1010)
+    t = pa.table({"k": pa.array(range(1000, 1010), pa.int64())})
+    pq.write_table(t, path / "nostats.parquet", write_statistics=False)
+
+    manifest = build_file_manifest(spark, str(path), columns=["k"])
+    rows = {r["file"].split("/")[-1]: r for r in manifest.collect()}
+    assert rows["nostats.parquet"]["min_val"] is None
+    # a probe far outside the stats-bearing file's range must still
+    # keep the stats-less file (it might hold matches — and does)
+    kept = prune_files(manifest, "k", 1005, 1006)
+    assert any(f.endswith("nostats.parquet") for f in kept), kept
+    assert not any("nostats" not in f for f in kept), kept

@@ -545,9 +545,10 @@ def test_thumbnail_chain_all_formats():
         "gif": encode_gif(50, 25, [flat], bytes(50 * 25)),
     }
     for name, payload in sources.items():
-        thumb = thumbnail_real(payload, target_long_side=16, quality=90)
+        thumb, tw, th = thumbnail_real(payload, target_long_side=16, quality=90)
         d = decode_image_real(thumb)
         src = decode_image_real(payload)
+        assert (d["width"], d["height"]) == (tw, th), name
         assert max(d["width"], d["height"]) == 16, name
         assert (d["width"], d["height"]) == resize_dims(
             src["width"], src["height"], 16
@@ -896,3 +897,72 @@ def test_real_frame_sampling_mapinpandas(spark):
     assert out[out.doc_id == 1].frame_no.tolist() == [0, 3]
     assert out[out.doc_id == 2].frame_no.tolist() == [0, 3, 6]
     assert set(out[out.doc_id == 2].width) == {24}
+
+
+def test_probe_image_dims_header_only():
+    """Triage must never pay a pixel decode: dims come from headers for
+    every format, INCLUDING payloads whose full decode would fail —
+    a valid-IHDR PNG with garbage IDAT and a progressive JPEG both
+    probe fine while decode_raster raises on them."""
+    from ua2sql_spark.functions.gif import encode_gif
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+    from ua2sql_spark.functions.media import (
+        decode_raster,
+        probe_image_dims,
+        probe_media_metadata,
+    )
+
+    flat = bytes([90, 150, 210])
+    for name, payload, wh in [
+        ("ppm", ppm(64, 32), (64, 32)),
+        ("bmp", bmp24(48, 64), (48, 64)),
+        ("png", png(40, 20, [[(1, 2, 3)] * 40] * 20), (40, 20)),
+        ("jpeg", encode_jpeg(32, 48, 3, flat * (32 * 48)), (32, 48)),
+        ("gif", encode_gif(50, 25, [flat], bytes(50 * 25)), (50, 25)),
+    ]:
+        assert probe_image_dims(payload) == wh, name
+        assert decode_raster(payload)[:2] == wh, name  # header agrees with decode
+
+    # valid IHDR, corrupt IDAT: decode raises, probe still answers
+    broken_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 123, 45, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", b"not-deflate-data")
+        + _png_chunk(b"IEND", b"")
+    )
+    assert probe_image_dims(broken_png) == (123, 45)
+    with pytest.raises(NotImplementedError):
+        decode_raster(broken_png)
+    assert probe_media_metadata(broken_png)["width"] == 123
+
+    # progressive JPEG (SOF2): decode is unsupported, dims still probe
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11) + bytes([8]) +
+        struct.pack(">HH", 77, 99) + bytes([1, 1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    assert probe_image_dims(sof2) == (99, 77)
+    with pytest.raises(NotImplementedError):
+        decode_raster(sof2)
+
+
+def test_aifc_sowt_little_endian_decode():
+    """AIFF-C 'sowt' is byte-swapped (little-endian) PCM — the samples
+    must decode to the same values as their big-endian AIFF twin, not
+    byte-swapped garbage."""
+    samples = [1000, -1000] * 100
+    # reuse the 80-bit rate bytes: COMM body starts at offset 20, the
+    # extended float sits after channels(2)+frames(4)+bits(2)
+    ext = aiff(1, 22050, samples)[28:38]
+    comm = struct.pack(">hIh", 1, len(samples), 16) + ext + b"sowt" + b"\x00"
+    ssnd = struct.pack(">II", 0, 0) + struct.pack(f"<{len(samples)}h", *samples)
+    body = (
+        b"AIFC"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm + b"\x00"  # pad odd
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    payload = b"FORM" + struct.pack(">I", len(body)) + body
+    d = decode_audio_real(payload)
+    assert (d["channels"], d["sample_rate"], d["n_samples"]) == (1, 22050, 200)
+    assert d["rms"] == pytest.approx(1000.0)

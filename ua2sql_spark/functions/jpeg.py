@@ -272,6 +272,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 if frame is None:
                     raise JpegError("SOS before SOF")
                 nscan = seg[0]
+                if nscan != len(frame[2]):
+                    # T.81 permits non-interleaved per-component scans;
+                    # decoding only the first would silently return a
+                    # grayscale image for a color JPEG — refuse instead
+                    # (the module contract: unsupported variants raise).
+                    raise JpegError(
+                        f"non-interleaved scan ({nscan} of {len(frame[2])} "
+                        "components): only single-scan interleaved baseline "
+                        "decodes natively"
+                    )
                 scan = []
                 for i in range(nscan):
                     cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]

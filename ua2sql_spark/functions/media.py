@@ -218,6 +218,14 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError("indexed PNG missing PLTE")
         expanded = bytearray(width * height * 3)
         for i, idx in enumerate(out):
+            # A corrupt payload must degrade to NotImplementedError (the
+            # probe/triage contract), never an IndexError that kills the
+            # task; also reject short PLTE entries, whose 3-byte slice
+            # assignment would silently shrink the raster.
+            if idx >= len(palette) or len(palette[idx]) != 3:
+                raise NotImplementedError(
+                    f"PNG palette index {idx} outside {len(palette)}-entry PLTE"
+                )
             expanded[3 * i : 3 * i + 3] = palette[idx]
         return width, height, 3, bytes(expanded)
     return width, height, channels, bytes(out)
@@ -276,11 +284,14 @@ def decode_image_real(payload: bytes) -> dict:
 
 def thumbnail_real(
     payload: bytes, target_long_side: int = 256, quality: int = 85
-) -> bytes:
+) -> tuple[bytes, int, int]:
     """The production thumbnail chain, pure stdlib end-to-end: decode
     any supported format (:func:`decode_raster`), aspect-preserving
     nearest-neighbour downscale (never upscales), re-encode as baseline
-    JPEG (4:2:0 for color). Grayscale sources stay single-channel."""
+    JPEG (4:2:0 for color). Grayscale sources stay single-channel.
+    Returns (jpeg_bytes, width, height) — the dimensions are known from
+    the resize itself, so callers never pay a decode of the thumb just
+    to learn its geometry."""
     from ua2sql_spark.functions.jpeg import encode_jpeg
 
     width, height, channels, raster = decode_raster(payload)
@@ -300,8 +311,13 @@ def thumbnail_real(
                 off = (sy * width + sx) * channels
                 out += raster[off : off + channels]
         raster, width, height = bytes(out), new_w, new_h
-    return encode_jpeg(
-        width, height, channels, raster, quality=quality, subsample=channels == 3
+    return (
+        encode_jpeg(
+            width, height, channels, raster, quality=quality,
+            subsample=channels == 3,
+        ),
+        width,
+        height,
     )
 
 
@@ -613,6 +629,7 @@ def _parse_aiff(payload: bytes) -> tuple[int, int, int, list[int]]:
     channels = rate = n_frames = sampwidth = None
     samples: list[int] = []
     ssnd = None
+    little = False  # AIFF-C 'sowt' = byte-swapped (little-endian) PCM
     while pos + 8 <= len(payload):
         ckid = payload[pos : pos + 4]
         (size,) = struct.unpack_from(">I", payload, pos + 4)
@@ -622,10 +639,13 @@ def _parse_aiff(payload: bytes) -> tuple[int, int, int, list[int]]:
             channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
             rate = int(round(_ext80_to_float(body[8:18])))
             sampwidth = bits
-            if is_aifc and len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
-                raise NotImplementedError(
-                    f"AIFF-C compression {body[18:22]!r} needs an audio codec"
-                )
+            if is_aifc and len(body) >= 22:
+                if body[18:22] == b"sowt":
+                    little = True
+                elif body[18:22] != b"NONE":
+                    raise NotImplementedError(
+                        f"AIFF-C compression {body[18:22]!r} needs an audio codec"
+                    )
         elif ckid == b"SSND":
             (offset, _block) = struct.unpack_from(">II", body, 0)
             ssnd = body[8 + offset :]
@@ -634,7 +654,8 @@ def _parse_aiff(payload: bytes) -> tuple[int, int, int, list[int]]:
     if sampwidth != 16:
         raise NotImplementedError(f"AIFF {sampwidth}-bit samples unsupported")
     n = min(n_frames * channels, len(ssnd) // 2)
-    samples = list(struct.unpack(f">{n}h", ssnd[: 2 * n]))
+    endian = "<" if little else ">"
+    samples = list(struct.unpack(f"{endian}{n}h", ssnd[: 2 * n]))
     return channels, rate, n_frames, samples
 
 
@@ -779,6 +800,75 @@ def probe_mp4(payload: bytes) -> dict:
     return {"brand": brand, "duration_s": duration, "n_tracks": n_tracks}
 
 
+def probe_image_dims(payload: bytes) -> tuple[int, int]:
+    """Header-only image dimensions — the triage path must NEVER pay a
+    pixel decode just to learn geometry (a 12 MP baseline JPEG costs
+    minutes of pure-Python IDCT; its SOF header carries the dims in
+    microseconds). Every supported container stores dims in its first
+    few dozen bytes or marker segments:
+
+    * PNG: IHDR is mandated to be the first chunk (bytes 16..24)
+    * GIF: logical screen descriptor (bytes 6..10)
+    * BMP: BITMAPINFOHEADER (offset 18)
+    * netpbm: ASCII header tokens
+    * JPEG: SOFn marker walk — works for progressive/arithmetic frames
+      too, whose full decode raises
+    * TIFF: IFD entry walk for tags 256/257 (no strip reads)
+
+    Raises NotImplementedError for unrecognized containers (the same
+    contract as the decode tier)."""
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise NotImplementedError("PNG missing leading IHDR")
+        w, h = struct.unpack_from(">II", payload, 16)
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return w, h
+    if payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return w, abs(h)
+    if payload[:2] in (b"P5", b"P6"):
+        w, h, _, _, _ = _parse_pnm(payload)
+        return w, h
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            # any SOFn except DHT(C4)/JPGext(C8)/DAC(CC) carries dims
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                return w, h
+            pos += 2 + seglen
+        raise NotImplementedError("JPEG stream without SOF marker")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        endian = "<" if payload[:2] == b"II" else ">"
+        (ifd,) = struct.unpack_from(endian + "I", payload, 4)
+        (n_entries,) = struct.unpack_from(endian + "H", payload, ifd)
+        w = h = None
+        for i in range(n_entries):
+            off = ifd + 2 + 12 * i
+            tag, typ = struct.unpack_from(endian + "HH", payload, off)
+            if tag in (256, 257):
+                val = struct.unpack_from(
+                    endian + ("H" if typ == 3 else "I"), payload, off + 8
+                )[0]
+                if tag == 256:
+                    w = val
+                else:
+                    h = val
+        if w is None or h is None:
+            raise NotImplementedError("TIFF missing dimension tags")
+        return w, h
+    raise NotImplementedError("unrecognized image container")
+
+
 def probe_media_metadata(payload: bytes) -> dict:
     """Unified media probe: (kind, width, height, duration_s,
     sample_rate, n_tracks) with NULLs for inapplicable fields — the
@@ -807,7 +897,7 @@ def probe_media_metadata(payload: bytes) -> dict:
     )
     try:
         if is_image:
-            w, h, _, _ = decode_raster(payload)
+            w, h = probe_image_dims(payload)  # header-only, no pixel decode
             out.update(kind="image", width=w, height=h)
         elif is_container_audio:
             d = decode_audio_real(payload)

@@ -336,7 +336,15 @@ def vacuum_orphans(
     import time
 
     def _norm(f: str) -> str:
-        return f[len("file:"):] if f.startswith("file:") else f
+        # Manifest entries are fully-qualified URIs (file:/..,
+        # hdfs://nn/.., s3a://bucket/..); the disk walk below compares
+        # scheme-less URI paths, so strip scheme+authority here too —
+        # a prefix-only strip would mark every live file on a remote
+        # filesystem as an orphan.
+        from urllib.parse import urlparse
+
+        parsed = urlparse(f)
+        return parsed.path if parsed.scheme else f
 
     live = {_norm(r["file"]) for r in manifest.select("file").distinct().collect()}
     fs, root = _fs_and_path(spark, path)

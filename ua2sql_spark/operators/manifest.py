@@ -70,16 +70,23 @@ def build_file_manifest(
                 names = meta.schema.names
                 cols = [c for c in (want or names) if c in names]
                 acc: dict[str, list] = {c: [None, None, 0] for c in cols}
+                # A single stats-less row group poisons the whole
+                # file's range for that column: the sentinel must be
+                # STICKY, or a later group's min/max would resurrect a
+                # range that excludes the stats-less group's values and
+                # prune_files would drop files that contain matches.
+                dead: set[str] = set()
                 for rg in range(meta.num_row_groups):
                     g = meta.row_group(rg)
                     for j in range(g.num_columns):
                         c = g.column(j)
                         cname = c.path_in_schema
-                        if cname not in acc:
+                        if cname not in acc or cname in dead:
                             continue
                         s = c.statistics
                         if s is None or not s.has_min_max:
                             acc[cname] = [None, None, None]
+                            dead.add(cname)
                             continue
                         mn, mx, nc = acc[cname]
                         acc[cname] = [

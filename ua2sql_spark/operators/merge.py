@@ -106,6 +106,11 @@ def upsert_parquet(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            # previously unset: restore that, or every later plain
+            # partitioned overwrite in this session silently keeps
+            # stale partitions
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     return int(obs.get["rows"])
 
 

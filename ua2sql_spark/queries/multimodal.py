@@ -140,18 +140,17 @@ def thumbnail_images(
     Payloads in unsupported formats pass through as NULL thumbs rather
     than failing the batch — corrupt media must never kill a 100 TB
     job."""
-    from ua2sql_spark.functions.media import decode_image_real, thumbnail_real
+    from ua2sql_spark.functions.media import thumbnail_real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             thumbs, widths, heights = [], [], []
             for p in pdf["payload"]:
                 try:
-                    t = thumbnail_real(p, target_long_side, quality)
-                    d = decode_image_real(t)
+                    t, w, h = thumbnail_real(p, target_long_side, quality)
                     thumbs.append(t)
-                    widths.append(d["width"])
-                    heights.append(d["height"])
+                    widths.append(w)
+                    heights.append(h)
                 except NotImplementedError:
                     thumbs.append(None)
                     widths.append(None)

@@ -384,12 +384,31 @@ class UnityBackupWriter(DataSourceWriter):
             for f in os.listdir(self.path):
                 if f.startswith("part-") or f == "_MANIFEST.json":
                     os.remove(os.path.join(self.path, f))
-        manifest = []
+        # Append must extend, never clobber: new shards number from one
+        # past the highest existing index, and the manifest carries the
+        # union of surviving prior shards + this commit's.
+        existing = sorted(
+            f for f in os.listdir(self.path)
+            if f.startswith("part-") and f.endswith(".jsonl.gz")
+        )
+        base = (
+            max(int(f.split("-")[1].split(".")[0]) for f in existing) + 1
+            if existing
+            else 0
+        )
+        prior = []
+        mpath = os.path.join(self.path, "_MANIFEST.json")
+        if existing and os.path.exists(mpath):
+            with open(mpath) as fh:
+                prior = [
+                    sh for sh in json.load(fh)["shards"] if sh["file"] in existing
+                ]
+        manifest = list(prior)
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl.gz")
+            final = os.path.join(self.path, f"part-{base + i:05d}.jsonl.gz")
             os.replace(m.staged, final)
             manifest.append({"file": os.path.basename(final), "rows": m.rows})
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        with open(mpath, "w") as fh:
             json.dump({"shards": manifest, "total_rows": sum(s["rows"] for s in manifest)}, fh)
 
     def abort(self, messages) -> None:
