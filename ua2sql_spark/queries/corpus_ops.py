@@ -739,3 +739,113 @@ def x143_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, changed boolean, n_chars_raw bigint, "
         "n_chars_norm bigint, norm_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# x148: DSIR-style importance weighting — Data Selection with
+# Importance Resampling (Xie et al., 2023), the production recipe for
+# "find raw-corpus documents that look like the target domain":
+# featurize text into HASHED n-gram buckets (md5-mod here, the
+# cross-engine hash_bucket discipline), estimate smoothed bucket
+# distributions for the TARGET slice and the RAW corpus, and score
+# every document by its total log-likelihood ratio
+# Σ count_b(doc)·ln(p̂_target[b]/p̂_raw[b]). Positive = more
+# target-like than the corpus average (the selection gate).
+# Determinism: each bucket's log-ratio is rounded to 4 decimals before
+# any aggregation (the x125 libm quantization), and the per-doc sum
+# runs the exact decimal interior.
+# Scale shape: the two distribution estimates are B-bounded aggregates
+# (B=256 rows) broadcast back; scoring is one word-explode joined to
+# the broadcast weights plus ONE per-doc aggregate shuffle — corpus
+# passes: exactly two (estimate + score), both linear.
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_BUCKET_SQL = (
+    "(('0x' || substring(md5(word), 1, 15))::BIGINT % {b})"
+)
+
+
+@query(
+    "x148_dsir_importance",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, lang, {_DSIR_BUCKET_SQL.format(b=_DSIR_B)} AS b
+        FROM words
+    ),
+    tcnt AS (
+        SELECT b, CAST(COUNT(*) AS DOUBLE) AS n FROM bucketed
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    rcnt AS (
+        SELECT b, CAST(COUNT(*) AS DOUBLE) AS n FROM bucketed GROUP BY b
+    ),
+    tot AS (
+        SELECT (SELECT SUM(n) FROM tcnt) AS tt, (SELECT SUM(n) FROM rcnt) AS rt
+    ),
+    weights AS (
+        SELECT r.b,
+               ROUND(LN(((COALESCE(t.n, 0) + 1) / (tot.tt + {_DSIR_B}))
+                        / ((r.n + 1) / (tot.rt + {_DSIR_B}))), 4) AS w
+        FROM rcnt r LEFT JOIN tcnt t ON t.b = r.b CROSS JOIN tot
+    )
+    SELECT doc_id,
+           any_value(lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(CAST(CAST(SUM(CAST(w AS DECIMAL(28,8))) AS STRING) AS DOUBLE), 4)
+               AS importance,
+           CAST(SUM(CAST(w AS DECIMAL(28,8))) AS STRING)::DOUBLE > 0 AS selected
+    FROM bucketed JOIN weights USING (b)
+    GROUP BY doc_id
+    """,
+)
+def x148_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.split import hash_bucket
+    from ua2sql_spark.queries.common import DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    bucketed = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).select("doc_id", "lang", hash_bucket(F.col("word"), _DSIR_B).alias("b"))
+    tcnt = (
+        bucketed.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("tn"))
+    )
+    rcnt = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("rn")
+    )
+    tot = rcnt.join(tcnt, "b", "left").agg(
+        F.sum(F.coalesce("tn", F.lit(0.0))).alias("tt"),
+        F.sum("rn").alias("rt"),
+    )
+    weights = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tn"), F.lit(0.0)) + 1) / (F.col("tt") + _DSIR_B))
+                    / ((F.col("rn") + 1) / (F.col("rt") + _DSIR_B))
+                ),
+                4,
+            ).alias("w"),
+        )
+    )
+    imp = F.sum(F.col("w").cast(DEC)).cast("double")
+    return (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(imp, 4).alias("importance"),
+            (imp > 0).alias("selected"),
+        )
+    )
