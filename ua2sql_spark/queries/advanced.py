@@ -305,3 +305,56 @@ def q63_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word")
+
+
+# ---------------------------------------------------------------------------
+# q147: RECURSIVE CTE — Spark 4's WITH RECURSIVE (UnionLoop execution),
+# the SQL surface for hierarchy walks the engine previously needed the
+# components/pointer-doubling operators for. The hierarchy is derived
+# deterministically from the data (parent(custkey) = custkey DIV 10 —
+# a radix tree over the key space, depth ≈ log10 N, so the loop is
+# provably bounded at any SF): every customer's depth-to-root and its
+# top non-root ancestor. The DuckDB oracle runs the identical recursion
+# with its own integer-division spelling. Scale note: each iteration is
+# one self-join-free projection over the frontier (rows shrink 10× per
+# step) — recursion depth scales with log of the key domain, not rows;
+# for UNBOUNDED or data-skewed graphs the operators/components.py
+# contraction remains the production path (bounded rounds, checkpointed
+# lineage), with q147 as the SQL-native tier for shallow hierarchies.
+# ---------------------------------------------------------------------------
+@query(
+    "q147_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+        FROM customer
+        UNION ALL
+        SELECT node, cur // 10, depth + 1 FROM chain WHERE cur > 0
+    )
+    SELECT node AS c_custkey,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(MAX(CASE WHEN cur > 0 AND cur < 10 THEN cur END) AS BIGINT)
+               AS top_ancestor
+    FROM chain
+    GROUP BY node
+    """,
+)
+def q147_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+            FROM v_customer
+            UNION ALL
+            SELECT node, cur DIV 10 AS cur, depth + 1 AS depth
+            FROM chain WHERE cur > 0
+        )
+        SELECT node AS c_custkey,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(MAX(CASE WHEN cur > 0 AND cur < 10 THEN cur END) AS BIGINT)
+                   AS top_ancestor
+        FROM chain
+        GROUP BY node
+        """
+    )
