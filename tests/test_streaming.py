@@ -637,3 +637,95 @@ def test_typed_state_map_and_list_profile(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_timer_sessions_split_within_one_batch(spark, tmp_path):
+    """Batch-slicing invariance: a single AvailableNow batch holding
+    two gap-separated bursts for one user emits the FIRST session
+    immediately (closed inside the batch) and the second via the final
+    watermark flush — the same two sessions a multi-batch run
+    produces."""
+    pytest.importorskip("google.protobuf")
+    from ua2sql_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        session_timeout_tws,
+    )
+
+    src = tmp_path / "split_src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:00:05", "user_id": 1, "value": 1.0},
+        # > 30 s gap: a new session, same batch
+        {"event_id": 3, "ts": "2024-01-01 10:05:00", "user_id": 1, "value": 1.0},
+    ]
+    with open(src / "all.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # a later second file advances the watermark past the 2nd session
+    with open(src / "later.json", "w") as f:
+        f.write(json.dumps(
+            {"event_id": 9, "ts": "2024-01-01 11:00:00", "user_id": 2, "value": 0.0}
+        ) + "\n")
+    os.utime(src / "all.json", (1_700_000_200, 1_700_000_200))
+    os.utime(src / "later.json", (1_700_000_201, 1_700_000_201))
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .select("user_id", "ts")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        _run_to_memory(session_timeout_tws(stream), "split_sessions", "append")
+        got = sorted(
+            (r["user_id"], r["n_events"], r["first_ms"], r["last_ms"])
+            for r in spark.sql("SELECT * FROM split_sessions").collect()
+        )
+        t0 = 1_704_103_200_000
+        assert got == [
+            (1, 2, t0, t0 + 5_000),               # closed inside the batch
+            (1, 1, t0 + 300_000, t0 + 300_000),   # closed by final flush
+        ] or got == sorted([
+            (1, 2, t0, t0 + 5_000),
+            (1, 1, t0 + 300_000, t0 + 300_000),
+        ]), got
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_typed_state_profile_survives_null_event_type(spark, tmp_path):
+    """A nullable feed column must not kill the query: null event_type
+    counts under a sentinel bucket and the profile still emits."""
+    pytest.importorskip("google.protobuf")
+    from ua2sql_spark.streaming.stateful import ROCKSDB_PROVIDER, user_profiles_tws
+
+    src = tmp_path / "nulltype_src"
+    src.mkdir()
+    with open(src / "w.json", "w") as f:
+        f.write(json.dumps({"user_id": 7, "event_type": None, "value": 2.5}) + "\n")
+        f.write(json.dumps({"user_id": 7, "event_type": "buy", "value": 1.0}) + "\n")
+
+    schema = "user_id BIGINT, event_type STRING, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(src))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        _run_to_memory(user_profiles_tws(stream), "null_profiles", "update")
+        rows = spark.sql("SELECT * FROM null_profiles").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_types"] == 2 and r["recent_sum"] == pytest.approx(3.5)
+        assert r["top_type"] in ("__null__", "buy")  # tie at 1: lex-smaller wins
+        assert r["top_type"] == "__null__"
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -252,7 +252,11 @@ def q61_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     return o.select("o_orderkey", "o_orderdate").withColumns(
         {
-            "due_date": F.add_months(F.col("o_orderdate"), 3).cast("timestamp"),
+            # make_interval, not add_months: add_months returns DATE and
+            # would silently drop any time-of-day where the oracle's
+            # + INTERVAL 3 MONTH preserves it (latent divergence on
+            # non-midnight timestamps)
+            "due_date": F.expr("o_orderdate + make_interval(0, 3)"),
             "month_end": F.last_day("o_orderdate").cast("timestamp"),
             "days_since_epoch_start": F.datediff(
                 F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")

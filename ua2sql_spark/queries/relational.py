@@ -236,8 +236,9 @@ def q07_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
 )
 def q08_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,6 +32,11 @@ IVF_STRIDE = 25
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Unguarded cosine — matches the oracles' plain division exactly.
+    Precondition: non-zero vectors (the fixtures guarantee it; x112's
+    quantizer guards amax=0 separately). Pipelines that may see zero
+    vectors should use functions/arrays.cosine, whose zero-norm branch
+    returns NULL instead of NaN (NaN sorts FIRST under desc rank)."""
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
 
 

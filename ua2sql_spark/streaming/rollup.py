@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 DEC = "decimal(28,8)"
 
@@ -57,7 +58,14 @@ def merge_rollup(
         return
     try:
         existing = spark.read.parquet(rollup_path).filter(F.col("day").isin(days))
-    except Exception:  # first batch: table does not exist yet
+    except AnalysisException as exc:
+        # ONLY a missing table means "first batch". Any other failure
+        # (corrupt footer, permissions, transient FS error) must
+        # propagate: treating it as absent would overwrite the touched
+        # day partitions with this batch's partials alone, silently
+        # discarding every previously accumulated aggregate for them.
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         existing = None
     merged = partial
     if existing is not None:

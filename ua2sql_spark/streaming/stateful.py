@@ -157,24 +157,56 @@ class SessionTimeoutProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
+        """Fold the batch's event times into gap-separated sessions.
+
+        Sessions that CLOSE inside the batch (a following event more
+        than GAP later) are emitted immediately; only the trailing open
+        session stays in state with a timer at last+GAP. Splitting
+        within the batch makes the output invariant to micro-batch
+        slicing: a backfill replaying a whole day in one AvailableNow
+        batch emits the same session rows as the original run that saw
+        the events across many batches (late data beyond the watermark
+        excepted, as for any event-time operator)."""
+        ms: list[int] = []
+        for pdf in rows:
+            if len(pdf):
+                ms.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        if not ms:
+            return iter(())
+        ms.sort()
         n, first_ms, last_ms = (
             self._sess.get() if self._sess.exists() else (0, None, None)
         )
-        for pdf in rows:
-            if not len(pdf):
-                continue
-            ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            n += len(ms)
-            first_ms = min(ms) if first_ms is None else min(first_ms, min(ms))
-            last_ms = max(ms) if last_ms is None else max(last_ms, max(ms))
-        if n:
-            self._sess.update((n, first_ms, last_ms))
-            # one live timer per key: drop superseded marks, arm the new one
-            for t in self._handle.listTimers():
-                if t != last_ms + SESSION_GAP_MS:
-                    self._handle.deleteTimer(t)
-            self._handle.registerTimer(last_ms + SESSION_GAP_MS)
-        return iter(())
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        for t in ms:
+            if last_ms is not None and t - last_ms > SESSION_GAP_MS:
+                closed.append((n, first_ms, last_ms))
+                n, first_ms = 0, t
+            if first_ms is None:
+                first_ms = t
+            n += 1
+            last_ms = t
+        self._sess.update((n, first_ms, last_ms))
+        # one live timer per key: drop superseded marks, arm the new one
+        for t in self._handle.listTimers():
+            if t != last_ms + SESSION_GAP_MS:
+                self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_ms + SESSION_GAP_MS)
+        if not closed:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(closed),
+                        "n_events": [c[0] for c in closed],
+                        "first_ms": [c[1] for c in closed],
+                        "last_ms": [c[2] for c in closed],
+                    }
+                )
+            ]
+        )
 
     def handleExpiredTimer(
         self, key: tuple, timerValues: TimerValues, expiredTimerInfo
@@ -225,49 +257,69 @@ def session_timeout_tws(events: DataFrame) -> DataFrame:
 # full-map rewrite — RocksDB stores each map entry as its own KV, so a
 # 1M-type map costs one entry touch per event), ListState holds the
 # last-N event values (appendList + truncate-on-read; bounded recency
-# buffer). Together with the ValueState processors above this exercises
-# every typed-state handle the Spark 4 API offers.
+# buffer), and a small ValueState carries the DERIVED aggregates
+# (n_types, running top) so emitting a profile never iterates the full
+# map — per-batch cost is O(|batch|) state touches, independent of how
+# many distinct types the user has ever produced.
 # ---------------------------------------------------------------------------
 PROFILE_OUTPUT_SCHEMA = (
     "user_id BIGINT, n_types BIGINT, top_type STRING, top_type_n BIGINT, "
     "recent_n BIGINT, recent_sum DOUBLE"
 )
 _PROFILE_RECENT_KEEP = 3
+_PROFILE_NULL_TYPE = "__null__"  # nullable feeds must not kill the query
 
 
 class UserProfileProcessor(StatefulProcessor):
     """Per-user online profile: event-type counts (MapState) + last-N
-    values (ListState)."""
+    values (ListState) + incrementally maintained top-type
+    (ValueState)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._counts = handle.getMapState("counts", "t STRING", "n BIGINT")
         self._recent = handle.getListState("recent", "v DOUBLE")
+        self._top = handle.getValueState(
+            "top", "n_types BIGINT, top_type STRING, top_n BIGINT"
+        )
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
+        n_types, top_type, top_n = (
+            self._top.get() if self._top.exists() else (0, None, 0)
+        )
         appended = []
         for pdf in rows:
-            for t, n in pdf.groupby("event_type").size().items():
-                cur = self._counts.getValue((t,)) if self._counts.containsKey((t,)) else None
-                self._counts.updateValue((t,), ((cur[0] if cur else 0) + int(n),))
-            appended.extend((float(v),) for v in pdf["value"])
+            types = pdf["event_type"].fillna(_PROFILE_NULL_TYPE)
+            for t, n in types.groupby(types).size().items():
+                if self._counts.containsKey((t,)):
+                    cur = self._counts.getValue((t,))[0]
+                else:
+                    cur, n_types = 0, n_types + 1
+                cur += int(n)
+                self._counts.updateValue((t,), (cur,))
+                # deterministic running top: higher count wins, ties by
+                # lexicographically smaller type
+                if cur > top_n or (cur == top_n and (top_type is None or t < top_type)):
+                    top_type, top_n = t, cur
+            appended.extend((float(v),) for v in pdf["value"].dropna())
         if appended:
             self._recent.appendList(appended)
+        self._top.update((n_types, top_type, top_n))
         # truncate the recency buffer to the last N (list is append-ordered)
         vals = [v[0] for v in self._recent.get()]
         if len(vals) > _PROFILE_RECENT_KEEP:
             vals = vals[-_PROFILE_RECENT_KEEP:]
             self._recent.put([(v,) for v in vals])
-        counts = {t[0]: n[0] for t, n in self._counts.iterator()}
-        top = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if n_types == 0:
+            return iter(())  # nothing countable yet for this user
         (user_id,) = key
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "n_types": [len(counts)],
-                "top_type": [top[0]],
-                "top_type_n": [top[1]],
+                "n_types": [n_types],
+                "top_type": [top_type],
+                "top_type_n": [top_n],
                 "recent_n": [len(vals)],
                 "recent_sum": [float(sum(vals))],
             }
