@@ -62,6 +62,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # Deliberately left set for the session (NOT save/restored like the
+    # write-side confs): the DataFrame is lazy, so the conf must still
+    # hold when an action later re-reads the footers — restoring it here
+    # would make the returned frame fail at execution time. Session-wide
+    # effect: other TIMESTAMP(NANOS) parquet reads surface as bigint
+    # instead of erroring, which is this engine's documented contract
+    # for nanos columns anyway (ns→µs handled explicitly, as below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     df = spark.read.parquet(path)

@@ -238,32 +238,45 @@ def decode_raster(payload: bytes) -> tuple[int, int, int, bytes]:
     PNG, baseline JPEG, GIF. Unsupported formats raise
     ``NotImplementedError`` naming the missing dependency."""
     magic = payload[:2]
-    if magic in (b"P5", b"P6"):
-        width, height, maxval, channels, raster = _parse_pnm(payload)
-        if maxval != 255 and raster:  # normalize to 8-bit
-            raster = bytes(min(255, s * 255 // maxval) for s in raster)
-        return width, height, channels, raster
-    if magic == b"BM":
-        width, height, bytes_px, rows = _parse_bmp(payload)
-        # BMP rows are bottom-up BGR(A); emit top-down RGB
-        out = bytearray()
-        for row in reversed(rows):
-            for x in range(width):
-                px = row[x * bytes_px : x * bytes_px + 3]
-                out += bytes([px[2], px[1], px[0]])
-        return width, height, 3, bytes(out)
-    if payload[: len(PNG_SIG)] == PNG_SIG:
-        return _parse_png(payload)
-    if magic == b"\xff\xd8":
-        from ua2sql_spark.functions.jpeg import decode_jpeg
+    try:
+        # Truncated/corrupt payloads surface as raw struct/Index/Value
+        # errors from the binary parsers; the decode tier's contract is
+        # NotImplementedError for ANYTHING it cannot decode, so the
+        # mapInPandas operators' per-row guards (thumbnail_images,
+        # probe_media) stay airtight — a corrupt payload must never
+        # kill a 100 TB job.
+        if magic in (b"P5", b"P6"):
+            width, height, maxval, channels, raster = _parse_pnm(payload)
+            if len(raster) < width * height * channels:
+                raise NotImplementedError("netpbm raster shorter than dimensions")
+            if maxval != 255 and raster:  # normalize to 8-bit
+                raster = bytes(min(255, s * 255 // maxval) for s in raster)
+            return width, height, channels, raster
+        if magic == b"BM":
+            width, height, bytes_px, rows = _parse_bmp(payload)
+            if any(len(row) < width * bytes_px for row in rows):
+                raise NotImplementedError("BMP pixel data shorter than dimensions")
+            # BMP rows are bottom-up BGR(A); emit top-down RGB
+            out = bytearray()
+            for row in reversed(rows):
+                for x in range(width):
+                    px = row[x * bytes_px : x * bytes_px + 3]
+                    out += bytes([px[2], px[1], px[0]])
+            return width, height, 3, bytes(out)
+        if payload[: len(PNG_SIG)] == PNG_SIG:
+            return _parse_png(payload)
+        if magic == b"\xff\xd8":
+            from ua2sql_spark.functions.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        from ua2sql_spark.functions.gif import decode_gif
+            return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from ua2sql_spark.functions.gif import decode_gif
 
-        return decode_gif(payload)
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        return _parse_tiff(payload)
+            return decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return _parse_tiff(payload)
+    except (struct.error, IndexError, ValueError, KeyError) as exc:
+        raise NotImplementedError(f"corrupt image payload: {exc!r}") from exc
     raise NotImplementedError(
         f"image magic {magic!r}: WebP/video formats need "
         "PIL/opencv/ffmpeg, not in this container; PPM/PGM/BMP/PNG/"
@@ -837,6 +850,9 @@ def probe_image_dims(payload: bytes) -> tuple[int, int]:
             if payload[pos] != 0xFF:
                 break
             marker = payload[pos + 1]
+            if marker == 0xFF:  # spec-legal fill byte before a marker
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
@@ -925,7 +941,9 @@ def probe_media_metadata(payload: bytes) -> dict:
             out.update(
                 kind="video", duration_s=d["duration_s"], n_tracks=d["n_tracks"]
             )
-    except NotImplementedError:
+    except (NotImplementedError, struct.error, IndexError, ValueError):
+        # Recognized magic + truncated body raises raw parse errors from
+        # the header walkers — the probe's contract is NEVER to raise.
         pass  # leave kind='unknown'
     return out
 

@@ -48,10 +48,24 @@ def exact_dedup(
 ) -> DataFrame:
     """One survivor row per distinct content (sha256 over the
     ``content_cols``); deterministic via min/max id. Returns the original
-    columns of the surviving rows."""
+    columns of the surviving rows.
+
+    The hash input is an INJECTIVE encoding: each column is rendered as
+    ``length ':' value`` with an explicit NULL token. Plain concat_ws
+    would be lossy twice over — it SKIPS null columns (so ('x', NULL)
+    and (NULL, 'x') collide) and a value containing the separator
+    shifts column boundaries (('a\\x1fb', NULL) vs ('a','b')) — and a
+    hash collision here silently DELETES a genuinely distinct row."""
     pick = F.min(id_col) if keep == "min" else F.max(id_col)
+
+    def enc(c: str) -> F.Column:
+        v = F.col(c).cast("string")
+        return F.when(v.isNull(), F.lit("\x00N")).otherwise(
+            F.concat(F.length(v).cast("string"), F.lit(":"), v)
+        )
+
     hashed = df.withColumn(
-        "__sha", F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+        "__sha", F.sha2(F.concat_ws("\x1f", *[enc(c) for c in content_cols]), 256)
     )
     survivors = hashed.groupBy("__sha").agg(pick.alias(id_col)).select(id_col)
     return df.join(survivors, id_col, "left_semi")

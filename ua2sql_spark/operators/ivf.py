@@ -217,6 +217,12 @@ def probe_ivf_index(
         qscore.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "__qemb", F.col("cid").alias("__qcell"))
+        # Materialize once: the probe subplan (query×centroid cross +
+        # rank window) is needed twice — driver-side for the pruned
+        # cell list AND as the broadcast side of the candidate join.
+        # Without this the most expensive control step of every probe
+        # call executes twice.
+        .localCheckpoint()
     )
     cells = sorted({r["__qcell"] for r in probe.select("__qcell").collect()})
     lists = spark.read.parquet(path + "/lists").filter(F.col("cell").isin(cells))

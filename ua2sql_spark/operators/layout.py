@@ -181,6 +181,11 @@ def compact_partitions(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            # previously unset: restore that, or later plain partitioned
+            # overwrites silently keep stale partitions (same fix as
+            # merge.py's upsert_parquet)
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     return frag
 
 

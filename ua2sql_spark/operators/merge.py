@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def upsert_parquet(
@@ -68,7 +69,12 @@ def upsert_parquet(
     try:
         target = spark.read.parquet(path)
         has_target = True
-    except Exception:  # first write: table absent
+    except AnalysisException as exc:
+        # ONLY path-absent means first write. A transient read failure
+        # treated as "no target" would replace every touched partition
+        # with the batch alone, permanently dropping the carried rows.
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         has_target = False
 
     if has_target:

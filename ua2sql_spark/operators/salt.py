@@ -20,8 +20,13 @@ from ua2sql_spark.queries.common import DEC
 
 # agg name -> (partial expr builder, merge expr builder)
 _DECOMPOSABLE = {
+    # decimal(38,18): the widest exact interior — ±1e20 integral range,
+    # 18-decimal resolution. Values outside that domain would cast to
+    # NULL and silently vanish from the sum (callers with astronomically
+    # scaled columns should pre-normalize; the engine's own money/qty
+    # columns sit comfortably inside).
     "sum": (
-        lambda c: F.sum(c.cast(DEC)),
+        lambda c: F.sum(c.cast("decimal(38,18)")),
         lambda p: F.sum(p).cast("double"),
     ),
     "count": (lambda c: F.count(c), lambda p: F.sum(p)),

@@ -140,8 +140,14 @@ def upsert_feed_jdbc(
                 F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
             ).collect()[0]
             if bounds["lo"] is not None:
+                # Keep NULL-ts target rows in the probe set: the bounds
+                # pushdown is only an optimization, and BETWEEN drops
+                # NULLs — without the isNull disjunct a re-delivered
+                # NULL-ts row could never see its existing copy and the
+                # eqNullSafe idempotency below would be defeated.
                 existing = existing.filter(
                     F.col(ts_col).between(F.lit(bounds["lo"]), F.lit(bounds["hi"]))
+                    | F.col(ts_col).isNull()
                 )
         # Null-safe key equality: the reference's schema allows NULL in
         # every non-ts key (e.g. sessionid, ua2sql.py:62) and a plain
