@@ -331,3 +331,66 @@ def x136_lang_stats_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="lang string, n_docs bigint, total_chars bigint, "
         "median_lo_chars bigint, max_chars bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# x149: POLYMORPHIC Python UDTF — the Spark 4 `analyze()` static
+# method: the UDTF's output schema is computed at PLAN time from its
+# literal arguments (here: which JSON keys to surface as columns), so
+# one registered function serves any projection without code changes —
+# the dynamic-schema escape hatch for semi-structured feeds that
+# `from_json`'s fixed schema can't give. The eval path stays simple
+# (stdlib json per row inside the UDTF's own batching); the fixed
+# per-query key list keeps the result SQL-expressible for the oracle.
+# ---------------------------------------------------------------------------
+_UDTF_KEYS = ("k", "absent_key")  # one present, one missing -> NULL column
+
+
+@query(
+    "x149_udtf_polymorphic",
+    oracle=f"""
+    SELECT event_id,
+           json_extract_string(props, '$.{_UDTF_KEYS[0]}') AS {_UDTF_KEYS[0]},
+           json_extract_string(props, '$.{_UDTF_KEYS[1]}') AS {_UDTF_KEYS[1]}
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def x149_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ExtractKeys:
+        @staticmethod
+        def analyze(payload: AnalyzeArgument, *keys: AnalyzeArgument) -> AnalyzeResult:
+            # schema derived from the LITERAL key arguments at plan time
+            out = StructType()
+            for k in keys:
+                if not k.isConstantExpression:
+                    raise ValueError("keys must be literal strings")
+                out = out.add(str(k.value), StringType())
+            return AnalyzeResult(schema=out)
+
+        def eval(self, payload: str, *keys: str):
+            try:
+                rec = _json.loads(payload) if payload else {}
+            except ValueError:
+                rec = {}
+            yield tuple(
+                str(rec[k]) if k in rec and rec[k] is not None else None
+                for k in keys
+            )
+
+    spark.udtf.register("extract_keys", udtf(ExtractKeys, useArrow=True))
+    e = load_table(spark, sf_dir, "events")
+    e.filter(F.col("event_id") % 11 == 0).createOrReplaceTempView("v_events_udtf")
+    keys_sql = ", ".join(f"'{k}'" for k in _UDTF_KEYS)
+    return spark.sql(
+        f"""
+        SELECT e.event_id, x.{_UDTF_KEYS[0]}, x.{_UDTF_KEYS[1]}
+        FROM v_events_udtf e, LATERAL extract_keys(e.props, {keys_sql}) x
+        """
+    )
