@@ -87,7 +87,8 @@ def test_driver_window_families():
         "x138_domain_pagerank",
         "q126_sales_opportunity", "q86_supplier_wait", "q95_market_share",
         "x97_sequence_pack", "x104_global_shuffle", "x111_pii_scrub",
-        "x113_token_budget_sample", "x112_embedding_quantize",
+        "x148_dsir_importance", "q144_gap_fill_locf",
+        "x112_embedding_quantize",
     }
     assert required <= set(DRIVER_WINDOW)
 

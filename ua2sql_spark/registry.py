@@ -68,7 +68,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # int8-quantized retrieval path gains its recall gate). Everything
 # below the fold stays covered by the local oracle suite
 # (tests/test_oracle.py runs ALL registered queries) and the alt-SF
-# sweep. Final late-r5 swaps: q18 -> q140 (exact percentiles are
+# sweep. Additional late-r5 swaps: x113 -> x148 (the bucketed
+# prefix-sum machinery stays driver-checked via x104; DSIR importance
+# selection is a new family), q37 -> q144 (event analytics keeps
+# q40 windows + q35 as-of in window; time-series gap-fill/LOCF is a
+# new family); q18 -> q140 (exact percentiles are
 # recomputed INSIDE q114's contract oracle; the bitmap exact-distinct
 # tier is a new mergeable-exactness family), x81 -> x141 (survivor
 # selection is semantically inside x96's min-id clusters; span-level
@@ -103,7 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q34_array_funcs",
     # temporal join + event analytics + streaming-window mirror
     "q35_asof_join",
-    "q37_sessionize",
+    "q144_gap_fill_locf",
     "q40_tumbling_window",
     # dedup: exact, LSH pairs, survivor, clusters (md5-oracle + fast
     # xxhash64 production family), incremental index
@@ -141,7 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x97_sequence_pack",
     "x104_global_shuffle",
     "x111_pii_scrub",
-    "x113_token_budget_sample",
+    "x148_dsir_importance",
 )
 
 
