@@ -566,3 +566,50 @@ def test_salted_join_equals_plain_join(spark):
         gs = sorted(map(tuple, got.select("k", "id", "payload", "attr").collect()))
         ws = sorted(map(tuple, want.select("k", "id", "payload", "attr").collect()))
         assert gs == ws, f"{how}: {len(gs)} vs {len(ws)} rows"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    text=st.text(alphabet="abcdefgh ", min_size=40, max_size=300),
+    ins_pos=st.data(),
+)
+def test_cdc_chunking_is_insertion_robust(text, ins_pos):
+    """The x142 claim, proven as a property: inserting one character
+    changes at most the chunks AROUND the edit — the chunk multisets
+    before/after differ by a bounded count, while fixed-size blocks
+    would shift EVERY downstream block. Pure-Python replay of the
+    shared md5-boundary rule (identical to both engines' SQL)."""
+    import hashlib
+
+    W, PAT = 4, ("00", "40", "80", "c0")
+
+    def chunks(s: str) -> list[str]:
+        cuts = [
+            i for i in range(1, len(s) - (W - 2))
+            if hashlib.md5(s[i - 1 : i - 1 + W].encode()).hexdigest()[:2] in PAT
+        ]
+        bounds = [0, *cuts, len(s)]
+        return [
+            s[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+        ]
+
+    pos = ins_pos.draw(st.integers(0, len(text)))
+    edited = text[:pos] + "X" + text[pos:]
+    before, after = chunks(text), chunks(edited)
+    # sanity: chunking is a partition of the text
+    assert "".join(before) == text and "".join(after) == edited
+    from collections import Counter
+    cb, ca = Counter(before), Counter(after)
+    changed = sum((cb - ca).values()) + sum((ca - cb).values())
+    # the edit can split/merge only chunks overlapping the W-char
+    # window around the insertion (the 4 windows touching the new char
+    # can each flip one boundary) — a small CONSTANT, independent of
+    # how much text follows the edit; fixed-size blocks would change
+    # every downstream block
+    assert changed <= 9, (changed, before, after)
+    # and chunks far from the edit survive verbatim (content-defined!)
+    assert sum((cb & ca).values()) >= max(0, len(before) - 5)

@@ -362,3 +362,84 @@ def q147_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q150: SQL PIPE syntax (Spark 4 |> operator) — the linear dataflow
+# spelling of a classic filter→join→aggregate→order query. Same
+# engine, same plan; the surface matters because pipeline SQL is how
+# analysts increasingly write multi-stage transforms (and how query
+# generators emit them). The oracle is the equivalent nested-SQL
+# spelling in DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "q150_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F' AND l_quantity > 25
+    GROUP BY l_returnflag
+    """,
+)
+def q150_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_pipe")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_o_pipe")
+    return spark.sql(
+        """
+        FROM v_li_pipe
+        |> JOIN v_o_pipe ON l_orderkey = o_orderkey
+        |> WHERE o_orderstatus = 'F' AND l_quantity > 25
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151: COLLATION-aware grouping (Spark 4 COLLATE) — case-insensitive
+# semantics pushed INTO the engine's comparison operators instead of
+# lower() rewrites: grouping on `lang_mixed COLLATE UTF8_LCASE`
+# collapses 'en'/'EN'/'En' into one group at hash/compare level (at
+# 100 TB that is one shuffle key, not three, and no per-row lower()
+# materialization). Mixed-case values are injected deterministically
+# (x143's pattern) so the collapse provably happens; the output key is
+# canonicalized with lower() only for display/oracle comparison.
+# ---------------------------------------------------------------------------
+@query(
+    "q151_collation_group",
+    oracle="""
+    SELECT lower(CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                      WHEN doc_id % 3 = 1 THEN concat(upper(substr(lang, 1, 1)),
+                                                      substr(lang, 2))
+                      ELSE lang END) AS lang_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id % 7) AS BIGINT) AS n_shards
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q151_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mixed = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("lang"))
+        .when(F.col("doc_id") % 3 == 1, F.initcap("lang"))
+        .otherwise(F.col("lang"))
+    )
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (
+        d.select(ci.alias("lang_mixed"), "doc_id")
+        .groupBy("lang_mixed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(F.col("doc_id") % 7).cast("bigint").alias("n_shards"),
+        )
+        .select(
+            F.lower(F.col("lang_mixed")).cast("string").alias("lang_ci"),
+            "n_docs",
+            "n_shards",
+        )
+    )
