@@ -849,3 +849,66 @@ def x148_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (imp > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x150: epoch up-sampling — the complement of x131's rate-based
+# DOWN-sampling: low-resource slices are repeated an integral number
+# of times per training epoch (how mixture weights above 1.0 are
+# actually realized in sharded corpora: repeat factors, not sampling
+# with replacement, so every epoch sees identical data). Factors are
+# TRAINED from corpus counts: k_lang = ceil((max_n / n_lang)^alpha),
+# capped — a deterministic integer per lang, broadcast back. The
+# expansion is explode(sequence(1, k)) with a copy_id, so downstream
+# shuffles can still dedup exact repeats by (doc_id, copy_id) and the
+# pack/shuffle ops treat copies as ordinary rows. Map-only after one
+# |langs|-row aggregate. Cross-libm exposure: POW inside the factor is
+# quantized by CEIL to an integer (the x131 discipline) — a mismatch
+# would need the ratio^alpha within one double ulp of an integer,
+# across |langs| values.
+# ---------------------------------------------------------------------------
+_UPSAMPLE_ALPHA = 0.5
+_UPSAMPLE_CAP = 4
+
+
+@query(
+    "x150_epoch_upsample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ),
+    factors AS (
+        SELECT lang,
+               LEAST(CAST(CEIL(POW((SELECT MAX(n) FROM counts) / n,
+                                   {_UPSAMPLE_ALPHA})) AS BIGINT),
+                     {_UPSAMPLE_CAP}) AS k
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang, t.copy_id, f.k AS n_copies
+    FROM documents d
+    JOIN factors f USING (lang)
+    CROSS JOIN LATERAL unnest(range(1, CAST(f.k AS INTEGER) + 1)) AS t(copy_id)
+    """,
+)
+def x150_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    max_n = counts.agg(F.max("n").alias("mx"))
+    factors = counts.crossJoin(F.broadcast(max_n)).select(
+        "lang",
+        F.least(
+            F.ceil(F.pow(F.col("mx") / F.col("n"), _UPSAMPLE_ALPHA)).cast("bigint"),
+            F.lit(_UPSAMPLE_CAP).cast("bigint"),
+        ).alias("k"),
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("k").cast("int"))).alias("copy_id"),
+            F.col("k").alias("n_copies"),
+        )
+        .select("doc_id", "lang", F.col("copy_id").cast("bigint").alias("copy_id"), "n_copies")
+    )
