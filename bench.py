@@ -89,7 +89,14 @@ def main() -> None:
     spark = get_spark("ua2sql_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
-    names = [n for n in HEADLINE if n in specs] + [
+    ghosts = [n for n in HEADLINE if n not in specs]
+    if ghosts:
+        # A renamed/deleted query must fail loudly: silently dropping it
+        # would shrink the headline total and read as a fake speedup to
+        # the 2x-gate (registry.py applies the same ghost discipline to
+        # DRIVER_WINDOW).
+        raise KeyError(f"HEADLINE lists unregistered queries: {ghosts}")
+    names = list(HEADLINE) + [
         n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n and n in specs
     ]
 

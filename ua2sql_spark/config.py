@@ -125,7 +125,11 @@ def load_config(path: str) -> IngestConfig:
             raw = json.load(f)
     except OSError as exc:
         raise ConfigError(f"failed to read config file {path!r}: {exc}") from exc
-    except json.JSONDecodeError as exc:
+    except (json.JSONDecodeError, UnicodeDecodeError, ValueError) as exc:
+        # UnicodeDecodeError (non-UTF-8 bytes) is a ValueError, NOT a
+        # JSONDecodeError — it must land inside the ConfigError contract
+        # too, or the CLI crashes with a raw traceback instead of
+        # 'bad config: ...'
         raise ConfigError(f"failed to parse config file {path!r}: {exc}") from exc
     if not isinstance(raw, dict):
         raise ConfigError(f"config file {path!r} must hold a JSON object")

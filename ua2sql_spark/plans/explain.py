@@ -29,12 +29,21 @@ def simple_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries of every scan in the plan."""
+    """One entry per scan: that scan's full PushedFilters payload.
+
+    Deliberately LINE-scoped and unsplit: plans truncate long filter
+    lists at spark.sql.maxMetadataStringLength with '...' and no
+    closing bracket, so a cross-line regex would swallow unrelated
+    plan text, and a naive comma split would shatter compound
+    predicates like LessThan(a,10) into garbage fragments. Callers
+    assert substring membership ("col" in f), which the whole-payload
+    form serves exactly."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        entries = [s.strip() for s in m.group(1).split(",") if s.strip()]
-        out.extend(entries)
+    for line in plan.splitlines():
+        m = re.search(r"PushedFilters: \[([^\]]*)", line)
+        if m and m.group(1).strip():
+            out.append(m.group(1).strip().rstrip("]"))
     return out
 
 

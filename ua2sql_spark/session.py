@@ -16,7 +16,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _default_shuffle_partitions() -> int:
+    """SPARK_GRAFT_CPUS doubles as the local[] thread spec, where '*'
+    is legal — only digit values can size the shuffle; anything else
+    falls back to 32 (evaluated lazily so importing the module never
+    crashes on a non-integer spec)."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return int(raw) if raw.isdigit() else 32
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _default_shuffle_partitions()
 
 
 def get_spark(app_name: str = "ua2sql_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -76,7 +85,13 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
     this reproduces the same deployment step programmatically, so the
     engine works no matter what cwd/PYTHONPATH the harness launches the
     driver with."""
-    sc = spark.sparkContext
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect sessions expose no sparkContext at all — the
+        # graceful degradation below (workers import from PYTHONPATH)
+        # must kick in HERE, before the attribute access crashes entry()
+        return
     if getattr(sc, "_ua2sql_spark_shipped", False):
         return
     import atexit
