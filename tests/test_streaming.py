@@ -729,3 +729,60 @@ def test_typed_state_profile_survives_null_event_type(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_full_outer_emits_both_unmatched(spark, tmp_path):
+    """fullOuter stream-stream join completes the join matrix: an
+    impression with no click AND a click with no impression both emit
+    with NULLs once the global watermark evicts their windows."""
+    from ua2sql_spark.streaming.ingest import stream_stream_interval_join
+
+    imp_dir = tmp_path / "fo_imps"
+    clk_dir = tmp_path / "fo_clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    out = str(tmp_path / "fo_out")
+    ckpt = str(tmp_path / "fo_ckpt")
+
+    def land(d, name, rows):
+        with open(d / name, "w") as f:
+            for user_id, ts in rows:
+                f.write(json.dumps({"user_id": user_id, "ts": ts}) + "\n")
+
+    schema = "user_id BIGINT, ts TIMESTAMP"
+
+    def run():
+        imps = spark.readStream.schema(schema).json(str(imp_dir))
+        clicks = spark.readStream.schema(schema).json(str(clk_dir))
+        joined = stream_stream_interval_join(
+            imps, clicks, key="user_id", within="10 minutes",
+            left_watermark="10 minutes", right_watermark="10 minutes",
+            how="fullOuter",
+        ).select(
+            F.col("l.user_id").alias("imp_user"),
+            F.col("r.user_id").alias("click_user"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # u1 matches; u2 = impression only; u3 = click only.
+    land(imp_dir, "a.json", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")])
+    land(clk_dir, "a.json", [(1, "2024-01-01 10:05:00"), (3, "2024-01-01 10:00:00")])
+    run()
+    # advance the global watermark on both inputs, twice (apply lag)
+    for wave, ts in (("b", "11:00"), ("c", "11:30")):
+        land(imp_dir, f"{wave}.json", [(9, f"2024-01-01 {ts}:00")])
+        land(clk_dir, f"{wave}.json", [(9, f"2024-01-01 {ts}:30")])
+        run()
+    rows = spark.read.parquet(out).collect()
+    pairs = {(r["imp_user"], r["click_user"]) for r in rows}
+    assert (1, 1) in pairs                 # matched
+    assert (2, None) in pairs              # left-unmatched emitted
+    assert (None, 3) in pairs              # right-unmatched emitted
