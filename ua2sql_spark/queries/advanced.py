@@ -443,3 +443,41 @@ def q151_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shards",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q152: PARAMETERIZED SQL — spark.sql(..., args={...}) named-parameter
+# binding (Spark 3.4+): values reach the plan as literals through the
+# parser's typed parameter slot, never through string interpolation —
+# the injection-safe surface every query service should use for
+# user-supplied thresholds. Constant-folded like hand-written literals,
+# so the plan (pushdown included) is identical to the inlined query.
+# ---------------------------------------------------------------------------
+_P_SEGMENT = "BUILDING"
+_P_MIN_BAL = 5000.0
+
+
+@query(
+    "q152_parameterized_sql",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer
+    WHERE c_mktsegment = '{_P_SEGMENT}' AND c_acctbal > {_P_MIN_BAL}
+    GROUP BY c_nationkey
+    """,
+)
+def q152_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_param")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS total_bal
+        FROM v_cust_param
+        WHERE c_mktsegment = :segment AND c_acctbal > :min_bal
+        GROUP BY c_nationkey
+        """,
+        args={"segment": _P_SEGMENT, "min_bal": _P_MIN_BAL},
+    )

@@ -468,3 +468,43 @@ def x134_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_MERGE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X3i: tokenizer FERTILITY per language — subword tokens per whitespace
+# word, the standard multilingual-tokenizer health metric (fertility
+# >> 1 for a language means its text fragments into many subwords:
+# under-allocated vocabulary, inflated sequence lengths, higher
+# training cost per byte of that language). Corpus-level ratio from
+# exact integer token/word counts (one agg shuffle, deterministic
+# division), using the same GPT-2-style pretokenizer regex as x84.
+# ---------------------------------------------------------------------------
+@query(
+    "x151_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))) AS BIGINT)
+               AS n_subword_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))) AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 6) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def x151_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sub = F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint")
+    words = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    agg = d.groupBy("lang").agg(
+        F.sum(sub).alias("n_subword_tokens"),
+        F.sum(words).alias("n_words"),
+    )
+    return agg.select(
+        "lang",
+        "n_subword_tokens",
+        "n_words",
+        F.round(
+            F.col("n_subword_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+    )
