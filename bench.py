@@ -1,7 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints the compact metric record as the FINAL stdout line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The full per-run measurement arrays are printed on an EARLIER stdout line
+(prefixed ``BENCH_RUNS_DETAIL``) and written to ``bench_runs.json`` beside
+this script — NOT on the final line. Round 5's final line carried the full
+``runs`` dict and outgrew the driver's tail capture, so BENCH_r05.json
+landed ``parsed: null`` and the 2x perf gate was blind (VERDICT r5 #1).
+The final line must stay small enough to survive a bounded tail capture.
 
 Methodology (variance control): after a global warm-up (table footers +
 one untimed flagship execution for JVM/codegen startup), every query
@@ -79,6 +86,12 @@ HEADLINE = [
     # (3 unrolled iterations over the checkpointed syndication graph)
     "x134_bpe_merge_pairs",
     "x138_domain_pagerank",
+    # media seam (VERDICT r5 next-round #7): the Arrow-batched Python
+    # decode path is the engine's ONE deliberate Python hot path — x53
+    # (stdlib raster decode via mapInPandas) and x83 (AVI/MJPEG frame
+    # sampling) give it a watched number
+    "x53_decode_mapinpandas",
+    "x83_frame_sample",
 ]
 
 
@@ -132,20 +145,32 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": all_runs,
-                "n_runs": N_RUNS,
-                "sf": sf_val,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": all_runs,
+        "n_runs": N_RUNS,
+        "sf": sf_val,
+    }
+    # Full per-run arrays: sidecar file + an early (non-final) stdout line.
+    with open(os.path.join(REPO_ROOT, "bench_runs.json"), "w") as fh:
+        json.dump(detail, fh)
+    print("BENCH_RUNS_DETAIL " + json.dumps(detail))
     spark.stop()
+    # Compact record LAST: per-query medians only, no runs arrays. This is
+    # the line the driver parses — keep it small (VERDICT r5 #1).
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_runs": N_RUNS,
+        "sf": sf_val,
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

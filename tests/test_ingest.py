@@ -430,14 +430,35 @@ def test_unity_backup_writer_atomic_commit(spark, tmp_path):
     assert len(parts2) == 1
     assert json.load(open(os.path.join(path, "_MANIFEST.json")))["total_rows"] == 10
 
+    # overwrite never renumbers from zero: shard names always extend
+    # past the highest prior index, so a crash mid-publication can
+    # never clobber a file the live manifest still references — the
+    # surviving shard is the one the manifest names
+    man2 = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert [s["file"] for s in man2["shards"]] == parts2
+
     # append after overwrite must EXTEND: new shards number past the
     # existing ones, the manifest unions prior + new
     df3 = spark.range(5).selectExpr("id", "id AS v").repartition(1)
     df3.write.format("unity_backup").option("path", path).mode("append").save()
     parts3 = [f for f in sorted(os.listdir(path)) if f.startswith("part-")]
-    assert parts3 == ["part-00000.jsonl.gz", "part-00001.jsonl.gz"]
+    assert len(parts3) == 2 and parts3[0] == parts2[0]
+    assert int(parts3[1].split("-")[1].split(".")[0]) > int(
+        parts3[0].split("-")[1].split(".")[0]
+    )
     man3 = json.load(open(os.path.join(path, "_MANIFEST.json")))
     assert man3["total_rows"] == 15 and len(man3["shards"]) == 2
+    assert [s["file"] for s in man3["shards"]] == parts3
+
+    # a .staged leftover from a task that never returned a commit
+    # message (failed/speculated) is swept by the next commit
+    stray = os.path.join(path, ".staged-0rphan.jsonl.gz")
+    with gzip.open(stray, "wt") as fh:
+        fh.write("{}\n")
+    spark.range(1).selectExpr("id", "id AS v").repartition(1).write.format(
+        "unity_backup"
+    ).option("path", path).mode("append").save()
+    assert not os.path.exists(stray)
 
     # abort sweeps staged files and publishes nothing
     staged = os.path.join(path, ".staged-deadbeef.jsonl.gz")
@@ -447,4 +468,4 @@ def test_unity_backup_writer_atomic_commit(spark, tmp_path):
         [_BackupCommit(staged=staged, rows=1)]
     )
     assert not os.path.exists(staged)
-    assert len([f for f in os.listdir(path) if f.startswith("part-")]) == 2
+    assert len([f for f in os.listdir(path) if f.startswith("part-")]) == 3

@@ -212,6 +212,45 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     assert spark.read.parquet(path2).count() == 2
 
 
+def test_upsert_scan_lists_only_touched_partitions(spark, tmp_path):
+    """VERDICT r5 next-round #6: the upsert's target read must be
+    partition-path-constructed — the scan lists ONLY the batch's
+    touched partition directories, never the table root (at a 10⁶-file
+    table the root listing, not the data, dominates each micro-batch)."""
+    from ua2sql_spark.operators.merge import _read_touched_slice, upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 5}", "v") for i in range(50)],
+        "id bigint, day string, val string",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    sl = _read_touched_slice(spark, path, "day", ["d2"])
+    files = sl.inputFiles()
+    assert files and all("day=d2" in f for f in files), files
+    # partition column present in the slice schema (basePath)
+    assert set(sl.columns) == {"id", "day", "val"}
+
+    # mixed existing + brand-new partition values: only the existing
+    # directory is listed; the new value contributes nothing to carry
+    sl2 = _read_touched_slice(spark, path, "day", ["d3", "d999"])
+    assert all("day=d3" in f for f in sl2.inputFiles())
+    # all-new partitions (or absent table) -> None, pure-append batch
+    assert _read_touched_slice(spark, path, "day", ["d999"]) is None
+    assert _read_touched_slice(spark, str(tmp_path / "nope"), "day", ["d1"]) is None
+
+    # e2e: a batch introducing a new partition + replacing in an old one
+    batch = spark.createDataFrame(
+        [(2, "d2", "NEW"), (100, "d9", "fresh")],
+        "id bigint, day string, val string",
+    )
+    assert upsert_parquet(batch, path, ["id"], "day") == 2 + 9  # 9 carried in d2
+    got = {(r["id"], r["day"]): r["val"] for r in spark.read.parquet(path).collect()}
+    assert got[(2, "d2")] == "NEW" and got[(100, "d9")] == "fresh"
+    assert len(got) == 51
+
+
 def test_vacuum_orphans_deletes_only_aged_unreferenced(spark, tmp_path):
     """VACUUM contract: only files that are BOTH absent from the commit
     manifest AND older than the retention window go; manifest-listed
@@ -326,3 +365,72 @@ def test_manifest_keeps_stats_less_files(spark, tmp_path):
     kept = prune_files(manifest, "k", 1005, 1006)
     assert any(f.endswith("nostats.parquet") for f in kept), kept
     assert not any("nostats" not in f for f in kept), kept
+
+
+def test_load_table_prunes_via_manifest_when_enabled(spark, tmp_path):
+    """VERDICT r5 next-round #5: the ORDINARY load_table path consults a
+    file-stats manifest beside the table (opt-in conf) and scans fewer
+    files for a range-filtered read — with results identical to the
+    unpruned path."""
+    from ua2sql_spark.catalog import (
+        MANIFEST_DIR_CONF,
+        MANIFEST_ENABLED_CONF,
+        load_table,
+    )
+    from ua2sql_spark.operators.manifest import build_file_manifest
+
+    # a documents table clustered on doc_id so per-file ranges are narrow
+    src = load_table(spark, SF_DIR, "documents")
+    sf_dir = str(tmp_path / "sfX")
+    table_dir = f"{sf_dir}/documents.parquet"
+    (
+        src.repartitionByRange(8, "doc_id")
+        .write.mode("overwrite")
+        .parquet(table_dir)
+    )
+    build_file_manifest(spark, table_dir, columns=["doc_id"]).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.manifest.parquet")
+
+    total_files = len(spark.read.parquet(table_dir).inputFiles())
+    assert total_files == 8
+
+    lo, hi = 10, 40
+    spark.conf.set(MANIFEST_ENABLED_CONF, "true")
+    try:
+        pruned = load_table(spark, sf_dir, "documents", where=("doc_id", lo, hi))
+        assert len(pruned.inputFiles()) < total_files, (
+            "manifest pruning did not reduce the files scanned"
+        )
+        # exactness: pruned result == plain filtered read
+        expect = (
+            spark.read.parquet(table_dir)
+            .filter(F.col("doc_id").between(lo, hi))
+            .orderBy("doc_id")
+            .collect()
+        )
+        got = pruned.orderBy("doc_id").collect()
+        assert got == expect
+        # the conf OFF path still answers identically (and scans all files)
+        spark.conf.set(MANIFEST_ENABLED_CONF, "false")
+        plain = load_table(spark, sf_dir, "documents", where=("doc_id", lo, hi))
+        assert len(plain.inputFiles()) == total_files
+        assert plain.orderBy("doc_id").collect() == expect
+        # no-overlap range: empty frame, table schema preserved
+        spark.conf.set(MANIFEST_ENABLED_CONF, "true")
+        empty = load_table(
+            spark, sf_dir, "documents", where=("doc_id", 10**9, 2 * 10**9)
+        )
+        assert empty.count() == 0
+        assert empty.schema == src.schema
+        # MANIFEST_DIR_CONF override (read-only table dirs): same pruning
+        alt = str(tmp_path / "manifests")
+        spark.read.parquet(f"{sf_dir}/documents.manifest.parquet").write.parquet(
+            f"{alt}/documents"
+        )
+        spark.conf.set(MANIFEST_DIR_CONF, alt)
+        via_dir = load_table(spark, sf_dir, "documents", where=("doc_id", lo, hi))
+        assert len(via_dir.inputFiles()) < total_files
+    finally:
+        spark.conf.set(MANIFEST_ENABLED_CONF, "false")
+        spark.conf.unset(MANIFEST_DIR_CONF)

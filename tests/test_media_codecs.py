@@ -966,3 +966,146 @@ def test_aifc_sowt_little_endian_decode():
     d = decode_audio_real(payload)
     assert (d["channels"], d["sample_rate"], d["n_samples"]) == (1, 22050, 200)
     assert d["rms"] == pytest.approx(1000.0)
+
+
+# ---------------------------------------------------------------------------
+# QuickTime/MOV MJPEG: the second video container (VERDICT r5 #8). Box
+# writer + stbl sample-table resolution are pure stdlib; the frame
+# fingerprint must be container-invariant.
+# ---------------------------------------------------------------------------
+def _mjpeg_mov(colors, w=16, h=16):
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+    from ua2sql_spark.functions.media import encode_mov_mjpeg
+
+    frames = [encode_jpeg(w, h, 3, bytes(c) * (w * h), quality=95) for c in colors]
+    return encode_mov_mjpeg(frames, w, h, fps=10), frames
+
+
+def test_mov_mjpeg_roundtrip_and_stride():
+    from ua2sql_spark.functions.media import _mov_video_samples, sample_frames_real
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 40, 40), (200, 9, 77)]
+    mov, frames = _mjpeg_mov(colors)
+    # sample-table resolution recovers the exact JPEG bytes, in order
+    assert [b for _, b in _mov_video_samples(mov)] == frames
+    out = sample_frames_real(mov, stride=2)
+    assert [d["frame_no"] for d in out] == [0, 2, 4]
+    assert all((d["width"], d["height"]) == (16, 16) for d in out)
+
+
+def test_mov_and_avi_fingerprint_identically():
+    """frame_hash digests the DECODED raster: identical video frames in
+    the two containers must fingerprint identically regardless of chunk
+    layout — the cross-container dedup invariant."""
+    from ua2sql_spark.functions.media import sample_frames_real
+
+    colors = [(5, 10, 15), (250, 128, 3), (77, 77, 77)]
+    avi, _ = _mjpeg_avi(colors)
+    mov, _ = _mjpeg_mov(colors)
+    a = sample_frames_real(avi, stride=1)
+    m = sample_frames_real(mov, stride=1)
+    assert [d["frame_hash"] for d in a] == [d["frame_hash"] for d in m]
+    # offsets differ (different containers) but numbering agrees
+    assert [d["frame_no"] for d in a] == [d["frame_no"] for d in m]
+
+
+def test_mov_general_stsc_mapping():
+    """stsc runs with >1 sample per chunk resolve correctly (the
+    encoder writes 1:1, the PARSER must handle the general layout)."""
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+    from ua2sql_spark.functions.media import _mov_video_samples, encode_mov_mjpeg
+
+    frames = [
+        encode_jpeg(8, 8, 1, bytes([i * 40]) * 64, quality=90) for i in range(4)
+    ]
+    mov = bytearray(encode_mov_mjpeg(frames, 8, 8))
+    # rewrite the sample tables: 2 chunks x 2 samples each. stsc run =
+    # (first_chunk=1, per_chunk=2, id=1); stco = offsets of frames 0, 2.
+    idx = mov.find(b"stsc")
+    struct.pack_into(">IIII", mov, idx + 8, 1, 1, 2, 1)
+    off0 = mov.find(frames[0])
+    off2 = off0 + len(frames[0]) + len(frames[1])
+    cidx = mov.find(b"stco")
+    # stco layout: size(cidx-4) 'stco' vflags(cidx+4) count(cidx+8)
+    # entries(cidx+12); shrink in place to n=2 entries and turn the
+    # stale 8-byte tail into a free box
+    assert struct.unpack_from(">I", mov, cidx - 4)[0] == 8 + 4 + 4 + 4 * 4
+    struct.pack_into(">I", mov, cidx + 8, 2)
+    struct.pack_into(">II", mov, cidx + 12, off0, off2)
+    struct.pack_into(">I", mov, cidx - 4, 8 + 4 + 4 + 4 * 2)
+    struct.pack_into(">I4s", mov, cidx + 20, 8, b"free")
+    got = _mov_video_samples(bytes(mov))
+    assert [b for _, b in got] == frames
+
+
+def test_mov_errors():
+    from ua2sql_spark.functions.media import _mov_video_samples, encode_mov_mjpeg
+
+    with pytest.raises(NotImplementedError, match="ISO-BMFF"):
+        _mov_video_samples(b"RIFF\x00\x00\x00\x00AVI ")
+    # an audio-style track (non-JPEG fourcc) yields no video track
+    mov = bytearray(encode_mov_mjpeg([b"\xff\xd8fake"], 4, 4))
+    i = mov.find(b"jpeg", mov.find(b"stsd"))
+    mov[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="no MJPEG video track"):
+        _mov_video_samples(bytes(mov))
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF: orientation + capture timestamp (VERDICT r5 #8).
+# ---------------------------------------------------------------------------
+def _exif_jpeg(orientation=1, dt=None, dto=None, w=8, h=8):
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+    from ua2sql_spark.functions.media import encode_exif_app1
+
+    base = encode_jpeg(w, h, 1, bytes(range(w * h // 256 + 1)) * 256, quality=90)
+    app1 = encode_exif_app1(orientation, dt, dto)
+    return base[:2] + app1 + base[2:]
+
+
+def test_exif_roundtrip_all_tags():
+    from ua2sql_spark.functions.media import parse_exif
+
+    p = _exif_jpeg(6, "2024:03:01 10:00:00", "2024:02:29 09:30:00")
+    ex = parse_exif(p)
+    assert ex == {
+        "orientation": 6,
+        "datetime": "2024:03:01 10:00:00",
+        "datetime_original": "2024:02:29 09:30:00",
+    }
+    # orientation-only segment: other fields None
+    ex2 = parse_exif(_exif_jpeg(3))
+    assert ex2["orientation"] == 3
+    assert ex2["datetime"] is None and ex2["datetime_original"] is None
+
+
+def test_exif_probe_integration_and_dims_unaffected():
+    from ua2sql_spark.functions.media import probe_image_dims, probe_media_metadata
+
+    p = _exif_jpeg(8, dto="2021:12:31 23:59:59", w=16, h=8)
+    assert probe_image_dims(p) == (16, 8)  # APP1 walk doesn't break SOF
+    d = probe_media_metadata(p)
+    assert d["kind"] == "image" and (d["width"], d["height"]) == (16, 8)
+    assert d["exif_orientation"] == 8
+    assert d["exif_datetime"] == "2021:12:31 23:59:59"  # original wins
+    # plain JPEG: EXIF fields NULL, probe still fine
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+
+    plain = probe_media_metadata(encode_jpeg(8, 8, 1, bytes(64), quality=90))
+    assert plain["exif_orientation"] is None and plain["exif_datetime"] is None
+
+
+def test_exif_never_raises_on_corrupt_segments():
+    from ua2sql_spark.functions.media import parse_exif
+
+    full = _exif_jpeg(6, "2024:03:01 10:00:00")
+    for cut in (4, 8, 14, 20, 30):
+        assert isinstance(parse_exif(full[:cut]), dict)
+    # APP1 claims EXIF but the TIFF block is garbage
+    bogus = b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00GARBAGE!"
+    assert parse_exif(bogus) == {
+        "orientation": None,
+        "datetime": None,
+        "datetime_original": None,
+    }
+    assert parse_exif(b"not a jpeg")["orientation"] is None

@@ -69,26 +69,30 @@ def test_driver_window_families():
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
         # text, multimodal, Pandas-UDF surface, advanced SQL, TPC-H
-        # archetypes, training-data pipeline ops
+        # archetypes, training-data pipeline ops (round-6 rotation:
+        # registry.py's rotation comment records which rows moved below
+        # the fold and which family member covers each)
         "q01_pricing_summary", "q04_join_inner", "q116_join_full_outer",
-        "q35_asof_join", "q22_window_rank", "q28_json_extract",
+        "q35_asof_join", "q22_window_rank", "q120_variant_json",
         "q114_approx_percentile_contract", "q123_hll_union_contract",
-        "q40_tumbling_window",
-        "x41_exact_dedup", "x43_minhash_lsh_neardup", "x96_neardup_clusters",
+        "q40_tumbling_window", "q135_bloom_semijoin_reduction",
+        "x41_exact_dedup", "x142_cdc_chunks",
         "x141_span_dedup", "q140_bitmap_exact_distinct",
         "x115_neardup_clusters_fast", "x117_incremental_dedup",
         "x101_minhash_fast_exact_tier",
-        "x130_hybrid_search_rrf", "x46_ann_bucketed", "x71_ivf_ann",
-        "x100_ivf_knn_classify", "x121_ivf_recall_contract",
-        "x48_token_stats",
+        "x130_hybrid_search_rrf", "x71_ivf_ann",
+        "x121_ivf_recall_contract",
+        "x48_token_stats", "x151_tokenizer_fertility",
         "x53_decode_mapinpandas", "x127_classifier_scores",
-        "x77_zscore_applyinpandas",
+        "x136_lang_stats_applyinarrow", "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
-        "x138_domain_pagerank",
-        "q126_sales_opportunity", "q86_supplier_wait", "q95_market_share",
-        "x97_sequence_pack", "x104_global_shuffle", "x111_pii_scrub",
-        "x148_dsir_importance", "q144_gap_fill_locf",
-        "x112_embedding_quantize",
+        "x138_domain_pagerank", "q147_recursive_hierarchy",
+        "q126_sales_opportunity", "q86_supplier_wait",
+        "x97_sequence_pack", "x150_epoch_upsample", "x111_pii_scrub",
+        "x131_temperature_resample", "q144_gap_fill_locf",
+        "x112_embedding_quantize", "x143_unicode_normalize",
+        "x146_record_linkage", "q139_theta_setops_contract",
+        "q145_ab_welch_ttest", "q150_pipe_syntax",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -505,3 +505,40 @@ def test_pagerank_reuses_materialized_edges(spark):
     # all source from the checkpoint scan:
     assert plan.count("ExistingRDD") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_fanin_cap_bounds_stop_gram_explode(spark):
+    """x138 stress (VERDICT r5 wrong-#1): ONE synthetic stop-gram shared
+    by every source must NOT explode |sources|^2 pair structs — the
+    fan-in cap drops it before the pair expansion, so every surviving
+    per-gram source set (hence every explode) is <= cap (cap^2 structs).
+    Pairwise-shared grams below the cap still produce their edges."""
+    from ua2sql_spark.queries.corpus_ops import (
+        pagerank_edges,
+        pagerank_shared_grams,
+    )
+
+    stop = "the quick brown fox jumps over lazy dogs"  # one 8-word gram
+    n, cap = 100, 16
+    rows = []
+    for i in range(n):
+        # every source carries the stop-gram; sources 2k and 2k+1
+        # additionally share a pair-unique 8-gram
+        pair = " ".join(f"p{i // 2}w{j}" for j in range(8))
+        rows.append((f"src{i:03d}", stop + " xx " + pair))
+    d = spark.createDataFrame(rows, "source string, text string")
+
+    shared = pagerank_shared_grams(d, cap=cap)
+    sizes = [r[0] for r in shared.select(F.size("ss")).collect()]
+    assert sizes, "pair grams must survive the cap"
+    # the explode is flatten(transform(ss, transform(ss, ...))) —
+    # exactly size(ss)^2 structs per gram row; bounding size bounds it
+    assert max(sizes) <= cap, f"a gram above the cap survived: {max(sizes)}"
+
+    edges = pagerank_edges(d, cap=cap).collect()
+    # without the cap the stop-gram alone yields n*(n-1) = 9900 edges;
+    # with it, only the 50 pairs (both directions) remain
+    assert len(edges) == n, len(edges)
+    assert all(
+        int(e.src[3:]) // 2 == int(e.dst[3:]) // 2 for e in edges
+    ), "an edge crossed a pair boundary — stop-gram leaked through the cap"

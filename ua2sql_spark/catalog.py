@@ -31,16 +31,87 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+# Opt-in manifest-driven file pruning for the ordinary load_table path
+# (VERDICT r5 next-round #5). When MANIFEST_ENABLED_CONF is true and the
+# caller passes a range predicate, load_table consults the file-stats
+# manifest (operators/manifest.py) persisted beside the table —
+# `<sf_dir>/<name>.manifest.parquet`, or `<MANIFEST_DIR_CONF>/<name>`
+# when the table directory is read-only — and hands Spark only the
+# surviving files. At 100 TB this skips both the listing and the footer
+# reads of non-overlapping files; Catalyst still does row-group pruning
+# and pushdown inside the chosen files.
+MANIFEST_ENABLED_CONF = "spark.ua2sql.manifest.enabled"
+MANIFEST_DIR_CONF = "spark.ua2sql.manifest.dir"
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def manifest_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    override = spark.conf.get(MANIFEST_DIR_CONF, None)
+    if override:
+        return os.path.join(override, name)
+    return os.path.join(sf_dir, f"{name}.manifest.parquet")
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    where: tuple | None = None,
+) -> DataFrame:
+    """Load a catalog table; ``where=(col, lo, hi[, cast])`` applies an
+    inclusive range predicate — and, when manifest pruning is enabled
+    and a manifest exists for the table, skips every data file whose
+    [min, max] on ``col`` cannot overlap [lo, hi] before Spark even
+    lists it. The predicate is ALWAYS re-applied exactly, so results
+    are identical with and without a manifest."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        return _load_events(spark, sf_dir)
+        df = _load_events(spark, sf_dir)
+        # events needs ts normalization before any predicate; manifest
+        # stats on raw ts encodings would not match the normalized
+        # column, so events always takes the plain path.
+        if where is not None:
+            col, lo, hi = where[0], where[1], where[2]
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df
+    if where is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = where[0], where[1], where[2]
+        cast = where[3] if len(where) > 3 else "bigint"
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        if spark.conf.get(MANIFEST_ENABLED_CONF, "false").lower() == "true":
+            mpath = manifest_path(spark, sf_dir, name)
+            if _hadoop_exists(spark, mpath):
+                from ua2sql_spark.operators.manifest import prune_files
+
+                manifest = spark.read.parquet(mpath)
+                files = prune_files(manifest, col, lo, hi, cast=cast)
+                if not files:
+                    # no file overlaps: an empty frame with the table's
+                    # schema (reading zero files would fail schema
+                    # inference)
+                    return (
+                        spark.read.parquet(table_path(sf_dir, name))
+                        .filter(F.lit(False))
+                    )
+                return spark.read.parquet(*files).filter(pred)
+        return spark.read.parquet(table_path(sf_dir, name)).filter(pred)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -446,23 +446,31 @@ def _avi_video_chunks(payload: bytes) -> list[tuple[int, bytes]]:
 
 
 def sample_frames_real(payload: bytes, stride: int = FRAME_STRIDE) -> list[dict]:
-    """Decode an AVI/MJPEG video payload and return every ``stride``-th
-    frame, fully decoded through the pure-stdlib baseline-JPEG codec.
-    Same row shape as ``fake_sample_frames`` (frame_no, frame_offset,
-    frame_hash) plus the decoded geometry; frame_hash here digests the
-    DECODED raster, so two containers holding identical video bytes
-    fingerprint identically regardless of chunk layout. Non-AVI
-    containers (MP4/MKV — needs ffmpeg/pyav) and non-MJPEG codecs
+    """Decode an MJPEG video payload — AVI (RIFF) OR QuickTime/MOV
+    (ISO-BMFF, see :func:`_mov_video_samples`) — and return every
+    ``stride``-th frame, fully decoded through the pure-stdlib
+    baseline-JPEG codec. Same row shape as ``fake_sample_frames``
+    (frame_no, frame_offset, frame_hash) plus the decoded geometry;
+    frame_hash digests the DECODED raster, so the two containers
+    holding identical video bytes fingerprint identically regardless
+    of chunk layout (pinned by
+    tests/test_media_codecs.py::test_mov_and_avi_fingerprint_identically).
+    Other containers (MKV — needs ffmpeg/pyav) and non-MJPEG codecs
     raise ``NotImplementedError`` naming the dependency."""
     from ua2sql_spark.functions.jpeg import decode_jpeg
 
-    chunks = _avi_video_chunks(payload)
+    if payload[:4] == b"RIFF":
+        chunks = _avi_video_chunks(payload)
+    elif len(payload) > 12 and payload[4:8] == b"ftyp":
+        chunks = _mov_video_samples(payload)
+    else:
+        raise NotImplementedError("not a RIFF/AVI or QuickTime/MOV stream")
     out = []
     for frame_no in range(0, len(chunks), stride):
         offset, body = chunks[frame_no]
         if body[:2] != b"\xff\xd8":
             raise NotImplementedError(
-                "AVI video chunk is not an MJPEG frame (non-JPEG codec "
+                "video chunk is not an MJPEG frame (non-JPEG codec "
                 "needs ffmpeg/pyav, not in this container)"
             )
         width, height, channels, raster = decode_jpeg(body)
@@ -530,6 +538,220 @@ def encode_avi_mjpeg(
         off += 8 + len(f) + (len(f) & 1)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
     return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+# ---------------------------------------------------------------------------
+# Second video container: QuickTime/MOV with MJPEG samples (ISO-BMFF box
+# tree + stbl sample tables). Same (offset, body) chunk contract as
+# _avi_video_chunks, so sample_frames_real fingerprints identical video
+# bytes identically across BOTH containers.
+# ---------------------------------------------------------------------------
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full_box(btype: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def encode_mov_mjpeg(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+) -> bytes:
+    """Assemble baseline-JPEG frames into a QuickTime/MOV container
+    (ftyp 'qt  ' + mdat + moov/trak/mdia/minf/stbl with stsd('jpeg'),
+    stts, stsc, stsz, stco). One sample per chunk; stco offsets are
+    absolute file offsets, so mdat is laid out first. The MOV twin of
+    :func:`encode_avi_mjpeg`."""
+    ftyp = _box(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  ")
+    mdat_body = b"".join(jpeg_frames)
+    # per-sample absolute offsets: after ftyp + mdat's 8-byte header
+    offsets, pos = [], len(ftyp) + 8
+    for f in jpeg_frames:
+        offsets.append(pos)
+        pos += len(f)
+    n = len(jpeg_frames)
+    timescale = fps
+    duration = n  # n samples x delta 1 at timescale=fps
+    mvhd = _full_box(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+        + b"\x00" * 8
+        + _QT_IDENTITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full_box(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, rsvd
+        + _QT_IDENTITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+        flags=0x7,
+    )
+    mdhd = _full_box(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0, 0)
+    )
+    hdlr = _full_box(b"hdlr", b"mhlr" + b"vide" + b"\x00" * 12 + b"\x00")
+    vmhd = _full_box(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = _full_box(
+        b"dref", struct.pack(">I", 1) + _full_box(b"url ", b"", flags=1)
+    )
+    dinf = _box(b"dinf", dref)
+    sample_desc = (
+        struct.pack(">HH", 0, 0)  # pre_defined, reserved
+        + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)  # dpi, dsize, fc
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, color table id
+    )
+    stsd = _full_box(
+        b"stsd",
+        struct.pack(">I", 1)
+        + struct.pack(">I", 16 + len(sample_desc))
+        + b"jpeg"
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+        + sample_desc,
+    )
+    stts = _full_box(b"stts", struct.pack(">III", 1, n, 1))
+    stsc = _full_box(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _full_box(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames),
+    )
+    stco = _full_box(
+        b"stco",
+        struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+_QT_IDENTITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+_MOV_JPEG_FOURCCS = (b"jpeg", b"mjpa", b"mjpb", b"MJPG")
+
+
+def _mov_video_samples(payload: bytes) -> list[tuple[int, bytes]]:
+    """Walk a QuickTime/MOV (ISO-BMFF) box tree and return the video
+    track's MJPEG samples as (absolute_offset, body) pairs, resolved
+    through the stbl sample tables (stsd codec check, stsz sizes,
+    stsc sample→chunk mapping, stco/co64 chunk offsets). General stsc
+    handling — not just the one-sample-per-chunk layout the encoder
+    writes."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF (MOV/MP4) stream")
+
+    def children(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            btype = payload[pos + 4 : pos + 8]
+            head = 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                head = 16
+            elif size == 0:
+                size = hi - pos
+            if size < head or pos + size > hi:
+                raise NotImplementedError("truncated MOV box")
+            yield btype, pos + head, pos + size
+            pos += size
+
+    def find(lo: int, hi: int, btype: bytes):
+        return [(a, b) for t, a, b in children(lo, hi) if t == btype]
+
+    moov = find(0, len(payload), b"moov")
+    if not moov:
+        raise NotImplementedError("MOV missing moov box")
+    for trak_lo, trak_hi in find(*moov[0], b"trak"):
+        for mdia_lo, mdia_hi in find(trak_lo, trak_hi, b"mdia"):
+            for minf_lo, minf_hi in find(mdia_lo, mdia_hi, b"minf"):
+                for stbl_lo, stbl_hi in find(minf_lo, minf_hi, b"stbl"):
+                    samples = _stbl_samples(payload, stbl_lo, stbl_hi)
+                    if samples is not None:
+                        return samples
+    raise NotImplementedError("MOV has no MJPEG video track")
+
+
+def _stbl_samples(
+    payload: bytes, lo: int, hi: int
+) -> list[tuple[int, bytes]] | None:
+    """Resolve one stbl's sample tables; None if the track's codec is
+    not an MJPEG flavor (caller tries the next track)."""
+    tables: dict[bytes, tuple[int, int]] = {}
+    pos = lo
+    while pos + 8 <= hi:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        if size == 0:
+            size = hi - pos
+        if size < 8 or pos + size > hi:
+            raise NotImplementedError("truncated stbl box")
+        tables[btype] = (pos + 8, pos + size)
+        pos += size
+    if b"stsd" not in tables:
+        return None
+    sd_lo, _ = tables[b"stsd"]
+    fourcc = payload[sd_lo + 12 : sd_lo + 16]  # vflags(4) count(4) size(4)
+    if fourcc not in _MOV_JPEG_FOURCCS:
+        return None
+    for need in (b"stsz", b"stsc"):
+        if need not in tables:
+            raise NotImplementedError(f"MOV stbl missing {need.decode()}")
+    # sizes
+    z_lo, _ = tables[b"stsz"]
+    fixed, n = struct.unpack_from(">II", payload, z_lo + 4)
+    sizes = (
+        [fixed] * n
+        if fixed
+        else list(struct.unpack_from(f">{n}I", payload, z_lo + 12))
+    )
+    # chunk offsets (stco 32-bit or co64 64-bit)
+    if b"stco" in tables:
+        c_lo, _ = tables[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", payload, c_lo + 4)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}I", payload, c_lo + 8))
+    elif b"co64" in tables:
+        c_lo, _ = tables[b"co64"]
+        (n_chunks,) = struct.unpack_from(">I", payload, c_lo + 4)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}Q", payload, c_lo + 8))
+    else:
+        raise NotImplementedError("MOV stbl missing stco/co64")
+    # sample -> chunk via stsc runs: (first_chunk, samples_per_chunk, _)
+    s_lo, _ = tables[b"stsc"]
+    (n_runs,) = struct.unpack_from(">I", payload, s_lo + 4)
+    runs = [
+        struct.unpack_from(">III", payload, s_lo + 8 + 12 * i) for i in range(n_runs)
+    ]
+    out: list[tuple[int, bytes]] = []
+    si = 0
+    for ri, (first, per_chunk, _sdi) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for ci in range(first - 1, last):
+            off = chunk_offs[ci]
+            for _ in range(per_chunk):
+                if si >= n:
+                    break
+                out.append((off, payload[off : off + sizes[si]]))
+                off += sizes[si]
+                si += 1
+    if si != n:
+        raise NotImplementedError("MOV sample tables inconsistent")
+    return out
 
 
 def fake_sample_frames(
@@ -828,8 +1050,16 @@ def probe_image_dims(payload: bytes) -> tuple[int, int]:
       too, whose full decode raises
     * TIFF: IFD entry walk for tags 256/257 (no strip reads)
 
-    Raises NotImplementedError for unrecognized containers (the same
-    contract as the decode tier)."""
+    Raises NotImplementedError for unrecognized containers AND for
+    truncated/corrupt headers (the same contract as the decode tier —
+    a recognized magic followed by garbage must not crash a task)."""
+    try:
+        return _probe_image_dims(payload)
+    except (struct.error, IndexError, ValueError) as exc:
+        raise NotImplementedError(f"truncated/corrupt image header: {exc}") from exc
+
+
+def _probe_image_dims(payload: bytes) -> tuple[int, int]:
     if payload[: len(PNG_SIG)] == PNG_SIG:
         if len(payload) < 24 or payload[12:16] != b"IHDR":
             raise NotImplementedError("PNG missing leading IHDR")
@@ -885,6 +1115,139 @@ def probe_image_dims(payload: bytes) -> tuple[int, int]:
     raise NotImplementedError("unrecognized image container")
 
 
+# ---------------------------------------------------------------------------
+# JPEG EXIF: orientation + capture timestamp — the highest-frequency
+# metadata a multimodal pipeline reads (orientation decides whether the
+# decode needs a rotate; DateTimeOriginal drives temporal dedup/splits).
+# APP1 "Exif\0\0" holds a little TIFF: IFD0 carries Orientation (0x0112)
+# and DateTime (0x0132); the Exif sub-IFD (pointer 0x8769) carries
+# DateTimeOriginal (0x9003).
+# ---------------------------------------------------------------------------
+_EXIF_EMPTY = {"orientation": None, "datetime": None, "datetime_original": None}
+
+
+def encode_exif_app1(
+    orientation: int = 1,
+    datetime_str: str | None = None,
+    datetime_original: str | None = None,
+) -> bytes:
+    """A complete JPEG APP1/Exif segment (marker included) carrying the
+    given tags — splice it right after SOI to EXIF-tag any JPEG. Writer
+    half of :func:`parse_exif`, used by the round-trip tests and the
+    x-query's deterministic per-doc injection."""
+
+    def ascii20(s: str) -> bytes:
+        b = s.encode("ascii")[:19]
+        return b + b"\x00" * (20 - len(b))
+
+    entries: list[tuple[int, int, int, bytes]] = [
+        (0x0112, 3, 1, struct.pack("<H", orientation) + b"\x00\x00")
+    ]
+    data_area = b""
+    n_ifd0 = 1 + (datetime_str is not None) + (datetime_original is not None)
+    # value offsets are relative to the TIFF header; IFD0 starts at 8,
+    # its body is 2 + 12*n + 4 (count, entries, next-IFD pointer)
+    data_base = 8 + 2 + 12 * n_ifd0 + 4
+    if datetime_str is not None:
+        entries.append(
+            (0x0132, 2, 20, struct.pack("<I", data_base + len(data_area)))
+        )
+        data_area += ascii20(datetime_str)
+    if datetime_original is not None:
+        sub_off = data_base + len(data_area)
+        entries.append((0x8769, 4, 1, struct.pack("<I", sub_off)))
+        # sub-IFD: one entry (DateTimeOriginal), value right after it
+        sub_val = sub_off + 2 + 12 + 4
+        data_area += (
+            struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x9003, 2, 20)
+            + struct.pack("<I", sub_val)
+            + struct.pack("<I", 0)
+            + ascii20(datetime_original)
+        )
+    entries.sort(key=lambda e: e[0])
+    ifd0 = (
+        struct.pack("<H", n_ifd0)
+        + b"".join(struct.pack("<HHI", t, ty, c) + v for t, ty, c, v in entries)
+        + struct.pack("<I", 0)
+    )
+    tiff = b"II*\x00" + struct.pack("<I", 8) + ifd0 + data_area
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Extract orientation / DateTime / DateTimeOriginal from a JPEG's
+    APP1 Exif segment. Returns the all-None dict for non-JPEG payloads,
+    JPEGs without EXIF, and truncated/corrupt EXIF blocks — the probe
+    tier's never-raise contract."""
+    try:
+        return _parse_exif(payload)
+    except (struct.error, IndexError, ValueError, UnicodeDecodeError):
+        return dict(_EXIF_EMPTY)
+
+
+def _parse_exif(payload: bytes) -> dict:
+    out = dict(_EXIF_EMPTY)
+    if payload[:2] != b"\xff\xd8":
+        return out
+    pos = 2
+    tiff: bytes | None = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS/EOI: APP segments are done
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = payload[pos + 10 : pos + 2 + seglen]
+            break
+        pos += 2 + seglen
+    if tiff is None:
+        return out
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        return out
+
+    def read_ifd(ifd_off: int) -> dict[int, tuple[int, int, int]]:
+        (count,) = struct.unpack_from(e + "H", tiff, ifd_off)
+        found = {}
+        for i in range(count):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, base)
+            found[tag] = (typ, cnt, base + 8)
+        return found
+
+    def ascii_value(typ: int, cnt: int, val_off: int) -> str | None:
+        if typ != 2:
+            return None
+        off = val_off if cnt <= 4 else struct.unpack_from(e + "I", tiff, val_off)[0]
+        return tiff[off : off + cnt].split(b"\x00")[0].decode("ascii")
+
+    (ifd0_off,) = struct.unpack_from(e + "I", tiff, 4)
+    ifd0 = read_ifd(ifd0_off)
+    if 0x0112 in ifd0 and ifd0[0x0112][0] == 3:
+        out["orientation"] = struct.unpack_from(e + "H", tiff, ifd0[0x0112][2])[0]
+    if 0x0132 in ifd0:
+        out["datetime"] = ascii_value(*ifd0[0x0132])
+    if 0x8769 in ifd0 and ifd0[0x8769][0] in (4, 13):
+        (sub_off,) = struct.unpack_from(e + "I", tiff, ifd0[0x8769][2])
+        sub = read_ifd(sub_off)
+        if 0x9003 in sub:
+            out["datetime_original"] = ascii_value(*sub[0x9003])
+    return out
+
+
 def probe_media_metadata(payload: bytes) -> dict:
     """Unified media probe: (kind, width, height, duration_s,
     sample_rate, n_tracks) with NULLs for inapplicable fields — the
@@ -899,6 +1262,11 @@ def probe_media_metadata(payload: bytes) -> dict:
         "duration_s": None,
         "sample_rate": None,
         "n_tracks": None,
+        # JPEG EXIF (None elsewhere): orientation decides rotate-on-
+        # decode; the capture timestamp (DateTimeOriginal, falling back
+        # to DateTime) drives temporal splits/dedup
+        "exif_orientation": None,
+        "exif_datetime": None,
     }
     is_image = (
         payload[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8")
@@ -915,6 +1283,12 @@ def probe_media_metadata(payload: bytes) -> dict:
         if is_image:
             w, h = probe_image_dims(payload)  # header-only, no pixel decode
             out.update(kind="image", width=w, height=h)
+            if payload[:2] == b"\xff\xd8":
+                ex = parse_exif(payload)
+                out.update(
+                    exif_orientation=ex["orientation"],
+                    exif_datetime=ex["datetime_original"] or ex["datetime"],
+                )
         elif is_container_audio:
             d = decode_audio_real(payload)
             out.update(

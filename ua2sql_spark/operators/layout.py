@@ -340,16 +340,17 @@ def vacuum_orphans(
     """
     import time
 
-    def _norm(f: str) -> str:
-        # Manifest entries are fully-qualified URIs (file:/..,
-        # hdfs://nn/.., s3a://bucket/..); the disk walk below compares
-        # scheme-less URI paths, so strip scheme+authority here too —
-        # a prefix-only strip would mark every live file on a remote
-        # filesystem as an orphan.
-        from urllib.parse import urlparse
+    jvm = spark.sparkContext._jvm
 
-        parsed = urlparse(f)
-        return parsed.path if parsed.scheme else f
+    def _norm(f: str) -> str:
+        # Manifest entries are Hadoop Path.toString() values — fully
+        # qualified AND URI-escaped (a space is %20). The disk walk
+        # below compares p.toUri().getPath(), which strips
+        # scheme+authority and DECODES escapes — so both sides must go
+        # through the exact same JVM Path → URI → path pipeline, or a
+        # live file whose name Hadoop escapes would never match and be
+        # deleted as an orphan once aged.
+        return jvm.org.apache.hadoop.fs.Path(f).toUri().getPath()
 
     live = {_norm(r["file"]) for r in manifest.select("file").distinct().collect()}
     fs, root = _fs_and_path(spark, path)

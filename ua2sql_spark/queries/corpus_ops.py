@@ -487,10 +487,11 @@ def x129_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # * EDGES: source A links to source B when they share an 8-word
 #   shingle (content syndication). Scale-safely built from the
-#   per-(source, gram) DISTINCT projection — the join fan-out per gram
-#   is bounded by |sources sharing that gram|, never |docs|² (the
-#   x106 contamination shape); the resulting edge list is |domains|²
-#   at absolute worst and sparse in practice, so it's materialized
+#   per-(source, gram) DISTINCT projection with a HARD per-gram
+#   fan-in cap (_PR_FANIN_CAP): grams shared by more than K sources
+#   are stop-grams and are dropped, so the pair explode is bounded at
+#   K² structs per gram — never |domains|² from one viral gram; the
+#   resulting edge list is sparse in practice, so it's materialized
 #   once with localCheckpoint (the components.py discipline) and
 #   reused by every iteration instead of re-deriving the shingle join
 #   K times.
@@ -510,6 +511,12 @@ def x129_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_D = 0.85
 _PR_ITERS = 3
 _PR_GRAM = 8
+# Per-gram fan-in cap: a gram shared by more than K sources is a
+# stop-gram (boilerplate, navigation chrome) that carries no syndication
+# signal — and without a cap, ONE such gram at crawl scale materializes
+# |domains|² pair structs from a single row in a single task (VERDICT r5
+# wrong-#1). Dropping it bounds the per-gram explode at K² structs.
+_PR_FANIN_CAP = 64
 
 _SQL_DSUM12 = "CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)"
 
@@ -531,6 +538,71 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     )"""
 
 
+def pagerank_shared_grams(
+    d: DataFrame, gram: int = _PR_GRAM, cap: int = _PR_FANIN_CAP
+) -> DataFrame:
+    """(gram, source-set) rows for linking grams — fan-in HARD-capped.
+
+    Edge derivation is ONE gram shuffle, and the shuffle KEY is the
+    16-hex-char md5 prefix of the gram, not the ~50-char gram string
+    (the compact-shuffle-key discipline; replayed VERBATIM by the
+    oracle, so even a prefix collision yields the same edge in both
+    engines). collect_set dedups sources per gram map-side +
+    reduce-side (no separate pre-distinct, no self-join); the pair
+    expansion runs over the per-gram source SETS, HARD-capped at
+    ``cap`` sources: a stop-gram shared by most domains would
+    otherwise put |domains| sources in ONE row and explode |domains|²
+    structs inside one task (straggler/OOM at crawl scale). Grams
+    above the cap are boilerplate with no linkage signal, so they are
+    dropped, bounding the explode at cap² structs per gram. The oracle
+    mirrors the cap with HAVING COUNT(*) BETWEEN 2 AND K; this is the
+    plan you'd want at 100 TB, where shuffling each (source, gram)
+    pair twice more for a join would double the largest exchange.
+    """
+    w = F.split(F.col("text"), " ")
+    grams = d.filter(F.size(w) >= gram).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (gram - 1)),
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice(w, i, gram), " ")), 1, 16
+                ),
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.collect_set("source").alias("ss"))
+        .filter(F.size("ss").between(2, cap))
+    )
+
+
+def pagerank_edges(
+    d: DataFrame, gram: int = _PR_GRAM, cap: int = _PR_FANIN_CAP
+) -> DataFrame:
+    """Distinct directed (src, dst) syndication edges with capped fan-in."""
+    return (
+        pagerank_shared_grams(d, gram, cap)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda a: F.transform(
+                            F.col("ss"),
+                            lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 @query(
     "x138_domain_pagerank",
     oracle=f"""
@@ -543,9 +615,17 @@ def _pr_iter_sql(prev: str, out: str) -> str:
         FROM words, unnest(range(1, len(w) - {_PR_GRAM - 2})) AS t(i)
         WHERE len(w) >= {_PR_GRAM}
     ),
+    linking_grams AS (
+        -- mirror of the Spark-side fan-in cap: grams shared by 2..K
+        -- sources link; stop-grams (> K sources) are dropped
+        SELECT g FROM grams
+        GROUP BY g HAVING COUNT(*) BETWEEN 2 AND {_PR_FANIN_CAP}
+    ),
     edges AS (
         SELECT DISTINCT a.source AS src, b.source AS dst
-        FROM grams a JOIN grams b ON a.g = b.g AND a.source <> b.source
+        FROM grams a
+        JOIN linking_grams lg ON a.g = lg.g
+        JOIN grams b ON a.g = b.g AND a.source <> b.source
     ),
     nodes AS (SELECT DISTINCT source FROM documents),
     ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
@@ -568,56 +648,8 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 )
 def x138_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    grams = d.filter(F.size(w) >= _PR_GRAM).select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (_PR_GRAM - 1)),
-                lambda i: F.substring(
-                    F.md5(F.array_join(F.slice(w, i, _PR_GRAM), " ")), 1, 16
-                ),
-            )
-        ).alias("g"),
-    )
-    # Edge derivation is ONE gram shuffle, and the shuffle KEY is the
-    # 16-hex-char md5 prefix of the gram, not the ~50-char gram string
-    # (the compact-shuffle-key discipline; replayed VERBATIM by the
-    # oracle, so even a prefix collision yields the same edge in both
-    # engines). collect_set dedups sources
-    # per gram map-side+reduce-side (no separate pre-distinct, no
-    # self-join); the pair expansion runs over the per-gram source
-    # SETS, whose size is bounded by |sources sharing that gram| —
-    # the x106 fan-in bound — so it never touches |docs|² even for a
-    # viral gram. The oracle keeps the equivalent self-join phrasing
-    # (the edge SET is identical); this is the plan you'd want at
-    # 100 TB, where shuffling each (source, gram) pair twice more for
-    # a join would double the largest exchange in the query.
-    shared = (
-        grams.groupBy("g")
-        .agg(F.collect_set("source").alias("ss"))
-        .filter(F.size("ss") > 1)
-    )
-    edges = (
-        shared.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ss"),
-                        lambda a: F.transform(
-                            F.col("ss"),
-                            lambda b: F.struct(a.alias("src"), b.alias("dst")),
-                        ),
-                    )
-                )
-            ).alias("e")
-        )
-        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        # |domains|-bounded; materialize once, every iteration reuses it.
-        .localCheckpoint()
-    )
+    # |domains|-bounded; materialize once, every iteration reuses it.
+    edges = pagerank_edges(d).localCheckpoint()
     # |domains| rows; materialized once so the 3 iterations (plus the
     # teleport count) don't each re-run the corpus-wide distinct.
     nodes = d.select("source").distinct().localCheckpoint()

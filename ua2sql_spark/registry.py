@@ -46,6 +46,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # archetypes, and the training-data pipeline ops (packing, global
 # shuffle, PII scrub, token-budget sampling, quantization).
 #
+# Round-6 rotation (VERDICT r5 next-round #4): bring the
+# never-driver-checked r5 families into the window — theta-sketch set
+# ops (q139), CDC chunking (x142), NFC normalization (x143), recursive
+# CTE (q147), SQL pipe syntax (q150; q152 parameterized-SQL stays
+# local, same SQL-surface family), polymorphic UDTF (x149),
+# applyInArrow (x136), bloom semi-join reduction (q135), record
+# linkage (x146), epoch up-sampling (x150), tokenizer fertility
+# (x151), Welch t-test (q145; q146 histogram stays local, same stats
+# family), temperature resampling (x131). Out, each leaving an
+# in-window family representative: q07/q08 (semi/anti join shapes kept
+# by q135's bloom semi-join and x117's plan-pinned anti-join + q126's
+# decorrelated anti), q20 (agg family keeps q13/q16/q19/q114), q26
+# (sorts keep q22/q25), q28 (JSON kept by q120 variant), x43/x96 (md5
+# oracle tiers — the production xxhash64 twins x101/x115 stay), x46/
+# x100 (similarity keeps x130/x71 + both recall contracts), x77
+# (Python surface keeps x127; x136/x149 add the Arrow/UDTF APIs), q95
+# (archetypes keep q86/q126), x104 (order-by-hash sampling machinery
+# kept by x131/x150; x97 packing stays), x148 (driver-green r5; the
+# selection family keeps x111 + gains x131). All rotated-out rows
+# remain local-oracle green in tests/test_oracle.py.
+#
 # Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
 # another in-window representative moved below the fold (q02/q03 —
 # filter+CASE surface proven by q01; q06 → q116 full outer carries both
@@ -82,8 +103,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q01_pricing_summary",
     "q04_join_inner",
     "q05_join_star_broadcast",
-    "q07_join_semi",
-    "q08_join_anti",
+    "q135_bloom_semijoin_reduction",
+    "x146_record_linkage",
     "q09_join_theta",
     "q116_join_full_outer",
     # aggregates (incl. the approx-percentile sketch contract and the
@@ -95,14 +116,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q16_rollup",
     "q140_bitmap_exact_distinct",
     "q19_max_by_checkpoint",
-    "q20_collect_set",
+    "q139_theta_setops_contract",
     "q114_approx_percentile_contract",
-    # windows + sorts
+    # windows + sorts + statistical aggregates
     "q22_window_rank",
     "q25_topk_per_group",
-    "q26_order_limit",
-    # scalar-function families: JSON, Spark-4 variant, arrays
-    "q28_json_extract",
+    "q145_ab_welch_ttest",
+    # SQL surface: recursive CTE, Spark-4 variant JSON, arrays
+    "q147_recursive_hierarchy",
     "q120_variant_json",
     "q34_array_funcs",
     # temporal join + event analytics + streaming-window mirror
@@ -112,18 +133,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup: exact, LSH pairs, survivor, clusters (md5-oracle + fast
     # xxhash64 production family), incremental index
     "x41_exact_dedup",
-    "x43_minhash_lsh_neardup",
+    "x142_cdc_chunks",
     "x141_span_dedup",
-    "x96_neardup_clusters",
+    "x143_unicode_normalize",
     "x115_neardup_clusters_fast",
     "x117_incremental_dedup",
     "x101_minhash_fast_exact_tier",
-    # similarity: hybrid RRF (contains brute-force cosine), sign-LSH,
-    # IVF, kNN-over-IVF, recall gate
+    # similarity (hybrid RRF, IVF, both recall gates) + pipe syntax
+    # + tokenizer fertility
     "x130_hybrid_search_rrf",
-    "x46_ann_bucketed",
+    "q150_pipe_syntax",
     "x71_ivf_ann",
-    "x100_ivf_knn_classify",
+    "x151_tokenizer_fertility",
     "x121_ivf_recall_contract",
     "x133_quantized_recall_contract",
     "x112_embedding_quantize",
@@ -131,21 +152,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x48_token_stats",
     # multimodal
     "x53_decode_mapinpandas",
-    # Python-execution surface: grouped-map + the inference seam
+    # Python-execution surface: the inference seam + applyInArrow
     "x127_classifier_scores",
-    "x77_zscore_applyinpandas",
+    "x136_lang_stats_applyinarrow",
     # advanced SQL + data layout + iterative graph dataflow
     "x124_zorder_layout",
     "x138_domain_pagerank",
-    # TPC-H archetypes
+    # TPC-H archetypes + polymorphic UDTF
     "q126_sales_opportunity",
     "q86_supplier_wait",
-    "q95_market_share",
-    # training-data pipeline: packing, shuffle, scrub, sampling
+    "x149_udtf_polymorphic",
+    # training-data pipeline: packing, epoch up-sampling, scrub,
+    # temperature resampling
     "x97_sequence_pack",
-    "x104_global_shuffle",
+    "x150_epoch_upsample",
     "x111_pii_scrub",
-    "x148_dsir_importance",
+    "x131_temperature_resample",
 )
 
 

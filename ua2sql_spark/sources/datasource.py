@@ -375,18 +375,24 @@ class UnityBackupWriter(DataSourceWriter):
         return _BackupCommit(staged=staged, rows=n)
 
     def commit(self, messages) -> None:
-        # Driver-side: publish atomically — rename every staged shard
-        # to its final name (task-order indexed), then the manifest.
+        # Driver-side publication. The COMMIT POINT is the atomic
+        # os.replace of _MANIFEST.json — readers trust the manifest,
+        # never the directory glob. Ordering makes every crash window
+        # safe: (1) rename staged shards to their final names (new
+        # names never collide with prior ones, so a crash here leaves
+        # the OLD manifest fully intact and consistent), (2) atomically
+        # swap in the new manifest, (3) only THEN, under overwrite,
+        # delete prior shards the new manifest no longer references —
+        # a crash between 2 and 3 leaves harmless unreferenced files,
+        # never a manifest naming missing ones.
         import json
         import os
+        import uuid
 
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.startswith("part-") or f == "_MANIFEST.json":
-                    os.remove(os.path.join(self.path, f))
-        # Append must extend, never clobber: new shards number from one
-        # past the highest existing index, and the manifest carries the
-        # union of surviving prior shards + this commit's.
+        os.makedirs(self.path, exist_ok=True)  # zero-task writes still commit
+        # Shards always number from one past the highest existing index
+        # — even under overwrite — so step 1 never clobbers a file the
+        # live manifest still references.
         existing = sorted(
             f for f in os.listdir(self.path)
             if f.startswith("part-") and f.endswith(".jsonl.gz")
@@ -396,20 +402,36 @@ class UnityBackupWriter(DataSourceWriter):
             if existing
             else 0
         )
-        prior = []
         mpath = os.path.join(self.path, "_MANIFEST.json")
-        if existing and os.path.exists(mpath):
+        prior = []
+        if not self.overwrite and existing and os.path.exists(mpath):
+            # Append extends: carry forward prior shards that survive.
             with open(mpath) as fh:
                 prior = [
                     sh for sh in json.load(fh)["shards"] if sh["file"] in existing
                 ]
         manifest = list(prior)
-        for i, m in enumerate(messages):
+        live = [m for m in messages if m is not None]
+        for i, m in enumerate(live):
             final = os.path.join(self.path, f"part-{base + i:05d}.jsonl.gz")
             os.replace(m.staged, final)
             manifest.append({"file": os.path.basename(final), "rows": m.rows})
-        with open(mpath, "w") as fh:
-            json.dump({"shards": manifest, "total_rows": sum(s["rows"] for s in manifest)}, fh)
+        tmp = os.path.join(self.path, f".manifest-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "shards": manifest,
+                    "total_rows": sum(s["rows"] for s in manifest),
+                },
+                fh,
+            )
+        os.replace(tmp, mpath)  # <-- the commit point
+        if self.overwrite:
+            referenced = {s["file"] for s in manifest}
+            for f in existing:
+                if f not in referenced:
+                    os.remove(os.path.join(self.path, f))
+        self._sweep_staged()
 
     def abort(self, messages) -> None:
         import os
@@ -417,3 +439,20 @@ class UnityBackupWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        self._sweep_staged()
+
+    def _sweep_staged(self) -> None:
+        # Failed/speculated tasks that never returned a commit message
+        # leave .staged-* shards behind; every commit/abort sweeps them
+        # (any staged file surviving to this point belongs to no live
+        # task — the driver has already collected all messages).
+        import os
+
+        for f in os.listdir(self.path):
+            if f.startswith(".staged-") or (
+                f.startswith(".manifest-") and f.endswith(".tmp")
+            ):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass

@@ -182,11 +182,20 @@ class SessionTimeoutProcessor(StatefulProcessor):
         for t in ms:
             if last_ms is not None and t - last_ms > SESSION_GAP_MS:
                 closed.append((n, first_ms, last_ms))
-                n, first_ms = 0, t
+                n, first_ms, last_ms = 0, t, None
             if first_ms is None:
                 first_ms = t
             n += 1
-            last_ms = t
+            # A cross-batch out-of-order event can arrive with t older
+            # than the stored last_ms (the in-batch sort can't order
+            # across batches). Folding it in must never REGRESS the
+            # session bounds: max keeps the timer armed at the true
+            # quiet point, min admits a late-but-in-session event into
+            # first_ms. (Plain `last_ms = t` would re-arm the timer
+            # earlier than the real last event and emit a wrong session
+            # end for any caller with a nonzero watermark delay.)
+            first_ms = min(first_ms, t)
+            last_ms = t if last_ms is None else max(last_ms, t)
         self._sess.update((n, first_ms, last_ms))
         # one live timer per key: drop superseded marks, arm the new one
         for t in self._handle.listTimers():
