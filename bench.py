@@ -92,6 +92,11 @@ HEADLINE = [
     # sampling) give it a watched number
     "x53_decode_mapinpandas",
     "x83_frame_sample",
+    # r6 addition: the histogram-shaped PR curve (x154's PQ recall
+    # CONTRACT stays out of the headline like x121/x133 — a contract
+    # pays a brute-force baseline by construction; the production PQ
+    # path inside it is encode + ADC only)
+    "x155_pr_calibration",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Copy-on-write snapshots: time-travel reads, version diffs, commit
+atomicity, and the vacuum retention contract (operators/snapshot.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR  # noqa: F401  (fixture wiring)
+
+
+def _rows(df):
+    return {(r["id"], r["day"]): r["val"] for r in df.collect()}
+
+
+def test_cow_upsert_time_travel_and_diff(spark, tmp_path):
+    from ua2sql_spark.operators.snapshot import (
+        bootstrap_snapshot,
+        latest_version,
+        list_versions,
+        read_manifest,
+        read_snapshot,
+        snapshot_diff,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "id bigint, day string, val string",
+    )
+    base.write.partitionBy("day").parquet(path)
+    assert bootstrap_snapshot(spark, path, "day") == 0
+    assert list_versions(spark, path) == [0]
+    assert _rows(read_snapshot(spark, path, 0)) == _rows(base)
+
+    # v1: replace id=3 in d2, insert id=5 into d2; d1/d3 untouched
+    batch = spark.createDataFrame(
+        [(3, "d2", "C2"), (5, "d2", "e")], "id bigint, day string, val string"
+    )
+    v, written = upsert_cow(batch, path, ["id"], "day")
+    assert (v, written) == (1, 2)
+
+    # latest view merged; v0 still reads the ORIGINAL rows (time travel)
+    assert _rows(read_snapshot(spark, path)) == {
+        (1, "d1"): "a", (2, "d1"): "b", (3, "d2"): "C2",
+        (4, "d3"): "d", (5, "d2"): "e",
+    }
+    assert _rows(read_snapshot(spark, path, 0)) == _rows(base)
+
+    # untouched partitions share the SAME files across versions (no
+    # rewrite); the touched one was replaced copy-on-write
+    m0 = {r["partition"]: r["file"] for r in read_manifest(spark, path, 0).collect()}
+    m1 = {r["partition"]: r["file"] for r in read_manifest(spark, path, 1).collect()}
+    assert m0["day=d1"] == m1["day=d1"] and m0["day=d3"] == m1["day=d3"]
+    assert m0["day=d2"] != m1["day=d2"]
+
+    d = snapshot_diff(spark, path, 0, 1)
+    assert len(d["added"]) >= 1 and len(d["removed"]) >= 1
+    assert all("day=d2" in f for f in d["added"] + d["removed"])
+
+    # v2: new partition d9 + touch d1
+    batch2 = spark.createDataFrame(
+        [(1, "d1", "A!"), (9, "d9", "nine")], "id bigint, day string, val string"
+    )
+    v2, written2 = upsert_cow(batch2, path, ["id"], "day")
+    assert v2 == 2 and written2 == 3  # batch 2 + carried id=2
+    assert latest_version(spark, path) == 2
+    got2 = _rows(read_snapshot(spark, path))
+    assert got2[(1, "d1")] == "A!" and got2[(9, "d9")] == "nine"
+    assert len(got2) == 6
+    # every earlier version still exact
+    assert _rows(read_snapshot(spark, path, 1))[(1, "d1")] == "a"
+    assert (9, "d9") not in _rows(read_snapshot(spark, path, 1))
+
+
+def test_cow_fresh_table_and_guard_rails(spark, tmp_path):
+    from ua2sql_spark.operators.snapshot import (
+        read_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "fresh")
+    batch = spark.createDataFrame(
+        [(1, "d1", "x")], "id bigint, day string, val string"
+    )
+    v, n = upsert_cow(batch, path, ["id"], "day")
+    assert (v, n) == (0, 1)
+    assert _rows(read_snapshot(spark, path)) == {(1, "d1"): "x"}
+
+    # an existing table WITHOUT snapshots must demand a bootstrap, not
+    # silently shadow its rows
+    path2 = str(tmp_path / "unadopted")
+    batch.write.partitionBy("day").parquet(path2)
+    with pytest.raises(ValueError, match="bootstrap"):
+        upsert_cow(batch, path2, ["id"], "day")
+
+
+def test_staged_manifest_never_visible_as_version(spark, tmp_path):
+    """Commit atomicity: a staged (pre-rename) manifest directory is
+    not a version — readers see the previous version until the rename."""
+    from ua2sql_spark.operators.snapshot import (
+        _snap_root,
+        list_versions,
+        upsert_cow,
+    )
+    import os
+
+    path = str(tmp_path / "tbl")
+    batch = spark.createDataFrame(
+        [(1, "d1", "x")], "id bigint, day string, val string"
+    )
+    upsert_cow(batch, path, ["id"], "day")
+    # simulate a writer that crashed before its commit rename
+    os.makedirs(f"{_snap_root(path)}/.tmp-deadbeef", exist_ok=True)
+    os.makedirs(f"{_snap_root(path)}/v9-not-a-version", exist_ok=True)
+    assert list_versions(spark, path) == [0]
+
+
+def test_vacuum_retention_respects_retained_snapshots(spark, tmp_path):
+    """vacuum against live_files_union keeps every retained version's
+    files; vacuum against only the LATEST manifest ends time travel —
+    the Delta-VACUUM retention contract, stated and tested."""
+    from ua2sql_spark.operators.layout import vacuum_orphans
+    from ua2sql_spark.operators.snapshot import (
+        live_files_union,
+        read_manifest,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([(1, "d1", "a")], "id bigint, day string, val string")
+    b2 = spark.createDataFrame([(1, "d1", "b")], "id bigint, day string, val string")
+    upsert_cow(b1, path, ["id"], "day")
+    upsert_cow(b2, path, ["id"], "day")
+
+    # union-manifest vacuum: nothing to delete (age floor 0 to force)
+    gone = vacuum_orphans(
+        spark, path, live_files_union(spark, path), max_age_hours=0.0, dry_run=False
+    )
+    assert gone == []
+    assert _rows(read_snapshot(spark, path, 0)) == {(1, "d1"): "a"}
+
+    # latest-only vacuum: v0's file is an orphan; v1 survives intact
+    gone2 = vacuum_orphans(
+        spark,
+        path,
+        read_manifest(spark, path, 1).select("file"),
+        max_age_hours=0.0,
+        dry_run=False,
+    )
+    assert len(gone2) == 1
+    assert _rows(read_snapshot(spark, path, 1)) == {(1, "d1"): "b"}

@@ -460,6 +460,45 @@ def test_stream_upsert_parquet_exactly_once_effect(spark, tmp_path):
     assert {r["userid"] for r in again.collect()} == {"u0", "u1", "u2", "u3"}
 
 
+def test_stream_snapshot_upsert_versions_every_batch(spark, tmp_path):
+    """Versioned twin of the T4 lakehouse leg: each micro-batch commits
+    one snapshot version; earlier versions stay readable (time travel),
+    and the latest view carries the exactly-once MERGE effect."""
+    from ua2sql_spark.operators.snapshot import (
+        read_snapshot,
+        latest_version,
+        snapshot_upsert_sink,
+    )
+    from ua2sql_spark.streaming.ingest import stream_feed
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "tbl")
+    sink0 = snapshot_upsert_sink(table, key_cols=["userid"], partition_col="day")
+
+    def sink(df, epoch_id):
+        sink0(df.withColumn("day", F.to_date("ts")), epoch_id)
+
+    def run(ckpt):
+        q = stream_feed(spark, str(landing), "custom", str(tmp_path / ckpt), sink)
+        q.awaitTermination(120)
+
+    land(landing, "a.txt.gz", 0, 3)
+    run("ck1")
+    assert latest_version(spark, table) == 0
+    assert {r["userid"] for r in read_snapshot(spark, table).collect()} == {
+        "u0", "u1", "u2"
+    }
+
+    land(landing, "b.txt.gz", 2, 2)  # one re-delivered key + one new
+    run("ck1")
+    assert latest_version(spark, table) == 1
+    latest = read_snapshot(spark, table)
+    assert latest.count() == 4
+    # v0 still shows the pre-merge state: the training-run pinning story
+    assert read_snapshot(spark, table, 0).count() == 3
+
+
 def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
     """leftOuter stream-stream join: the unconverted impression emits
     with a NULL click only after the global watermark (min across both

@@ -364,6 +364,13 @@ def vacuum_orphans(
         if name.startswith("_") or name.startswith("."):
             continue  # commit markers / checksums are not data files
         raw = p.toUri().getPath()
+        rel = raw[len(root.toUri().getPath()):]
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1]):
+            # files under _-prefixed directories are table METADATA
+            # (snapshot manifests _snapshots/v*, streaming
+            # _spark_metadata) — Spark's own hidden-dir convention;
+            # never vacuum candidates
+            continue
         if raw in live:
             continue
         if st.getModificationTime() > cutoff_ms:

@@ -1,0 +1,314 @@
+"""Copy-on-write snapshots over plain-parquet tables: versioned file
+manifests give time-travel reads, version diffs, and torn-read-free
+readers without adopting a table format — the minimal slice of what
+Delta/Iceberg keep in their transaction log, built from the pieces this
+engine already has (file manifests ``operators/manifest.py``, the
+partition-scoped merge ``operators/merge.py``, VACUUM
+``operators/layout.py``).
+
+Reference provenance: extends the reference's append/backup sinks
+(ua2sql.py:274-295 checkpoint-after-commit single-writer model) with
+the versioned-read capability a 100 TB curation pipeline needs —
+"which exact file set trained run N" is a snapshot version, not a hope.
+
+Design:
+
+* A snapshot is a parquet manifest under ``<table>/_snapshots/v{N}``:
+  one row per live data file (file path, partition value, row count).
+  The leading underscore keeps every Spark/DuckDB reader from ever
+  globbing it as data.
+* ``upsert_cow`` is the copy-on-write twin of ``merge.upsert_parquet``:
+  identical MERGE semantics (batch replaces key-matches, carries the
+  rest, bounded touched-partition list), but rewritten partitions are
+  written as NEW uniquely-named files in APPEND mode — nothing is
+  deleted — and the new manifest is (prior manifest minus touched
+  partitions) + the new files. Prior versions stay readable.
+* The COMMIT POINT is the atomic filesystem rename of the staged
+  manifest directory to its final ``v{N}`` name: a crash before the
+  rename leaves only unreferenced data files (harmless; vacuum sweeps
+  them), never a half-visible version.
+* Readers (``read_snapshot``) resolve a version's file list from its
+  manifest and read exactly those files with ``basePath`` set — no
+  directory listing of the table, so a reader is never torn by a
+  concurrent writer appending files (single WRITER, as merge.py).
+* Retention: old versions' files are invisible to the LATEST manifest,
+  so ``vacuum_orphans`` against the latest manifest would end time
+  travel (exactly Delta VACUUM's contract). To keep N versions, pass
+  ``live_files_union`` — the union of all retained snapshots' files —
+  as the vacuum manifest.
+
+Scale shape: the manifest is file-count-bounded (not data-bounded); the
+upsert's data plane is identical to merge.py (touched partitions only,
+one anti-join); carrying untouched partitions forward is a
+manifest-only operation that never touches the filesystem; the
+before/after file diff lists ONLY the touched partition directories.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ua2sql_spark.operators.merge import (
+    _partition_dir_name,
+    _read_touched_slice,
+)
+
+_SNAP_DIR = "_snapshots"
+_VER_RE = re.compile(r"^v(\d{6})$")
+
+_MANIFEST_SCHEMA = "file string, partition string, row_count bigint"
+
+
+def _jfs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, p
+
+
+def _snap_root(path: str) -> str:
+    return f"{path}/{_SNAP_DIR}"
+
+
+def snapshot_path(path: str, version: int) -> str:
+    return f"{_snap_root(path)}/v{version:06d}"
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed snapshot versions, ascending. A version exists iff its
+    directory has been atomically renamed into place (staged ``.tmp-*``
+    directories are by construction never matched)."""
+    jvm, fs, _ = _jfs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(_snap_root(path))
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        m = _VER_RE.match(st.getPath().getName())
+        if m and st.isDirectory():
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, path: str) -> int | None:
+    vs = list_versions(spark, path)
+    return vs[-1] if vs else None
+
+
+def read_manifest(spark: SparkSession, path: str, version: int) -> DataFrame:
+    return spark.read.parquet(snapshot_path(path, version))
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). Reads exactly the
+    manifest's files — never lists the table directory, so concurrent
+    appends by the single writer are invisible until their commit."""
+    if version is None:
+        version = latest_version(spark, path)
+        if version is None:
+            raise ValueError(f"no snapshots under {path}")
+    files = [
+        r["file"] for r in read_manifest(spark, path, version).select("file").collect()
+    ]
+    if not files:
+        raise ValueError(f"snapshot v{version} of {path} is empty")
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def snapshot_diff(
+    spark: SparkSession, path: str, v_old: int, v_new: int
+) -> dict[str, list[str]]:
+    """Files added/removed between two versions — the audit answer to
+    "what changed between training run A and B". Driver-side but
+    file-count-bounded."""
+    old = {r["file"] for r in read_manifest(spark, path, v_old).collect()}
+    new = {r["file"] for r in read_manifest(spark, path, v_new).collect()}
+    return {"added": sorted(new - old), "removed": sorted(old - new)}
+
+
+def live_files_union(spark: SparkSession, path: str) -> DataFrame:
+    """Union of every retained snapshot's file list — pass as the
+    ``manifest`` to ``layout.vacuum_orphans`` to sweep only files no
+    retained version references (delete old snapshot manifests first to
+    shorten retention, exactly Delta's VACUUM knob)."""
+    versions = list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no snapshots under {path}")
+    df = None
+    for v in versions:
+        part = read_manifest(spark, path, v).select("file")
+        df = part if df is None else df.unionByName(part)
+    return df.distinct()
+
+
+def _list_partition_files(
+    spark: SparkSession, path: str, partition_col: str, values: list
+) -> dict[str, tuple[str, int]]:
+    """file -> (partition dir name, size) for ONLY the given partition
+    values' directories (never the table root)."""
+    jvm, fs, _ = _jfs(spark, path)
+    out: dict[str, tuple[str, int]] = {}
+    for v in values:
+        dname = _partition_dir_name(spark, partition_col, v)
+        p = jvm.org.apache.hadoop.fs.Path(path, dname)
+        if not fs.exists(p):
+            continue
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out[st.getPath().toUri().getPath()] = (dname, st.getLen())
+    return out
+
+
+def bootstrap_snapshot(
+    spark: SparkSession, path: str, partition_col: str
+) -> int:
+    """v0 for a pre-existing hive-partitioned table: one root listing
+    (paid ONCE, at adoption time — every later version lists only the
+    partitions it touches)."""
+    if latest_version(spark, path) is not None:
+        raise ValueError(f"{path} already has snapshots")
+    jvm, fs, root = _jfs(spark, path)
+    rows = []
+    it = fs.listFiles(root, True)
+    prefix = f"/{_SNAP_DIR}/"
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        raw = p.toUri().getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")) or prefix in raw:
+            continue
+        part = p.getParent().getName()
+        if not part.startswith(f"{partition_col}="):
+            continue
+        rows.append((raw, part, None))
+    return _commit_manifest(spark, path, 0, rows)
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, version: int, rows: list[tuple]
+) -> int:
+    """Write the manifest to a staged directory, then atomically rename
+    it to v{N} — THE commit point."""
+    import uuid
+
+    jvm, fs, _ = _jfs(spark, path)
+    staged = f"{_snap_root(path)}/.tmp-{uuid.uuid4().hex}"
+    spark.createDataFrame(rows, _MANIFEST_SCHEMA).coalesce(1).write.parquet(staged)
+    final = jvm.org.apache.hadoop.fs.Path(snapshot_path(path, version))
+    fs.mkdirs(final.getParent())
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), final):
+        raise RuntimeError(
+            f"snapshot commit rename failed for v{version} of {path} "
+            "(concurrent writer?)"
+        )
+    return version
+
+
+def upsert_cow(
+    batch: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    max_touched_partitions: int = 10_000,
+) -> tuple[int, int]:
+    """Copy-on-write MERGE: same semantics and partition-stability
+    precondition as ``merge.upsert_parquet`` (key-matched target rows
+    replaced, others carried, only touched partitions rewritten), but
+    non-destructive — rewritten partitions land as NEW files, the new
+    manifest version points at them, and every prior version stays
+    readable until vacuumed. Returns (new_version, rows_written)."""
+    spark = batch.sparkSession
+    batch = batch.dropDuplicates(key_cols)
+
+    touched = [
+        r[0]
+        for r in batch.select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    ]
+    if len(touched) > max_touched_partitions:
+        raise ValueError(
+            f"batch touches more than {max_touched_partitions} partitions; "
+            "partition the upsert batches or raise the bound"
+        )
+
+    prev = latest_version(spark, path)
+    if prev is not None:
+        manifest = read_manifest(spark, path, prev)
+        touched_dirs = {
+            _partition_dir_name(spark, partition_col, v) for v in touched
+        }
+        # the version's OWN view of the touched partitions (not the
+        # directory's, which may hold other versions' files)
+        live_touched = [
+            r["file"]
+            for r in manifest.filter(F.col("partition").isin(list(touched_dirs)))
+            .select("file")
+            .collect()
+        ]
+        carried_manifest = [
+            (r["file"], r["partition"], r["row_count"])
+            for r in manifest.filter(
+                ~F.col("partition").isin(list(touched_dirs))
+            ).collect()
+        ]
+        if live_touched:
+            slice_df = spark.read.option("basePath", path).parquet(*live_touched)
+            cond = None
+            for k in key_cols:
+                c = F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}"))
+                cond = c if cond is None else cond & c
+            carried = (
+                slice_df.alias("t")
+                .join(batch.alias("b"), cond, "left_anti")
+                .select(*batch.columns)
+            )
+            out = batch.select(*batch.columns).unionByName(carried)
+        else:
+            out = batch
+    else:
+        carried_manifest = []
+        out = batch
+        # adopting an existing non-snapshot table silently would ignore
+        # its rows; force an explicit bootstrap instead
+        jvm, fs, root = _jfs(spark, path)
+        if fs.exists(root):
+            raise ValueError(
+                f"{path} exists without snapshots; run bootstrap_snapshot first"
+            )
+
+    from pyspark.sql import Observation
+
+    obs = Observation("upsert_cow_rows")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    before = _list_partition_files(spark, path, partition_col, touched)
+    out.write.mode("append").partitionBy(partition_col).parquet(path)
+    after = _list_partition_files(spark, path, partition_col, touched)
+    new_files = [
+        (f, part, None) for f, (part, _sz) in after.items() if f not in before
+    ]
+
+    version = (prev if prev is not None else -1) + 1
+    _commit_manifest(spark, path, version, carried_manifest + new_files)
+    return version, int(obs.get["rows"])
+
+
+def snapshot_upsert_sink(path: str, key_cols: list[str], partition_col: str):
+    """``foreachBatch`` closure over :func:`upsert_cow` — the versioned
+    twin of ``merge.parquet_upsert_sink``: every micro-batch commits one
+    snapshot version, so the stream's table history is replayable and
+    each training run can pin the exact version it read."""
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        upsert_cow(df, path, key_cols=key_cols, partition_col=partition_col)
+
+    return _sink

@@ -628,3 +628,103 @@ def x131_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cutoff").alias("cutoff_16bit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x155: classifier calibration — the precision/recall operating curve of
+# the x127 quality classifier against a ground-truth label, the
+# threshold-picking step every filtered 100 TB corpus build runs before
+# committing to a keep-cutoff. SCALE SHAPE: the curve is computed from a
+# HISTOGRAM, never a global sort — scores bucket into B=100 fixed-width
+# bins (map-only), one tiny aggregate shuffle produces (bin, n, n_pos),
+# and the cumulative precision/recall window runs over ≤100 bin rows
+# (a single trivially-small partition), so the corpus-side cost is one
+# scan + one B-row exchange regardless of N. Counts are integer-exact;
+# ratios round to 6 — bit-stable across engines and partitionings.
+# Ground truth here is lang='en' (a deterministic, engine-independent
+# label); the score is x127's logistic computed IN-PLAN (no Python).
+# ---------------------------------------------------------------------------
+_PRC_BINS = 100
+
+
+@query(
+    "x155_pr_calibration",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(lang = 'en' AS INTEGER) AS pos,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uq,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ('the', 'a'))) AS DOUBLE) AS st
+        FROM documents
+    ),
+    scored AS (
+        SELECT pos,
+               LEAST(CAST(FLOOR(
+                   ROUND(1.0 / (1.0 + EXP(-(0.02 * nw + 1.5 * (uq / nw)
+                                            - 0.8 * (st / nw) - 0.5))), 4)
+                   * {_PRC_BINS}) AS INTEGER), {_PRC_BINS - 1}) AS bin
+        FROM feats
+    ),
+    hist AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY bin
+    )
+    SELECT bin,
+           ROUND(bin / {_PRC_BINS}.0, 2) AS threshold,
+           n, n_pos,
+           SUM(n) OVER w AS cum_n,
+           SUM(n_pos) OVER w AS cum_pos,
+           ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE) / SUM(n) OVER w, 6)
+               AS precision_at,
+           ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE)
+                 / SUM(n_pos) OVER (), 6) AS recall_at
+    FROM hist
+    WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def x155_pr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    nw = F.size(ws).cast("double")
+    uq = F.size(F.array_distinct(ws)).cast("double")
+    st = F.size(F.filter(ws, lambda w: w.isin("the", "a"))).cast("double")
+    z = 0.02 * nw + 1.5 * (uq / nw) - 0.8 * (st / nw) - 0.5
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    binc = F.least(
+        F.floor(prob * _PRC_BINS).cast("int"), F.lit(_PRC_BINS - 1)
+    )
+    hist = (
+        d.select(
+            binc.alias("bin"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    # ≤ B rows past this point: the windows run on a bounded frame
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return hist.select(
+        "bin",
+        F.round(F.col("bin") / float(_PRC_BINS), 2).alias("threshold"),
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.round(
+            F.sum("n_pos").over(w).cast("double") / F.sum("n").over(w), 6
+        ).alias("precision_at"),
+        F.round(
+            F.sum("n_pos").over(w).cast("double") / F.sum("n_pos").over(wall), 6
+        ).alias("recall_at"),
+    )

@@ -802,3 +802,343 @@ def x133_quantized_recall_contract(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("quant_hits") / F.lit(float(denom)) >= F.lit(0.9)).alias("recall_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x154: product-quantization retrieval (PQ-ADC shortlist + exact rerank)
+# with a recall contract — completes the compression ladder fp32 →
+# per-vector int8 (x112/x133) → PQ codes. PQ stores M=8 one-byte
+# codeword ids per vector instead of 64 floats (32× smaller): each
+# 8-dim subvector is replaced by its nearest codeword from a
+# per-subvector codebook, and query scoring is asymmetric-distance
+# computation (ADC) — the query precomputes a tiny (m, cid) → dot
+# lookup table and every candidate's approximate cosine is M map
+# lookups, no float vector touched. The production two-stage shape:
+# ADC scans ALL candidates cheaply (8 lookups vs 64 multiplies, 32×
+# less memory traffic), keeps a C=250 shortlist, and re-ranks ONLY the
+# shortlist with exact cosines — at 100 TB the exact pass touches C
+# vectors per query, not the corpus (and composes with IVF x71 cell
+# pruning in front).
+#
+# Spark-first shape (zero UDF, zero corpus shuffle before ranking):
+# * CODEBOOK: deterministic, SF-stable sample (vec_id % 10 == 0 AND
+#   vec_id < 500 → K=50 codewords at every SF ≥ 0.01) — the ivf.py
+#   discipline: oracle-checkable, seed-free; production swaps in
+#   k-means codebooks without touching the query path.
+# * ENCODING: the codebook is ONE broadcast row (sorted struct array);
+#   codes are a pure per-row expression — transform over m of an
+#   array_min argmin (round-6 L2², tie on cid) over the broadcast
+#   array, inside whole-stage codegen. Map-only.
+# * ADC: the per-query LUT ((m·100000+cid) → (dot, codeword-norm²)) is
+#   NQ broadcast map rows; scoring folds m=1..M in index order over
+#   element_at lookups — deterministic fold, mirrored in DuckDB via
+#   list_aggregate(list(t ORDER BY m)). Approximate cosine =
+#   Σ_m dot(q_m, c_m) / (|q| · sqrt(Σ_m |c_m|²)) — the reconstruction
+#   cosine, rounded to 6 before ranking with total tie-break.
+# * CONTRACT: recall@5 (reranked top-5 vs exact top-5, NQ=20 probes)
+#   ≥ 0.85 — measured 0.97 at sf0.01 / 0.92 at sf0.1; the oracle pins
+#   TRUE, so a recall regression in either engine is a hash mismatch
+#   (the x121/x133 gated-quality pattern).
+# ---------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_SUB = 8  # 64-dim embeddings / 8 subvectors
+_PQ_STRIDE = 10
+_PQ_MAXCID = 500  # K = 50 codewords per subvector at every SF
+_PQ_NQ = 20
+_PQ_K = 5
+_PQ_SHORTLIST = 250
+_PQ_RECALL_MIN = 0.85
+
+_SQL_L2SQ = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_slice(emb: Column, m) -> Column:
+    # 1-based inclusive slice of subvector m (1..M); DuckDB mirror is
+    # embedding[(m-1)*SUB+1 : (m-1)*SUB+SUB]
+    return F.slice(emb, (m - 1) * _PQ_SUB + 1, _PQ_SUB)
+
+
+@query(
+    "x154_pq_recall_contract",
+    oracle=f"""
+    WITH cb AS (
+        SELECT vec_id AS cid, embedding FROM embeddings
+        WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_MAXCID}
+    ),
+    cb_sub AS (
+        SELECT cid, m,
+               embedding[(m-1)*{_PQ_SUB}+1 : (m-1)*{_PQ_SUB}+{_PQ_SUB}] AS cvec
+        FROM cb, unnest(range(1, {_PQ_M + 1})) AS t(m)
+    ),
+    vec_sub AS (
+        SELECT vec_id, m,
+               embedding[(m-1)*{_PQ_SUB}+1 : (m-1)*{_PQ_SUB}+{_PQ_SUB}] AS svec
+        FROM embeddings, unnest(range(1, {_PQ_M + 1})) AS t(m)
+    ),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT v.vec_id, v.m, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id, v.m
+                       ORDER BY ROUND({_SQL_L2SQ.format(a='v.svec', b='c.cvec')}, 6),
+                                c.cid
+                   ) AS rn
+            FROM vec_sub v JOIN cb_sub c ON c.m = v.m
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qemb,
+               SQRT({_SQL_SQNORM.format(a='embedding')}) AS qn
+        FROM embeddings WHERE vec_id < {_PQ_NQ}
+    ),
+    q_sub AS (
+        SELECT vec_id AS query_id, m,
+               embedding[(m-1)*{_PQ_SUB}+1 : (m-1)*{_PQ_SUB}+{_PQ_SUB}] AS qsub
+        FROM embeddings, unnest(range(1, {_PQ_M + 1})) AS t(m)
+        WHERE vec_id < {_PQ_NQ}
+    ),
+    terms AS (
+        SELECT qs.query_id, co.vec_id, co.m,
+               {_SQL_DOT.format(a='qs.qsub', b='cs.cvec')} AS t,
+               {_SQL_SQNORM.format(a='cs.cvec')} AS n2
+        FROM codes co
+        JOIN cb_sub cs ON cs.m = co.m AND cs.cid = co.cid
+        JOIN q_sub qs ON qs.m = co.m
+        WHERE co.vec_id <> qs.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT t.query_id, t.vec_id,
+                   ROUND(list_aggregate(list(t.t ORDER BY t.m), 'sum')
+                         / (MAX(q.qn)
+                            * SQRT(list_aggregate(list(t.n2 ORDER BY t.m),
+                                                   'sum'))),
+                         6) AS cs
+            FROM terms t JOIN q ON q.query_id = t.query_id
+            GROUP BY t.query_id, t.vec_id
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, vec_id)
+                  <= {_PQ_SHORTLIST}
+    ),
+    reranked AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, s.vec_id AS neighbor_id,
+                   ROUND({_sql_cosine('q.qemb', 'e.embedding')}, 6) AS cs
+            FROM shortlist s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN q ON q.query_id = s.query_id
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) <= {_PQ_K}
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cs
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {_PQ_NQ}
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) <= {_PQ_K}
+    )
+    SELECT CAST({_PQ_NQ} AS BIGINT) AS n_queries,
+           CAST({_PQ_K} AS BIGINT) AS k,
+           COUNT(*) AS pq_hits,
+           ROUND(COUNT(*) / {_PQ_NQ * _PQ_K}.0, 4) AS recall,
+           TRUE AS recall_ok
+    FROM reranked r JOIN exact_topk e USING (query_id, neighbor_id)
+    """,
+)
+def x154_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_code = (F.col("vec_id") % _PQ_STRIDE == 0) & (F.col("vec_id") < _PQ_MAXCID)
+
+    # codeword subvectors (also feeds the broadcast codebook row)
+    mseq = F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m")
+    cb_sub = (
+        emb.filter(is_code)
+        .select(F.col("vec_id").alias("cid"), "embedding", mseq)
+        .select(
+            "cid",
+            "m",
+            _pq_slice(F.col("embedding"), F.col("m")).alias("cvec"),
+        )
+    )
+    # ONE broadcast row: __cbs[m] = cid-sorted list of that subvector's
+    # PRE-SLICED codewords. Slicing happens K×M times total here, not
+    # K×M times per corpus row — higher-order lambdas run interpreted
+    # (outside whole-stage codegen), so hoisting the slices out of the
+    # per-row argmin is the difference between ~1 s and ~11 s at sf0.1.
+    cb_row = (
+        cb_sub.groupBy("m")
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cl"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cl"))),
+                lambda s: s["cl"],
+            ).alias("__cbs")
+        )
+    )
+
+    # map-only encoding: codes[m] = argmin_cid round(L2²(sub_m, c_m), 6);
+    # the row's own subvectors are sliced ONCE into __subs
+    with_subs = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            lambda m: _pq_slice(F.col("embedding"), m),
+        ).alias("__subs"),
+    )
+    coded = (
+        with_subs.crossJoin(F.broadcast(cb_row))
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_PQ_M)),
+                lambda m: F.array_min(
+                    F.transform(
+                        F.element_at(F.col("__cbs"), m),
+                        lambda c: F.struct(
+                            F.round(
+                                _l2sq(F.element_at(F.col("__subs"), m), c["cvec"]),
+                                6,
+                            ).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )["cid"],
+            ).alias("codes"),
+        )
+        # materialization barrier (the x138 discipline): without it,
+        # Catalyst collapses this projection through the downstream
+        # broadcast joins and re-evaluates the K·M argmin once per
+        # (candidate, query) pair — NQ× the encode cost. Encoding runs
+        # once; scoring reads codes.
+        .localCheckpoint()
+    )
+
+    # per-query ADC lookup table: (m·100000 + cid) -> (dot, codeword n²)
+    q_sub = (
+        emb.filter(F.col("vec_id") < _PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"), "embedding", mseq)
+        .select(
+            "query_id",
+            F.sqrt(sq_norm(F.col("embedding"))).alias("qn"),
+            "m",
+            _pq_slice(F.col("embedding"), F.col("m")).alias("qsub"),
+        )
+    )
+    dt_map = (
+        q_sub.join(F.broadcast(cb_sub), "m")
+        .select(
+            "query_id",
+            "qn",
+            (F.col("m") * 100000 + F.col("cid")).alias("k"),
+            F.struct(
+                dot(F.col("qsub"), F.col("cvec")).alias("t"),
+                sq_norm(F.col("cvec")).alias("n2"),
+            ).alias("v"),
+        )
+        .groupBy("query_id", "qn")
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("dt"))
+    )
+
+    # ADC scoring: M map lookups per (query, candidate), folded in m order
+    def fold(field: str) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.col("dt"), m * 100000 + F.element_at(F.col("codes"), m)
+            )[field],
+        )
+
+    scored = (
+        coded.crossJoin(F.broadcast(dt_map))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            F.round(fold("t") / (F.col("qn") * F.sqrt(fold("n2"))), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id", "embedding")
+    )
+
+    # exact rerank of the shortlist only (C vectors per query, not N)
+    qx = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    reranked = (
+        shortlist.join(F.broadcast(qx), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cs"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cs"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    cx = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    exact_pairs = (
+        F.broadcast(qx)
+        .join(cx, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    exact_topk = (
+        exact_pairs.withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= _PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    denom = _PQ_NQ * _PQ_K
+    return (
+        reranked.join(exact_topk, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("pq_hits"))
+        .select(
+            F.lit(_PQ_NQ).cast("long").alias("n_queries"),
+            F.lit(_PQ_K).cast("long").alias("k"),
+            F.col("pq_hits"),
+            F.round(F.col("pq_hits") / F.lit(float(denom)), 4).alias("recall"),
+            (F.col("pq_hits") / F.lit(float(denom)) >= F.lit(_PQ_RECALL_MIN)).alias(
+                "recall_ok"
+            ),
+        )
+    )
