@@ -152,3 +152,45 @@ def test_vacuum_retention_respects_retained_snapshots(spark, tmp_path):
     )
     assert len(gone2) == 1
     assert _rows(read_snapshot(spark, path, 1)) == {(1, "d1"): "b"}
+
+
+def test_compact_snapshot_and_rollback(spark, tmp_path):
+    from ua2sql_spark.operators.snapshot import (
+        compact_snapshot,
+        read_manifest,
+        read_snapshot,
+        rollback,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    # many small writes into d1 -> several live files in its partition
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(100 + i, "d1", f"v{i}"), (1, "d2", "z")],
+            "id bigint, day string, val string",
+        ).repartition(2)
+        upsert_cow(b, path, ["id"], "day")
+    m = read_manifest(spark, path, 2)
+    n_d1 = m.filter(F.col("partition") == "day=d1").count()
+    assert n_d1 >= 2  # fragmented
+    before_rows = _rows(read_snapshot(spark, path))
+
+    v, compacted = compact_snapshot(spark, path, "day")
+    assert v == 3 and "day=d1" in compacted
+    m3 = read_manifest(spark, path, 3)
+    assert m3.filter(F.col("partition") == "day=d1").count() == 1
+    # identical data, and the pre-compaction version still readable
+    assert _rows(read_snapshot(spark, path)) == before_rows
+    assert _rows(read_snapshot(spark, path, 2)) == before_rows
+
+    # an already-compact table is a no-op (no new version)
+    v_again, c_again = compact_snapshot(spark, path, "day")
+    assert (v_again, c_again) == (3, [])
+
+    # rollback: manifest-only restore of v0's view as v4
+    v4 = rollback(spark, path, 0)
+    assert v4 == 4
+    assert _rows(read_snapshot(spark, path)) == _rows(read_snapshot(spark, path, 0))
+    # history intact
+    assert _rows(read_snapshot(spark, path, 3)) == before_rows

@@ -52,8 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ua2sql_spark.operators.merge import (
+    _HIVE_NULL_PART,
     _partition_dir_name,
-    _read_touched_slice,
 )
 
 _SNAP_DIR = "_snapshots"
@@ -312,3 +312,81 @@ def snapshot_upsert_sink(path: str, key_cols: list[str], partition_col: str):
         upsert_cow(df, path, key_cols=key_cols, partition_col=partition_col)
 
     return _sink
+
+
+def rollback(spark: SparkSession, path: str, to_version: int) -> int:
+    """Restore the table to an earlier version by committing a NEW
+    version whose manifest equals the old one — manifest-only, zero
+    data movement (Delta's RESTORE). History stays intact: the bad
+    versions remain inspectable until their files are vacuumed."""
+    versions = list_versions(spark, path)
+    if to_version not in versions:
+        raise ValueError(f"version {to_version} not in {versions}")
+    rows = [
+        (r["file"], r["partition"], r["row_count"])
+        for r in read_manifest(spark, path, to_version).collect()
+    ]
+    return _commit_manifest(spark, path, versions[-1] + 1, rows)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    min_files: int = 2,
+) -> tuple[int, list[str]]:
+    """Compact fragmented partitions of the LATEST snapshot into one
+    file each, committed as a new version — the maintenance pass that
+    keeps per-version writes (each micro-batch upsert can leave several
+    small files per touched partition) from decaying scan efficiency.
+    Copy-on-write like everything here: old files stay until vacuumed,
+    prior versions stay readable, the commit point is the manifest
+    rename. Returns (new_version, compacted partition dir names).
+
+    Scale shape: the manifest (file-count-bounded) picks the fragmented
+    partitions driver-side; only THOSE partitions are read (by explicit
+    file list, never a root listing) and rewritten with one task each
+    (``repartition(partition_col)`` would shuffle everything — instead
+    each partition's files coalesce independently)."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        raise ValueError(f"no snapshots under {path}")
+    manifest = read_manifest(spark, path, prev)
+    frag = [
+        (r["partition"], r["files"])
+        for r in manifest.groupBy("partition")
+        .agg(F.collect_list("file").alias("files"))
+        .filter(F.size("files") >= min_files)
+        .collect()
+    ]
+    if not frag:
+        return prev, []
+    untouched = [
+        (r["file"], r["partition"], r["row_count"])
+        for r in manifest.filter(
+            ~F.col("partition").isin([p for p, _ in frag])
+        ).collect()
+    ]
+    values = []
+    for part, _files in frag:
+        raw = part.split("=", 1)[1]
+        values.append(None if raw == _HIVE_NULL_PART else raw)
+    before = _list_partition_files(spark, path, partition_col, values)
+    for part, files in frag:
+        # one coalesced file per fragmented partition; basePath keeps
+        # the partition column so partitionBy lands it back in place
+        (
+            spark.read.option("basePath", path)
+            .parquet(*files)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    after = _list_partition_files(spark, path, partition_col, values)
+    new_files = [
+        (f, part, None) for f, (part, _sz) in after.items() if f not in before
+    ]
+    version = prev + 1
+    _commit_manifest(spark, path, version, untouched + new_files)
+    return version, sorted(p for p, _ in frag)
