@@ -542,3 +542,37 @@ def test_pagerank_fanin_cap_bounds_stop_gram_explode(spark):
     assert all(
         int(e.src[3:]) // 2 == int(e.dst[3:]) // 2 for e in edges
     ), "an edge crossed a pair boundary — stop-gram leaked through the cap"
+
+
+def test_pq_encode_runs_once_behind_checkpoint(spark):
+    """x154: the PQ encode (K·M argmin per corpus row) must be
+    materialized ONCE — the checkpoint barrier appears as an
+    ExistingRDD scan, so ADC scoring and the shortlist window read
+    codes instead of re-running the argmin per (candidate, query)
+    pair (x138's materialize-once discipline)."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x154_pq_recall_contract"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pr_curve_windows_run_on_aggregated_bins_only(spark):
+    """x155: the cumulative precision/recall window must consume the
+    ≤100-row bin HISTOGRAM, never the raw corpus — the HashAggregate
+    sits BELOW the Window in the plan, and the only global sort is of
+    bin rows (after aggregation), so corpus-side work is one scan +
+    one bounded exchange at any N."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["x155_pr_calibration"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    w = plan.find("Window")
+    agg = plan.rfind("HashAggregate")
+    assert w != -1 and agg != -1
+    # tree prints top-down: the aggregate (deeper) appears AFTER the
+    # window in the string, i.e. the window reads aggregated rows
+    assert agg > w, plan
+    # no sort below the aggregate (the corpus is never globally sorted)
+    assert "Sort" not in plan[agg:], plan[agg:]
