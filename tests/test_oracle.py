@@ -77,9 +77,9 @@ def test_driver_window_families():
         "q114_approx_percentile_contract", "q123_hll_union_contract",
         "q40_tumbling_window", "q135_bloom_semijoin_reduction",
         "x41_exact_dedup", "x142_cdc_chunks",
-        "x141_span_dedup", "q140_bitmap_exact_distinct",
+        "x153_exif_probe", "q140_bitmap_exact_distinct",
         "x115_neardup_clusters_fast", "x117_incremental_dedup",
-        "x101_minhash_fast_exact_tier",
+        "x154_pq_recall_contract",
         "x130_hybrid_search_rrf", "x71_ivf_ann",
         "x121_ivf_recall_contract",
         "x48_token_stats", "x151_tokenizer_fertility",

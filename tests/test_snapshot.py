@@ -194,3 +194,33 @@ def test_compact_snapshot_and_rollback(spark, tmp_path):
     assert _rows(read_snapshot(spark, path)) == _rows(read_snapshot(spark, path, 0))
     # history intact
     assert _rows(read_snapshot(spark, path, 3)) == before_rows
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """A batch that ADDS a column merges cleanly: carried rows in the
+    touched partition read the new column as NULL; untouched partitions
+    keep their old files and read_snapshot(merge_schema=True) unions
+    the schemas (old files' missing column = NULL)."""
+    from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
+        "id bigint, day string, val string",
+    )
+    upsert_cow(b0, path, ["id"], "day")
+
+    # v1 adds a 'quality' column, touching only d1
+    b1 = spark.createDataFrame(
+        [(1, "d1", "A", 0.9)], "id bigint, day string, val string, quality double"
+    )
+    upsert_cow(b1, path, ["id"], "day")
+
+    latest = read_snapshot(spark, path, merge_schema=True)
+    assert set(latest.columns) == {"id", "day", "val", "quality"}
+    got = {r["id"]: (r["val"], r["quality"]) for r in latest.collect()}
+    assert got == {1: ("A", 0.9), 2: ("b", None), 3: ("c", None)}
+    # v0 unchanged, still old schema
+    v0 = read_snapshot(spark, path, 0)
+    assert set(v0.columns) == {"id", "day", "val"}
+    assert v0.count() == 3

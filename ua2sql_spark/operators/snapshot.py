@@ -103,11 +103,17 @@ def read_manifest(spark: SparkSession, path: str, version: int) -> DataFrame:
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Reads exactly the
     manifest's files — never lists the table directory, so concurrent
-    appends by the single writer are invisible until their commit."""
+    appends by the single writer are invisible until their commit.
+    ``merge_schema=True`` unions file schemas across versions'
+    surviving files (older files' missing columns read as NULL) — the
+    schema-evolution read for tables whose upserts added columns."""
     if version is None:
         version = latest_version(spark, path)
         if version is None:
@@ -117,7 +123,10 @@ def read_snapshot(
     ]
     if not files:
         raise ValueError(f"snapshot v{version} of {path} is empty")
-    return spark.read.option("basePath", path).parquet(*files)
+    reader = spark.read.option("basePath", path)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def snapshot_diff(
@@ -266,10 +275,23 @@ def upsert_cow(
             for k in key_cols:
                 c = F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}"))
                 cond = c if cond is None else cond & c
+            # schema evolution: a batch may ADD columns the target's
+            # older files lack — carried rows read those as NULL (the
+            # batch's dtype), so the touched partition's rewrite lands
+            # in the evolved schema; untouched partitions keep their
+            # old files and evolve lazily on their next touch
+            # (read_snapshot(merge_schema=True) reads across both).
+            slice_cols = set(slice_df.columns)
+            bt = dict(batch.dtypes)
+            proj = [
+                F.col(f"t.{c}") if c in slice_cols
+                else F.lit(None).cast(bt[c]).alias(c)
+                for c in batch.columns
+            ]
             carried = (
                 slice_df.alias("t")
                 .join(batch.alias("b"), cond, "left_anti")
-                .select(*batch.columns)
+                .select(*proj)
             )
             out = batch.select(*batch.columns).unionByName(carried)
         else:

@@ -728,3 +728,46 @@ def x155_pr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pos").over(w).cast("double") / F.sum("n_pos").over(wall), 6
         ).alias("recall_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x156: stratified exact-k sampling — "exactly K eval docs per
+# language, deterministic forever": the eval-set construction step
+# (x99/x131 sample by RATE; benchmark suites need exact COUNTS). Rank
+# within each stratum by an md5 coin keyed on (seed | doc_id) — the
+# x104 deterministic-shuffle coin — and keep rank ≤ K. Catalyst
+# rewrites the row_number+filter to WindowGroupLimit (per-partition
+# top-k BEFORE the stratum shuffle, operators/topk.py), so no stratum
+# ever fully sorts and a skewed stratum ships at most K·partitions
+# candidate rows — the q25 discipline applied to sampling.
+# ---------------------------------------------------------------------------
+_STRAT_K = 40
+_STRAT_SEED = "eval-v1|"
+
+
+@query(
+    "x156_stratified_exact_sample",
+    oracle=f"""
+    SELECT lang, doc_id, coin_rank FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('{_STRAT_SEED}' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS coin_rank
+        FROM documents
+    ) WHERE coin_rank <= {_STRAT_K}
+    """,
+)
+def x156_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.topk import top_k_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    coin = F.md5(F.concat(F.lit(_STRAT_SEED), F.col("doc_id").cast("string")))
+    return top_k_per_group(
+        d,
+        ["lang"],
+        [coin.asc(), F.col("doc_id").asc()],
+        _STRAT_K,
+        rank_col="coin_rank",
+    ).select("lang", "doc_id", F.col("coin_rank").cast("long"))

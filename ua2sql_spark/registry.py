@@ -64,8 +64,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (Python surface keeps x127; x136/x149 add the Arrow/UDTF APIs), q95
 # (archetypes keep q86/q126), x104 (order-by-hash sampling machinery
 # kept by x131/x150; x97 packing stays), x148 (driver-green r5; the
-# selection family keeps x111 + gains x131). All rotated-out rows
-# remain local-oracle green in tests/test_oracle.py.
+# selection family keeps x111 + gains x131). Late-r6 swaps for the
+# operators built THIS round: x101 -> x154 (the xxhash64 fast-dedup
+# family keeps x115 clusters + x117 incremental in window; PQ-ADC
+# retrieval is a new compression family with a recall gate), x141 ->
+# x153 (sub-document dedup keeps x142 CDC in window; JPEG EXIF
+# extraction is a new multimodal-metadata family, round-6 task #8).
+# All rotated-out rows remain local-oracle green in
+# tests/test_oracle.py.
 #
 # Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
 # another in-window representative moved below the fold (q02/q03 —
@@ -134,11 +140,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # xxhash64 production family), incremental index
     "x41_exact_dedup",
     "x142_cdc_chunks",
-    "x141_span_dedup",
+    "x153_exif_probe",
     "x143_unicode_normalize",
     "x115_neardup_clusters_fast",
     "x117_incremental_dedup",
-    "x101_minhash_fast_exact_tier",
+    "x154_pq_recall_contract",
     # similarity (hybrid RRF, IVF, both recall gates) + pipe syntax
     # + tokenizer fertility
     "x130_hybrid_search_rrf",
