@@ -224,3 +224,32 @@ def test_schema_evolution_across_versions(spark, tmp_path):
     v0 = read_snapshot(spark, path, 0)
     assert set(v0.columns) == {"id", "day", "val"}
     assert v0.count() == 3
+
+
+def test_snapshot_changes_row_level_cdf(spark, tmp_path):
+    """Change feed between versions: inserts, pre/post update images,
+    deletes-by-omission none (upserts never delete), and carried-
+    verbatim keys in rewritten partitions are NOT reported as changes."""
+    from ua2sql_spark.operators.snapshot import snapshot_changes, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
+        "id bigint, day string, val string",
+    )
+    upsert_cow(b0, path, ["id"], "day")
+    # v1: update id=1, insert id=9, carry id=2 verbatim (d1 rewritten)
+    b1 = spark.createDataFrame(
+        [(1, "d1", "A!"), (9, "d1", "nine")], "id bigint, day string, val string"
+    )
+    upsert_cow(b1, path, ["id"], "day")
+
+    ch = snapshot_changes(spark, path, 0, 1, ["id"])
+    got = {(r["id"], r["_change_type"]): r["val"] for r in ch.collect()}
+    assert got == {
+        (9, "insert"): "nine",
+        (1, "update_preimage"): "a",
+        (1, "update_postimage"): "A!",
+    }, got
+    # the strong contract held above: id=2 (carried verbatim into the
+    # rewritten d1 file) and id=3 (untouched partition) do NOT appear

@@ -412,3 +412,86 @@ def compact_snapshot(
     version = prev + 1
     _commit_manifest(spark, path, version, untouched + new_files)
     return version, sorted(p for p, _ in frag)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two versions — the Delta CDF
+    analog: one row per changed key with ``_change_type`` in
+    ('insert', 'update_preimage', 'update_postimage', 'delete').
+    Downstream consumers (index refresh, replication, audit) process
+    deltas instead of re-reading the table.
+
+    Scale shape: ``snapshot_diff`` narrows both sides to the files that
+    CHANGED between the versions (manifest set difference — untouched
+    partitions' shared files drop out before any data is read), then
+    one full-outer key join of just those files' rows classifies each
+    key. Cost is proportional to the churn, not the table."""
+    d = snapshot_diff(spark, path, v_old, v_new)
+    if not d["added"] and not d["removed"]:
+        cols = read_snapshot(spark, path, v_new).columns
+        return (
+            spark.createDataFrame([], read_snapshot(spark, path, v_new).schema)
+            .withColumn("_change_type", F.lit(""))
+            .select(*cols, "_change_type")
+            .limit(0)
+        )
+
+    def side(files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return (
+            spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*files)
+        )
+
+    old = side(d["removed"])
+    new = side(d["added"])
+    if old is None:
+        return new.withColumn("_change_type", F.lit("insert"))
+    if new is None:
+        return old.withColumn("_change_type", F.lit("delete"))
+
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    cols = new.columns
+    joined = old.alias("o").join(new.alias("n"), cond, "full_outer")
+    okey = F.col(f"o.{key_cols[0]}")
+    nkey = F.col(f"n.{key_cols[0]}")
+    # value-identical rows (a key carried verbatim into a rewritten
+    # file) are NOT changes: compare full-row structs null-safely
+    oval = F.struct(*[F.col(f"o.{c}") for c in old.columns])
+    nval = F.struct(*[F.col(f"n.{c}") for c in cols if c in old.columns])
+    inserts = joined.filter(okey.isNull() & nkey.isNotNull()).select(
+        *[F.col(f"n.{c}") for c in cols], F.lit("insert").alias("_change_type")
+    )
+    deletes = joined.filter(nkey.isNull() & okey.isNotNull()).select(
+        *[
+            F.col(f"o.{c}") if c in old.columns else F.lit(None).alias(c)
+            for c in cols
+        ],
+        F.lit("delete").alias("_change_type"),
+    )
+    updated = joined.filter(
+        okey.isNotNull() & nkey.isNotNull() & ~oval.eqNullSafe(nval)
+    )
+    pre = updated.select(
+        *[
+            F.col(f"o.{c}") if c in old.columns else F.lit(None).alias(c)
+            for c in cols
+        ],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = updated.select(
+        *[F.col(f"n.{c}") for c in cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
