@@ -481,3 +481,124 @@ def q152_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": _P_SEGMENT, "min_bal": _P_MIN_BAL},
     )
+
+
+# ---------------------------------------------------------------------------
+# x157: declarative data-quality constraints in ONE pass — the
+# lakehouse "expectations" gate (Delta constraints / DLT expectations):
+# before a corpus version ships, assert not-null, domain-range,
+# uniqueness, and referential integrity, and report VIOLATION COUNTS
+# per rule rather than failing on the first bad row. Scale shape:
+# every row-local rule (null / range) is a conditional-sum inside ONE
+# aggregate over ONE scan; uniqueness is a key-group count (one
+# shuffle, partial-agg collapsed); referential integrity is a
+# broadcast-able anti-join against the parent's key projection. Output
+# is one row per rule — (rule, n_checked, n_violations, pass) — so the
+# gate is a bounded, mergeable report at any table size.
+# ---------------------------------------------------------------------------
+@query(
+    "x157_quality_constraints",
+    oracle="""
+    WITH rowchecks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_qty,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS range_qty,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS range_disc,
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
+        FROM lineitem
+    ),
+    dup AS (
+        SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_dups,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM (
+            SELECT COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_linenumber
+        )
+    ),
+    fk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IS NULL
+    )
+    SELECT rule, n_checked, n_violations, (n_violations = 0) AS pass
+    FROM (
+        SELECT 'not_null(l_quantity)' AS rule, n AS n_checked,
+               null_qty AS n_violations FROM rowchecks
+        UNION ALL
+        SELECT 'range(l_quantity, 1, 50)', n, range_qty FROM rowchecks
+        UNION ALL
+        SELECT 'range(l_discount, 0, 0.1)', n, range_disc FROM rowchecks
+        UNION ALL
+        SELECT 'domain(l_returnflag in A,N,R)', n, bad_flag
+        FROM rowchecks
+        UNION ALL
+        SELECT 'unique(l_orderkey, l_linenumber)', n_keys, n_dups FROM dup
+        UNION ALL
+        SELECT 'fk(l_orderkey -> orders)',
+               (SELECT n FROM rowchecks), n_orphans FROM fk
+    )
+    """,
+)
+def x157_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def viol(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    rowchecks = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        viol(F.col("l_quantity").isNull()).alias("null_qty"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "range_qty"
+        ),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "range_disc"
+        ),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_flag"),
+    )
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias(
+                "n_dups"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    )
+    fk = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+
+    rc = rowchecks.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(fk))
+
+    def rule(name: str, checked, violations) -> DataFrame:
+        return rc.select(
+            F.lit(name).alias("rule"),
+            checked.alias("n_checked"),
+            violations.alias("n_violations"),
+            (violations == 0).alias("pass"),
+        )
+
+    return (
+        rule("not_null(l_quantity)", F.col("n"), F.col("null_qty"))
+        .unionByName(rule("range(l_quantity, 1, 50)", F.col("n"), F.col("range_qty")))
+        .unionByName(
+            rule("range(l_discount, 0, 0.1)", F.col("n"), F.col("range_disc"))
+        )
+        .unionByName(
+            rule("domain(l_returnflag in A,N,R)", F.col("n"), F.col("bad_flag"))
+        )
+        .unionByName(
+            rule("unique(l_orderkey, l_linenumber)", F.col("n_keys"), F.col("n_dups"))
+        )
+        .unionByName(
+            rule("fk(l_orderkey -> orders)", F.col("n"), F.col("n_orphans"))
+        )
+    )
