@@ -19,6 +19,13 @@ distinguishable from environmental noise.
 
 Each timed run executes the full plan via a noop sink — no driver-side
 collect cost in the measurement.
+
+Cross-round comparability caveat: the driver REGENERATES the testdata
+each round, and the corpus statistics move — e.g. round 6's documents
+carry ~1.6x round 5's true near-duplicate pair count (9020 vs 5737
+exact-Jaccard pairs at sf0.01) — so dedup-family medians shift with the
+data, not the code. Compare queries within a round, or against the
+same parquet snapshot.
 """
 
 from __future__ import annotations
