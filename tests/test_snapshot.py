@@ -253,3 +253,26 @@ def test_snapshot_changes_row_level_cdf(spark, tmp_path):
     }, got
     # the strong contract held above: id=2 (carried verbatim into the
     # rewritten d1 file) and id=3 (untouched partition) do NOT appear
+
+
+def test_snapshot_changes_detects_evolved_column_only_updates(spark, tmp_path):
+    """An update whose ONLY difference is a newly-added column must
+    still register as a change (the old side reads the evolved column
+    as NULL, so the full-row compare runs over the NEW schema)."""
+    from ua2sql_spark.operators.snapshot import snapshot_changes, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", "a")], "id bigint, day string, val string"),
+        path, ["id"], "day",
+    )
+    # v1: same id, same val — only the NEW quality column carries info
+    upsert_cow(
+        spark.createDataFrame(
+            [(1, "d1", "a", 0.7)], "id bigint, day string, val string, quality double"
+        ),
+        path, ["id"], "day",
+    )
+    ch = snapshot_changes(spark, path, 0, 1, ["id"])
+    got = {(r["id"], r["_change_type"]): r["quality"] for r in ch.collect()}
+    assert got == {(1, "update_preimage"): None, (1, "update_postimage"): 0.7}, got

@@ -467,9 +467,22 @@ def snapshot_changes(
     okey = F.col(f"o.{key_cols[0]}")
     nkey = F.col(f"n.{key_cols[0]}")
     # value-identical rows (a key carried verbatim into a rewritten
-    # file) are NOT changes: compare full-row structs null-safely
-    oval = F.struct(*[F.col(f"o.{c}") for c in old.columns])
-    nval = F.struct(*[F.col(f"n.{c}") for c in cols if c in old.columns])
+    # file) are NOT changes: compare full-row structs null-safely over
+    # the NEW schema — a column the old version lacked reads as NULL on
+    # the old side, so an update that only sets the evolved column
+    # still registers as a change
+    ntypes = dict(new.dtypes)
+    oval = F.struct(
+        *[
+            (
+                F.col(f"o.{c}")
+                if c in old.columns
+                else F.lit(None).cast(ntypes[c])
+            ).alias(c)
+            for c in cols
+        ]
+    )
+    nval = F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])
     inserts = joined.filter(okey.isNull() & nkey.isNotNull()).select(
         *[F.col(f"n.{c}") for c in cols], F.lit("insert").alias("_change_type")
     )
