@@ -469,3 +469,16 @@ def test_unity_backup_writer_atomic_commit(spark, tmp_path):
     )
     assert not os.path.exists(staged)
     assert len([f for f in os.listdir(path) if f.startswith("part-")]) == 3
+
+
+def test_unity_backup_abort_before_any_write(tmp_path):
+    """Regression (round-6 review): abort() can fire before any task
+    created the target directory (upstream stage failure) — the staged
+    sweep must not raise FileNotFoundError and mask the real error."""
+    from ua2sql_spark.sources.datasource import UnityBackupWriter
+
+    missing = str(tmp_path / "never-created")
+    UnityBackupWriter(missing, overwrite=False).abort([])  # must not raise
+    import os
+
+    assert not os.path.exists(missing)

@@ -434,3 +434,38 @@ def test_load_table_prunes_via_manifest_when_enabled(spark, tmp_path):
     finally:
         spark.conf.set(MANIFEST_ENABLED_CONF, "false")
         spark.conf.unset(MANIFEST_DIR_CONF)
+
+
+def test_load_table_falls_back_when_manifest_lacks_column(spark, tmp_path):
+    """Regression (round-6 review): a manifest built WITHOUT stats for
+    the filter column used to prune every file (empty frame, silent
+    data loss); and string stats probed with the default bigint cast
+    used to null out and prune everything. Both must keep results
+    identical to the plain path."""
+    from ua2sql_spark.catalog import MANIFEST_ENABLED_CONF, load_table
+    from ua2sql_spark.operators.manifest import build_file_manifest, prune_files
+
+    src = load_table(spark, SF_DIR, "documents")
+    sf_dir = str(tmp_path / "sfY")
+    table_dir = f"{sf_dir}/documents.parquet"
+    src.repartitionByRange(4, "doc_id").write.parquet(table_dir)
+    # manifest covers ONLY lang — doc_id probes cannot be pruned
+    build_file_manifest(spark, table_dir, columns=["lang"]).write.parquet(
+        f"{sf_dir}/documents.manifest.parquet"
+    )
+    expect = (
+        spark.read.parquet(table_dir)
+        .filter(F.col("doc_id").between(10, 40))
+        .count()
+    )
+    assert expect > 0
+    spark.conf.set(MANIFEST_ENABLED_CONF, "true")
+    try:
+        got = load_table(spark, sf_dir, "documents", where=("doc_id", 10, 40))
+        assert got.count() == expect
+    finally:
+        spark.conf.set(MANIFEST_ENABLED_CONF, "false")
+    # string stats + bigint cast: try_cast nulls keep files conservatively
+    manifest = spark.read.parquet(f"{sf_dir}/documents.manifest.parquet")
+    kept = prune_files(manifest, "lang", 0, 1)  # default cast='bigint'
+    assert len(kept) == len(spark.read.parquet(table_dir).inputFiles())

@@ -276,3 +276,95 @@ def test_snapshot_changes_detects_evolved_column_only_updates(spark, tmp_path):
     ch = snapshot_changes(spark, path, 0, 1, ["id"])
     got = {(r["id"], r["_change_type"]): r["quality"] for r in ch.collect()}
     assert got == {(1, "update_preimage"): None, (1, "update_postimage"): 0.7}, got
+
+
+def test_compact_handles_escaped_partition_values(spark, tmp_path):
+    """Regression (round-6 review): compact_snapshot used to split the
+    manifest's dir name back into a value and RE-escape it, so a
+    partition whose value Hive escapes (here 'a:b' -> 'day=a%3Ab')
+    listed a nonexistent directory and silently VANISHED from the new
+    version."""
+    from ua2sql_spark.operators.snapshot import (
+        compact_snapshot,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    # two upserts -> the a:b partition holds >=2 files, eligible to compact
+    upsert_cow(
+        spark.createDataFrame(
+            [(1, "a:b", "x"), (2, "plain", "y")],
+            "id bigint, day string, val string",
+        ),
+        path,
+        ["id"],
+        "day",
+    )
+    upsert_cow(
+        spark.createDataFrame(
+            [(3, "a:b", "z")], "id bigint, day string, val string"
+        ),
+        path,
+        ["id"],
+        "day",
+    )
+    before = _rows(read_snapshot(spark, path))
+    assert before == {(1, "a:b"): "x", (2, "plain"): "y", (3, "a:b"): "z"}
+    v, compacted = compact_snapshot(spark, path, "day")
+    assert compacted == ["day=a%3Ab"]
+    # every row survives compaction, including the escaped partition's
+    assert _rows(read_snapshot(spark, path, v)) == before
+    # and the compacted partition really is one file now
+    from ua2sql_spark.operators.snapshot import read_manifest
+
+    m = read_manifest(spark, path, v)
+    assert m.filter(F.col("partition") == "day=a%3Ab").count() == 1
+
+
+def test_snapshot_changes_keeps_null_keyed_rows(spark, tmp_path):
+    """Regression (round-6 review): presence was classified on the key
+    VALUE's nullity, so null-keyed rows (legal — upsert_cow joins keys
+    null-safely) fell out of every change bucket."""
+    from ua2sql_spark.operators.snapshot import snapshot_changes, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame(
+            [(None, "d1", "null-v0"), (1, "d1", "a")],
+            "id bigint, day string, val string",
+        ),
+        path,
+        ["id"],
+        "day",
+    )
+    upsert_cow(
+        spark.createDataFrame(
+            [(None, "d1", "null-v1"), (2, "d1", "b")],
+            "id bigint, day string, val string",
+        ),
+        path,
+        ["id"],
+        "day",
+    )
+    feed = {
+        (r["id"], r["_change_type"]): r["val"]
+        for r in snapshot_changes(spark, path, 0, 1, ["id"]).collect()
+    }
+    assert feed[(None, "update_preimage")] == "null-v0"
+    assert feed[(None, "update_postimage")] == "null-v1"
+    assert feed[(2, "insert")] == "b"
+    assert (1, "update_preimage") not in feed  # unchanged row: no event
+
+
+def test_version_numbers_beyond_six_digits_stay_visible():
+    """{:06d} is a pad MINIMUM — v1000000 must still parse or the
+    single writer wedges at the millionth micro-batch."""
+    from ua2sql_spark.operators.snapshot import _VER_RE, snapshot_path
+
+    name = snapshot_path("/t", 1_000_000).rsplit("/", 1)[-1]
+    assert name == "v1000000"
+    m = _VER_RE.match(name)
+    assert m and int(m.group(1)) == 1_000_000
+    assert _VER_RE.match("v000001")
+    assert not _VER_RE.match(".tmp-abc") and not _VER_RE.match("v12")

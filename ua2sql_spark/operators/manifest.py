@@ -122,12 +122,23 @@ def prune_files(
 ) -> list[str]:
     """Paths of files whose [min, max] range on ``col`` overlaps
     [lo, hi] (files lacking stats are conservatively kept). Collects
-    paths only — bounded by the table's file count."""
+    paths only — bounded by the table's file count.
+
+    Stats whose canonical string does not survive the ``cast`` (e.g. a
+    string column pruned with the default ``cast='bigint'``) are also
+    conservatively KEPT: a failed cast yields NULL in ANSI-off eval,
+    and treating NULL-range files as non-overlapping would silently
+    prune files that contain matches.
+    """
     m = manifest.filter(F.col("col") == col)
-    mn = F.col("min_val").cast(cast)
-    mx = F.col("max_val").cast(cast)
+    # try_cast, not cast: the session runs ANSI mode, where a plain cast
+    # of a non-conforming stat string THROWS instead of yielding NULL
+    mn = F.col("min_val").try_cast(cast)
+    mx = F.col("max_val").try_cast(cast)
     keep = (
         F.col("min_val").isNull()
+        | mn.isNull()
+        | mx.isNull()
         | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
     )
     return [r["file"] for r in m.filter(keep).select("file").collect()]

@@ -51,13 +51,13 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ua2sql_spark.operators.merge import (
-    _HIVE_NULL_PART,
-    _partition_dir_name,
-)
+from ua2sql_spark.operators.merge import _partition_dir_name
 
 _SNAP_DIR = "_snapshots"
-_VER_RE = re.compile(r"^v(\d{6})$")
+# {:06d} is a zero-pad MINIMUM: version 1_000_000 renders as "v1000000"
+# (7 digits), so the match must be \d{6,} or that version becomes
+# invisible to list_versions and the single writer wedges re-targeting it.
+_VER_RE = re.compile(r"^v(\d{6,})$")
 
 _MANIFEST_SCHEMA = "file string, partition string, row_count bigint"
 
@@ -156,21 +156,26 @@ def live_files_union(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _list_partition_files(
-    spark: SparkSession, path: str, partition_col: str, values: list
+    spark: SparkSession, path: str, dir_names: list[str]
 ) -> dict[str, tuple[str, int]]:
     """file -> (partition dir name, size) for ONLY the given partition
-    values' directories (never the table root)."""
+    DIRECTORY names (never the table root). Callers holding raw values
+    escape them via ``_partition_dir_name`` first; callers holding
+    manifest ``partition`` entries pass them verbatim — they are already
+    escaped dir names, and re-escaping would look up a directory that
+    does not exist (the round-6 compaction data-loss bug). Keys are
+    fully-qualified Hadoop paths (``Path.toString()``) so manifests work
+    on any filesystem, not just the default one."""
     jvm, fs, _ = _jfs(spark, path)
     out: dict[str, tuple[str, int]] = {}
-    for v in values:
-        dname = _partition_dir_name(spark, partition_col, v)
+    for dname in dir_names:
         p = jvm.org.apache.hadoop.fs.Path(path, dname)
         if not fs.exists(p):
             continue
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if st.isFile() and not name.startswith(("_", ".")):
-                out[st.getPath().toUri().getPath()] = (dname, st.getLen())
+                out[st.getPath().toString()] = (dname, st.getLen())
     return out
 
 
@@ -189,14 +194,16 @@ def bootstrap_snapshot(
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        raw = p.toUri().getPath()
         name = p.getName()
-        if name.startswith(("_", ".")) or prefix in raw:
+        if name.startswith(("_", ".")) or prefix in p.toUri().getPath():
             continue
         part = p.getParent().getName()
         if not part.startswith(f"{partition_col}="):
             continue
-        rows.append((raw, part, None))
+        # fully-qualified (scheme+authority kept): manifests must be
+        # readable on non-default filesystems (s3a:// at 100 TB), and
+        # vacuum_orphans normalizes both forms identically
+        rows.append((p.toString(), part, None))
     return _commit_manifest(spark, path, 0, rows)
 
 
@@ -312,9 +319,12 @@ def upsert_cow(
     obs = Observation("upsert_cow_rows")
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
 
-    before = _list_partition_files(spark, path, partition_col, touched)
+    touched_dir_names = [
+        _partition_dir_name(spark, partition_col, v) for v in touched
+    ]
+    before = _list_partition_files(spark, path, touched_dir_names)
     out.write.mode("append").partitionBy(partition_col).parquet(path)
-    after = _list_partition_files(spark, path, partition_col, touched)
+    after = _list_partition_files(spark, path, touched_dir_names)
     new_files = [
         (f, part, None) for f, (part, _sz) in after.items() if f not in before
     ]
@@ -389,11 +399,13 @@ def compact_snapshot(
             ~F.col("partition").isin([p for p, _ in frag])
         ).collect()
     ]
-    values = []
-    for part, _files in frag:
-        raw = part.split("=", 1)[1]
-        values.append(None if raw == _HIVE_NULL_PART else raw)
-    before = _list_partition_files(spark, path, partition_col, values)
+    # manifest `partition` entries ARE the escaped Hive dir names — use
+    # them verbatim (splitting the value back out and re-escaping would
+    # double-escape any value Hive escapes, listing a directory that
+    # does not exist and silently dropping the partition's rows from
+    # the new version)
+    frag_dirs = [part for part, _files in frag]
+    before = _list_partition_files(spark, path, frag_dirs)
     for part, files in frag:
         # one coalesced file per fragmented partition; basePath keeps
         # the partition column so partitionBy lands it back in place
@@ -405,7 +417,7 @@ def compact_snapshot(
             .partitionBy(partition_col)
             .parquet(path)
         )
-    after = _list_partition_files(spark, path, partition_col, values)
+    after = _list_partition_files(spark, path, frag_dirs)
     new_files = [
         (f, part, None) for f, (part, _sz) in after.items() if f not in before
     ]
@@ -463,9 +475,15 @@ def snapshot_changes(
         c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = c if cond is None else cond & c
     cols = new.columns
+    # Presence must be detected with non-null MARKER columns, not the
+    # key values: upsert_cow joins keys null-safely, so a NULL key is a
+    # legal key value — classifying on okey.isNull() would drop every
+    # null-keyed row from all three change buckets.
+    old = old.withColumn("_o_present", F.lit(True))
+    new = new.withColumn("_n_present", F.lit(True))
     joined = old.alias("o").join(new.alias("n"), cond, "full_outer")
-    okey = F.col(f"o.{key_cols[0]}")
-    nkey = F.col(f"n.{key_cols[0]}")
+    okey = F.col("o._o_present").isNotNull()
+    nkey = F.col("n._n_present").isNotNull()
     # value-identical rows (a key carried verbatim into a rewritten
     # file) are NOT changes: compare full-row structs null-safely over
     # the NEW schema — a column the old version lacked reads as NULL on
@@ -483,19 +501,17 @@ def snapshot_changes(
         ]
     )
     nval = F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])
-    inserts = joined.filter(okey.isNull() & nkey.isNotNull()).select(
+    inserts = joined.filter(~okey & nkey).select(
         *[F.col(f"n.{c}") for c in cols], F.lit("insert").alias("_change_type")
     )
-    deletes = joined.filter(nkey.isNull() & okey.isNotNull()).select(
+    deletes = joined.filter(okey & ~nkey).select(
         *[
             F.col(f"o.{c}") if c in old.columns else F.lit(None).alias(c)
             for c in cols
         ],
         F.lit("delete").alias("_change_type"),
     )
-    updated = joined.filter(
-        okey.isNotNull() & nkey.isNotNull() & ~oval.eqNullSafe(nval)
-    )
+    updated = joined.filter(okey & nkey & ~oval.eqNullSafe(nval))
     pre = updated.select(
         *[
             F.col(f"o.{c}") if c in old.columns else F.lit(None).alias(c)

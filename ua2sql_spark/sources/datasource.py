@@ -448,7 +448,13 @@ class UnityBackupWriter(DataSourceWriter):
         # task — the driver has already collected all messages).
         import os
 
-        for f in os.listdir(self.path):
+        # abort() can run before any task ever created the target dir
+        # (upstream stage failure) — a missing dir means nothing staged
+        try:
+            entries = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        for f in entries:
             if f.startswith(".staged-") or (
                 f.startswith(".manifest-") and f.endswith(".tmp")
             ):
