@@ -386,3 +386,51 @@ def q144_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E8: 7-day sliding distinct active users (the WAU curve) — the rolling
+# count-distinct archetype window frames cannot express (no DISTINCT
+# inside a frame). The scalable shape is the COVERAGE EXPLODE: each
+# (user, active-day) pair contributes to the 7 window-ends it is
+# visible in (a map-side x7 fan-out of the already-deduped activity
+# table, NOT the raw events), then one partial-aggregated
+# count-distinct per window end. A range SELF-JOIN of days x activity
+# — the naive phrasing — would shuffle the activity table once per
+# probe day; the explode touches each activity row exactly 7 times and
+# shuffles once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_sliding_active_users",
+    oracle="""
+    WITH au AS (
+        SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    cover AS (
+        SELECT d + CAST(i AS INTEGER) AS w_end, user_id
+        FROM au, unnest(range(0, 7)) AS t(i)
+    )
+    SELECT CAST(w_end AS TIMESTAMP) AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM cover
+    GROUP BY w_end
+    """,
+)
+def q159_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(F.to_date(F.col("ts")).alias("d"), "user_id").distinct()
+    cover = au.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "w_end"
+        ),
+        "user_id",
+    )
+    return cover.groupBy("w_end").agg(
+        F.count_distinct("user_id").alias("active_users_7d")
+    ).select(
+        F.col("w_end").cast("timestamp").alias("window_end"),
+        "active_users_7d",
+    )

@@ -508,3 +508,121 @@ def x151_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_subword_tokens").cast("double") / F.col("n_words"), 6
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3i: BM25 relevance search — the standard lexical retrieval scorer
+# (Robertson/Sparck-Jones; the Lucene-default `k1=1.2, b=0.75` variant
+# with the +1 idf floor). Complements the embedding-based retrieval
+# family (x45/x71/x130): production corpus search is hybrid, and the
+# lexical leg is BM25.
+#
+# Scale shape: one corpus-sized word explode feeds (a) per-doc length
+# and (b) term frequencies FILTERED to the query terms before the
+# shuffle — the grouped state is |query terms| x |matching docs|, not
+# the corpus vocabulary. Document frequencies and the corpus totals are
+# tiny aggregates broadcast back; the final top-k is TakeOrderedAndProject,
+# never a global sort. Determinism: idf and the tf-factor are rounded
+# at fixed points and summed through a decimal interior (the x125
+# pattern), so Spark and DuckDB hash-match bit-exactly.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("hash", "join", "merge")
+_BM25_TOPK = 20
+
+
+@query(
+    "x158_bm25_search",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM words GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words WHERE w IN ('hash', 'join', 'merge')
+        GROUP BY doc_id, w
+    ),
+    idf AS (
+        SELECT w,
+               ROUND(LN(((n_docs - df) + 0.5) / (df + 0.5) + 1.0), 4) AS idf
+        FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+             totals
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(idf.idf * ROUND(
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 *
+                       (CAST(d.dl * totals.n_docs AS DOUBLE) / totals.total_dl))),
+                   4), 4) AS s
+        FROM tf
+        JOIN idf USING (w)
+        JOIN dl AS d USING (doc_id), totals
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(s AS DECIMAL(28, 8))) AS DOUBLE) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def x158_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        words.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.round(
+            F.log(
+                ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            4,
+        ).alias("idf"),
+    )
+    tff = F.round(
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * (
+                    (F.col("dl") * F.col("n_docs")).cast("double")
+                    / F.col("total_dl")
+                )
+            )
+        ),
+        4,
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", F.round(F.col("idf") * tff, 4).alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(28,8)")).cast("double").alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    return agg.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
