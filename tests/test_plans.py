@@ -576,3 +576,26 @@ def test_pr_curve_windows_run_on_aggregated_bins_only(spark):
     assert agg > w, plan
     # no sort below the aggregate (the corpus is never globally sorted)
     assert "Sort" not in plan[agg:], plan[agg:]
+
+
+def test_bm25_broadcasts_stats_and_takes_topk(spark):
+    """x158: the df/idf/corpus-total sides are broadcast (no shuffled
+    join against per-term stats), and the final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    df = all_queries()["x158_bm25_search"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sliding_actives_has_no_range_self_join(spark):
+    """q159: the rolling distinct is the coverage explode (Generate) +
+    one partial-aggregated distinct — NOT a range self-join of days x
+    activity (no non-broadcast join at all)."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    df = all_queries()["q159_sliding_active_users"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "Generate explode" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
