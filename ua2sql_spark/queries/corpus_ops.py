@@ -944,3 +944,103 @@ def x150_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("copy_id").cast("bigint").alias("copy_id"), "n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# X9: URL canonicalization — the first pass of every crawl-derived
+# pipeline (CCNet/C4 lineage): lowercase scheme+authority, strip the
+# default port and the www. prefix, drop utm_* tracking params and the
+# fragment, then roll up by canonical host. Raw URLs are derived
+# deterministically from doc_id in BOTH engines (the x153 EXIF pattern:
+# the driver tables carry no real URLs, so the op's input is synthesized
+# identically on each side and the TRANSFORM is what's verified).
+#
+# Scale shape: pure per-row expression work (regexp chains, no UDF, no
+# join) followed by ONE host-grouped aggregate — map-only until a
+# |hosts|-sized shuffle. Regexes avoid lookaround and backreferences so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x160_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM:443/docs/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                       ELSE '?id=' || CAST(doc_id AS VARCHAR) END
+               || CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                   regexp_replace(
+                       lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                            '^[^/]*//[^/]*')),
+                       ':443$', ''),
+                   '//www\\.', '//')
+               || regexp_replace(
+                      regexp_replace(
+                          regexp_replace(url, '#.*$', ''),
+                          '^[^/]*//[^/]*', ''),
+                      'utm_[^&#]*&', '') AS curl
+        FROM raw
+    )
+    SELECT regexp_extract(curl, '//([^/:]*)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN curl <> url THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           MIN(curl) AS sample_url
+    FROM canon
+    GROUP BY 1
+    ORDER BY host
+    """,
+)
+def x160_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/docs/"),
+        sid,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), sid),
+        ).otherwise(F.concat(F.lit("?id="), sid)),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    no_frag = F.regexp_replace(F.col("url"), r"#.*$", "")
+    authority = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(no_frag, r"^[^/]*//[^/]*", 0)),
+            r":443$",
+            "",
+        ),
+        r"//www\.",
+        "//",
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(no_frag, r"^[^/]*//[^/]*", ""), r"utm_[^&#]*&", ""
+    )
+    canon = raw.select(
+        "doc_id", "url", F.concat(authority, rest).alias("curl")
+    )
+    return (
+        canon.groupBy(
+            F.regexp_extract(F.col("curl"), r"//([^/:]*)", 1).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("curl") != F.col("url"), 1).otherwise(0)
+            ).alias("n_changed"),
+            F.min("curl").alias("sample_url"),
+        )
+        .orderBy("host")
+    )
