@@ -1044,3 +1044,75 @@ def x160_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# X10: per-source language-mix diversity — Shannon entropy of each
+# source's language distribution (plus the normalized evenness ratio
+# H / ln(k)). The mixture-diversity dashboard number a curation
+# pipeline watches when rebalancing sources: a source collapsing to
+# one language shows up as evenness -> 0 long before raw counts move.
+#
+# Scale shape: two stacked aggregates — (source, lang) counts, then a
+# per-source fold — both partial-aggregated map-side; the second
+# groupBy state is |sources| x |langs| rows. Determinism: ln is
+# rounded at 4dp and each p*ln(p) term at 8dp before a decimal-interior
+# sum (the x125 pattern), so Spark and DuckDB hash-match.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x161_source_diversity",
+    oracle="""
+    WITH cl AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM cl GROUP BY source
+    ),
+    terms AS (
+        SELECT cl.source, tot.t, tot.n_langs,
+               ROUND((CAST(cl.c AS DOUBLE) / tot.t)
+                     * ROUND(LN(CAST(cl.c AS DOUBLE) / tot.t), 4), 8) AS pl
+        FROM cl JOIN tot USING (source)
+    )
+    SELECT source,
+           MAX(t) AS n_docs,
+           MAX(n_langs) AS n_langs,
+           CAST(-SUM(CAST(pl AS DECIMAL(28, 10))) AS DOUBLE) AS entropy,
+           ROUND(CAST(-SUM(CAST(pl AS DECIMAL(28, 10))) AS DOUBLE)
+                 / ROUND(LN(MAX(n_langs)), 4), 6) AS evenness
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x161_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cl.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    terms = cl.join(tot, "source").select(
+        "source",
+        "t",
+        "n_langs",
+        F.round(p * F.round(F.log(p), 4), 8).alias("pl"),
+    )
+    neg_h = (-F.sum(F.col("pl").cast("decimal(28,10)"))).cast("double")
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("t").alias("n_docs"),
+            F.max("n_langs").alias("n_langs"),
+            neg_h.alias("entropy"),
+            F.round(
+                neg_h / F.round(F.log(F.max("n_langs").cast("double")), 4), 6
+            ).alias("evenness"),
+        )
+        .orderBy("source")
+    )
