@@ -771,3 +771,55 @@ def x156_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STRAT_K,
         rank_col="coin_rank",
     ).select("lang", "doc_id", F.col("coin_rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# P7: weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+# exponential race (Inf. Proc. Letters 2006): each row draws a
+# deterministic md5-uniform u and races with key = -ln(u) / w; the K
+# smallest keys ARE a weighted sample without replacement. This is how
+# a curation pipeline takes "5k docs, long documents proportionally
+# more likely" in ONE distributed pass: no sequential draws, no
+# rejection loop, rerun/partitioning/engine-stable because u comes
+# from content (md5), not an RNG.
+#
+# Scale shape: map-only key computation, then TakeOrderedAndProject —
+# the global top-K never sorts the corpus. Determinism: ln(u) rounded
+# at 6dp before the divide (the x125 log-rounding pattern), doc_id
+# tiebreak.
+# ---------------------------------------------------------------------------
+_WS_K = 50
+_HEX15 = 1152921504606846976  # 16^15: the md5-prefix integer range
+
+
+@query(
+    "x162_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               -ROUND(LN((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               AS DOUBLE) + 0.5) / {_HEX15}), 6) / n_chars AS k
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, ROUND(k, 12) AS race_key
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def x162_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HEX15)
+    k = -F.round(F.log(u), 6) / F.col("n_chars")
+    keyed = d.select(
+        "doc_id", "lang", "n_chars", k.alias("k")
+    )
+    return (
+        keyed.orderBy("k", "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "lang", "n_chars", F.round("k", 12).alias("race_key"))
+    )
