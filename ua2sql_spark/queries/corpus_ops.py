@@ -1116,3 +1116,87 @@ def x161_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X11: categorical association — mutual information and the chi-square
+# statistic between two categorical columns (lang x source). The
+# leakage/bias audit: MI near zero says the split/source carries no
+# language signal; a spike says one source is secretly monolingual (or
+# an eval split leaks a domain). Complements q137 (numeric-numeric
+# covariance) and q145 (mean difference) with the categorical-
+# categorical cell of the stats matrix.
+#
+# Scale shape: ONE contingency aggregate over the corpus
+# (|langs| x |sources| cells), then marginals derived FROM the cells
+# (window sums over the tiny cell table — the corpus is scanned once);
+# every later step runs on cell-count-bounded data. Determinism:
+# rounded-log terms, decimal-interior sums.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x163_lang_source_mi",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    m AS (
+        SELECT lang, source, o,
+               CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS rl,
+               CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS rs,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT
+            ROUND((CAST(o AS DOUBLE) / n)
+                  * ROUND(LN((CAST(o AS DOUBLE) * n)
+                             / (CAST(rl AS DOUBLE) * rs)), 6), 10) AS mi_term,
+            ROUND(POW(CAST(o AS DOUBLE) - (CAST(rl AS DOUBLE) * rs) / n, 2)
+                  / ((CAST(rl AS DOUBLE) * rs) / n), 8) AS chi_term,
+            o
+        FROM m
+    )
+    SELECT CAST(SUM(CAST(mi_term AS DECIMAL(28, 12))) AS DOUBLE) AS mi_nats,
+           CAST(SUM(CAST(chi_term AS DECIMAL(28, 10))) AS DOUBLE) AS chi2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(o) AS BIGINT) AS n_docs
+    FROM terms
+    """,
+)
+def x163_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rl"),
+        F.sum("o").over(Window.partitionBy("source")).alias("rs"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    od, rld, rsd, nd = (
+        F.col("o").cast("double"),
+        F.col("rl").cast("double"),
+        F.col("rs").cast("double"),
+        F.col("n"),
+    )
+    e = (rld * F.col("rs")) / nd
+    terms = m.select(
+        F.round(
+            (od / nd) * F.round(F.log((od * F.col("n")) / (rld * F.col("rs"))), 6),
+            10,
+        ).alias("mi_term"),
+        F.round(F.pow(od - e, 2) / e, 8).alias("chi_term"),
+        "o",
+    )
+    return terms.agg(
+        F.sum(F.col("mi_term").cast("decimal(28,12)")).cast("double").alias("mi_nats"),
+        F.sum(F.col("chi_term").cast("decimal(28,10)")).cast("double").alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("o").alias("n_docs"),
+    )
