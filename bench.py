@@ -104,6 +104,9 @@ HEADLINE = [
     # pays a brute-force baseline by construction; the production PQ
     # path inside it is encode + ADC only)
     "x155_pr_calibration",
+    # r6 addition: BM25 — the lexical-retrieval family's watched number
+    # (corpus word explode + broadcast stats + TakeOrderedAndProject)
+    "x158_bm25_search",
 ]
 
 
