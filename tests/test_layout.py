@@ -469,3 +469,18 @@ def test_load_table_falls_back_when_manifest_lacks_column(spark, tmp_path):
     manifest = spark.read.parquet(f"{sf_dir}/documents.manifest.parquet")
     kept = prune_files(manifest, "lang", 0, 1)  # default cast='bigint'
     assert len(kept) == len(spark.read.parquet(table_dir).inputFiles())
+
+
+def test_prune_files_returns_none_when_column_has_no_stats(spark, tmp_path):
+    """Regression (round-6 review): prune_files distinguishes 'manifest
+    has no rows for this column' (None — caller cannot prune) from
+    'no file overlaps' (empty list), in one collect."""
+    from ua2sql_spark.catalog import load_table
+    from ua2sql_spark.operators.manifest import build_file_manifest, prune_files
+
+    src = load_table(spark, SF_DIR, "documents").limit(50)
+    table_dir = str(tmp_path / "t.parquet")
+    src.write.parquet(table_dir)
+    manifest = build_file_manifest(spark, table_dir, columns=["doc_id"])
+    assert prune_files(manifest, "lang", 0, 1) is None
+    assert prune_files(manifest, "doc_id", 10**12, 2 * 10**12) == []

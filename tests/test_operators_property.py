@@ -613,3 +613,31 @@ def test_cdc_chunking_is_insertion_robust(text, ins_pos):
     assert changed <= 9, (changed, before, after)
     # and chunks far from the edit survive verbatim (content-defined!)
     assert sum((cb & ca).values()) >= max(0, len(before) - 5)
+
+
+def test_source_diversity_monolingual_source_yields_null_evenness(spark, tmp_path):
+    """Regression (round-6 review): a monolingual source has ln(1)=0 in
+    the evenness denominator — under ANSI mode the 0/0 used to THROW
+    DIVIDE_BY_ZERO (killing every source's row), and the oracle said
+    NULL. Both engines now emit NULL for the undefined k=1 case."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ua2sql_spark.registry import all_queries
+
+    mono = spark.createDataFrame(
+        [("s1", "en")] * 3 + [("s2", "en"), ("s2", "de")],
+        "source string, lang string",
+    )
+    (
+        mono.withColumn("doc_id", F.monotonically_increasing_id())
+        .withColumn("text", F.lit("t"))
+        .withColumn("n_chars", F.lit(1))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    )
+    rows = all_queries()["x161_source_diversity"].fn(spark, str(tmp_path)).collect()
+    ev = {r["source"]: (r["evenness"], r["entropy"]) for r in rows}
+    assert ev["s1"][0] is None and ev["s1"][1] == 0.0
+    assert ev["s2"][0] == 1.0

@@ -92,25 +92,20 @@ def load_table(
                 from ua2sql_spark.operators.manifest import prune_files
 
                 manifest = spark.read.parquet(mpath)
-                if manifest.filter(F.col("col") == col).limit(1).count() == 0:
-                    # the manifest was built without stats for THIS
-                    # column — no pruning is possible; an empty prune
-                    # result here would mean "no stats", not "no
-                    # overlap", so fall back to the plain scan rather
-                    # than silently returning zero rows
-                    return (
-                        spark.read.parquet(table_path(sf_dir, name)).filter(pred)
-                    )
                 files = prune_files(manifest, col, lo, hi, cast=cast)
-                if not files:
-                    # no file overlaps: an empty frame with the table's
-                    # schema (reading zero files would fail schema
-                    # inference)
-                    return (
-                        spark.read.parquet(table_path(sf_dir, name))
-                        .filter(F.lit(False))
-                    )
-                return spark.read.parquet(*files).filter(pred)
+                # files is None: manifest built without stats for THIS
+                # column — no pruning possible; fall through to the
+                # plain scan rather than silently returning zero rows
+                if files is not None:
+                    if not files:
+                        # no file overlaps: an empty frame with the
+                        # table's schema (reading zero files would
+                        # fail schema inference)
+                        return (
+                            spark.read.parquet(table_path(sf_dir, name))
+                            .filter(F.lit(False))
+                        )
+                    return spark.read.parquet(*files).filter(pred)
         return spark.read.parquet(table_path(sf_dir, name)).filter(pred)
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -119,16 +119,18 @@ def build_file_manifest(
 
 def prune_files(
     manifest: DataFrame, col: str, lo, hi, cast: str = "bigint"
-) -> list[str]:
+) -> list[str] | None:
     """Paths of files whose [min, max] range on ``col`` overlaps
-    [lo, hi] (files lacking stats are conservatively kept). Collects
-    paths only — bounded by the table's file count.
+    [lo, hi] (files lacking stats are conservatively kept), or ``None``
+    when the manifest carries NO rows for ``col`` at all — the caller
+    must distinguish "no stats recorded" (cannot prune; fall back to a
+    full scan) from "no file overlaps" (empty list; zero rows is the
+    right answer). One collect, bounded by the table's file count.
 
     Stats whose canonical string does not survive the ``cast`` (e.g. a
     string column pruned with the default ``cast='bigint'``) are also
-    conservatively KEPT: a failed cast yields NULL in ANSI-off eval,
-    and treating NULL-range files as non-overlapping would silently
-    prune files that contain matches.
+    conservatively KEPT: treating a failed-cast (NULL) range as
+    non-overlapping would silently prune files that contain matches.
     """
     m = manifest.filter(F.col("col") == col)
     # try_cast, not cast: the session runs ANSI mode, where a plain cast
@@ -141,7 +143,10 @@ def prune_files(
         | mx.isNull()
         | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
     )
-    return [r["file"] for r in m.filter(keep).select("file").collect()]
+    rows = m.select("file", keep.alias("keep")).collect()
+    if not rows:
+        return None
+    return [r["file"] for r in rows if r["keep"]]
 
 
 def read_pruned(
@@ -156,6 +161,8 @@ def read_pruned(
     (file-level stats prune conservatively; the filter does the exact
     cut, pushed down into the chosen files)."""
     files = prune_files(manifest, col, lo, hi, cast=cast)
+    if files is None:
+        raise ValueError(f"manifest has no stats for column {col!r}")
     if not files:
         raise ValueError(f"no files overlap {col} in [{lo}, {hi}]")
     return spark.read.parquet(*files).filter(

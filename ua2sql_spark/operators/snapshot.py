@@ -446,11 +446,11 @@ def snapshot_changes(
     key. Cost is proportional to the churn, not the table."""
     d = snapshot_diff(spark, path, v_old, v_new)
     if not d["added"] and not d["removed"]:
-        cols = read_snapshot(spark, path, v_new).columns
+        snap = read_snapshot(spark, path, v_new)
         return (
-            spark.createDataFrame([], read_snapshot(spark, path, v_new).schema)
+            spark.createDataFrame([], snap.schema)
             .withColumn("_change_type", F.lit(""))
-            .select(*cols, "_change_type")
+            .select(*snap.columns, "_change_type")
             .limit(0)
         )
 

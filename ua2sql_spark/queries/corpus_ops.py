@@ -970,7 +970,7 @@ def x150_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
                || '.COM:443/docs/' || CAST(doc_id AS VARCHAR)
                || CASE WHEN doc_id % 3 = 0
-                       THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                       THEN '?utm_source=feed&utm_medium=rss&id=' || CAST(doc_id AS VARCHAR)
                        ELSE '?id=' || CAST(doc_id AS VARCHAR) END
                || CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END AS url
         FROM documents
@@ -985,9 +985,11 @@ def x150_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    '//www\\.', '//')
                || regexp_replace(
                       regexp_replace(
-                          regexp_replace(url, '#.*$', ''),
-                          '^[^/]*//[^/]*', ''),
-                      'utm_[^&#]*&', '') AS curl
+                          regexp_replace(
+                              regexp_replace(url, '#.*$', ''),
+                              '^[^/]*//[^/]*', ''),
+                          'utm_[^&#]*&', '', 'g'),
+                      '[?&]utm_[^&#]*$', '') AS curl
         FROM raw
     )
     SELECT regexp_extract(curl, '//([^/:]*)', 1) AS host,
@@ -1010,7 +1012,7 @@ def x160_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sid,
         F.when(
             F.col("doc_id") % 3 == 0,
-            F.concat(F.lit("?utm_source=feed&id="), sid),
+            F.concat(F.lit("?utm_source=feed&utm_medium=rss&id="), sid),
         ).otherwise(F.concat(F.lit("?id="), sid)),
         F.when(F.col("doc_id") % 5 == 0, F.lit("#section")).otherwise(F.lit("")),
     )
@@ -1025,8 +1027,17 @@ def x160_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"//www\.",
         "//",
     )
+    # Spark regexp_replace is replace-ALL; the oracle passes the 'g'
+    # option so DuckDB (replace-FIRST by default) agrees. The second
+    # rule strips a trailing utm param that has no following '&'.
     rest = F.regexp_replace(
-        F.regexp_replace(no_frag, r"^[^/]*//[^/]*", ""), r"utm_[^&#]*&", ""
+        F.regexp_replace(
+            F.regexp_replace(no_frag, r"^[^/]*//[^/]*", ""),
+            r"utm_[^&#]*&",
+            "",
+        ),
+        r"[?&]utm_[^&#]*$",
+        "",
     )
     canon = raw.select(
         "doc_id", "url", F.concat(authority, rest).alias("curl")
@@ -1083,8 +1094,10 @@ def x160_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(t) AS n_docs,
            MAX(n_langs) AS n_langs,
            CAST(-SUM(CAST(pl AS DECIMAL(28, 10))) AS DOUBLE) AS entropy,
-           ROUND(CAST(-SUM(CAST(pl AS DECIMAL(28, 10))) AS DOUBLE)
-                 / ROUND(LN(MAX(n_langs)), 4), 6) AS evenness
+           CASE WHEN MAX(n_langs) > 1
+                THEN ROUND(CAST(-SUM(CAST(pl AS DECIMAL(28, 10))) AS DOUBLE)
+                           / ROUND(LN(MAX(n_langs)), 4), 6)
+                ELSE NULL END AS evenness
     FROM terms
     GROUP BY source
     ORDER BY source
@@ -1110,8 +1123,16 @@ def x161_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t").alias("n_docs"),
             F.max("n_langs").alias("n_langs"),
             neg_h.alias("entropy"),
-            F.round(
-                neg_h / F.round(F.log(F.max("n_langs").cast("double")), 4), 6
+            # a monolingual source has ln(n_langs)=0: ANSI mode makes
+            # 0/0 THROW (not NaN), and the oracle returns NULL — evenness
+            # is undefined at k=1, so emit NULL in both engines
+            F.when(
+                F.max("n_langs") > 1,
+                F.round(
+                    neg_h
+                    / F.round(F.log(F.max("n_langs").cast("double")), 4),
+                    6,
+                ),
             ).alias("evenness"),
         )
         .orderBy("source")
