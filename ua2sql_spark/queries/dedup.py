@@ -699,3 +699,68 @@ def x142_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunks_fp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X1i: duplication-degree histogram — the dedup AUDIT readout: for each
+# cluster size k, how many exact-duplicate clusters have exactly k
+# members, what fraction of rows they hold, and how many rows dedup
+# would delete. The one-table summary a curation run reports before
+# committing a dedup pass ("1.9% of the corpus sits in 2-copy
+# clusters") — cheap enough to run on every ingest.
+#
+# Scale shape: the sha-groupBy is the SAME single shuffle as x41; the
+# second aggregate runs on cluster-count-bounded data and the output is
+# |distinct k| rows. Fractions are exact integer ratios rounded at 6dp.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x164_dup_size_histogram",
+    oracle=f"""
+    WITH clusters AS (
+        SELECT sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS k
+        FROM ({_REINGEST_SQL})
+        GROUP BY sha256(text)
+    ),
+    tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_rows FROM clusters)
+    SELECT k AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * k AS BIGINT) AS n_rows,
+           ROUND(CAST(COUNT(*) * k AS DOUBLE) / MAX(tot.n_rows), 6)
+               AS row_fraction,
+           CAST(COUNT(*) * (k - 1) AS BIGINT) AS rows_removed_by_dedup
+    FROM clusters, tot
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def x164_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_reingest(spark, sf_dir)
+    clusters = (
+        docs.select(F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = clusters.agg(F.sum("k").alias("n_rows"))
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("k").cast("bigint")).alias("_nr"),
+            F.max("n_rows").alias("_tot"),
+        )
+        .select(
+            F.col("k").alias("cluster_size"),
+            "n_clusters",
+            F.col("_nr").alias("n_rows"),
+            F.round(F.col("_nr").cast("double") / F.col("_tot"), 6).alias(
+                "row_fraction"
+            ),
+            (F.col("n_clusters") * (F.col("k") - 1)).cast("bigint").alias(
+                "rows_removed_by_dedup"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

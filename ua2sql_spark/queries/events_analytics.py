@@ -434,3 +434,84 @@ def q159_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w_end").cast("timestamp").alias("window_end"),
         "active_users_7d",
     )
+
+
+# ---------------------------------------------------------------------------
+# E9: behavior co-occurrence mining — the market-basket first pass
+# (A-priori level-2): for every pair of event types, how many users did
+# BOTH, with support and lift. Lift >> 1 flags coupled behaviors
+# (error→churn, view→purchase); the pair table is the input to any
+# association-rule cut.
+#
+# Scale shape: the corpus collapses to DISTINCT (user, type) first —
+# bounded by |users| x |types|, with |types| small by construction —
+# then a self-equi-join on user expands at most |types|^2 pairs per
+# user (never a cross of users), and one |types|^2-row aggregate
+# finishes. Supports join back via a broadcast of the |types|-row
+# margin table. Lift is an exact integer ratio rounded at 6dp.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x165_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    margin AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / n.n_users, 6) AS support,
+           ROUND(CAST(n_both * n.n_users AS DOUBLE) / (ma.c * mb.c), 6) AS lift
+    FROM pairs
+    JOIN margin ma ON ma.event_type = pairs.type_a
+    JOIN margin mb ON mb.event_type = pairs.type_b, n
+    ORDER BY type_a, type_b
+    """,
+)
+def x165_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    margin = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = F.broadcast(margin.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca")))
+    mb = F.broadcast(margin.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb")))
+    return (
+        pairs.join(ma, "type_a")
+        .join(mb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
