@@ -515,3 +515,152 @@ def x165_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# E10: sequential path mining — the top event-type TRIGRAMS users
+# actually walk (view>click>purchase ...), the level-3 sequence table
+# behind "what path leads to conversion" analyses. Funnels (q38) test a
+# HYPOTHESIZED order; this mines the orders that exist.
+#
+# Scale shape: one window per user (partition-local sort inside the
+# user's own rows — the same shuffle any per-user analytic pays),
+# map-side trigram assembly, one |distinct trigram|-bounded aggregate
+# (|types|^3 ceiling), TakeOrderedAndProject top-k. Ordering ties on ts
+# are broken by event_id so both engines walk identical sequences.
+# ---------------------------------------------------------------------------
+_PATH_TOPK = 15
+
+
+@query(
+    "x166_event_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def x166_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E11: distribution drift (PSI) — the population stability index
+# between two cohorts of a numeric metric, THE model/data-monitoring
+# number ("has `value` drifted between pipeline runs?"). Cohorts here
+# are the deterministic even/odd event_id halves (stand-ins for
+# run N vs run N+1); bins are 10 equi-width over the GLOBAL range so
+# both cohorts share edges. PSI = sum over bins of (p-q)*ln(p/q);
+# bins empty on either side are excluded from the sum and REPORTED
+# (n_onesided) rather than epsilon-fudged, keeping the statistic
+# exact and cross-engine stable.
+#
+# Scale shape: global min/max is one tiny broadcast aggregate; binning
+# is map-only; the PSI fold runs on <=10 rows. One corpus-sized
+# shuffle total (the bin aggregate).
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+
+
+@query(
+    "x167_value_drift_psi",
+    oracle=f"""
+    WITH rng AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT LEAST({_PSI_BINS - 1},
+                     CAST(FLOOR((value - rng.lo) / (rng.hi - rng.lo)
+                                * {_PSI_BINS}) AS BIGINT)) AS bin,
+               event_id % 2 AS cohort
+        FROM events, rng
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM cells
+    ),
+    terms AS (
+        SELECT bin, ca, cb,
+               CASE WHEN ca > 0 AND cb > 0 THEN
+                   ROUND((CAST(ca AS DOUBLE) / tot.na
+                          - CAST(cb AS DOUBLE) / tot.nb)
+                         * ROUND(LN((CAST(ca AS DOUBLE) * tot.nb)
+                                    / (CAST(cb AS DOUBLE) * tot.na)), 6), 10)
+               END AS term
+        FROM cells, tot
+    )
+    SELECT CAST(SUM(CAST(term AS DECIMAL(28, 12))) AS DOUBLE) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_onesided
+    FROM terms
+    """,
+)
+def x167_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _PSI_BINS
+            ),
+        ).alias("bin"),
+        (F.col("event_id") % 2).alias("cohort"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = cells.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cad, cbd = F.col("ca").cast("double"), F.col("cb").cast("double")
+    term = F.when(
+        (F.col("ca") > 0) & (F.col("cb") > 0),
+        F.round(
+            (cad / F.col("na") - cbd / F.col("nb"))
+            * F.round(
+                F.log((cad * F.col("nb")) / (cbd * F.col("na"))), 6
+            ),
+            10,
+        ),
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(term.alias("term"))
+    return terms.agg(
+        F.sum(F.col("term").cast("decimal(28,12)")).cast("double").alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.when(F.col("term").isNull(), 1).otherwise(0)).alias("n_onesided"),
+    )
