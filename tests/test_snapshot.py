@@ -368,3 +368,47 @@ def test_version_numbers_beyond_six_digits_stay_visible():
     assert m and int(m.group(1)) == 1_000_000
     assert _VER_RE.match("v000001")
     assert not _VER_RE.match(".tmp-abc") and not _VER_RE.match("v12")
+
+
+def test_changes_since_and_cursor_resume(spark, tmp_path):
+    """Incremental CDF: per-commit steps tagged _commit_version (a key
+    updated twice appears under both versions), and the checkpointed
+    cursor delivers each batch at-least-once with durable resume."""
+    from ua2sql_spark.operators.snapshot import (
+        ChangeFeedCursor,
+        changes_since,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    ck = str(tmp_path / "cursor")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id bigint, day string, val string"
+    )
+    upsert_cow(mk([(1, "d1", "a"), (2, "d1", "b")]), path, ["id"], "day")  # v0
+    upsert_cow(mk([(1, "d1", "a1")]), path, ["id"], "day")                 # v1
+    upsert_cow(mk([(1, "d1", "a2"), (3, "d2", "c")]), path, ["id"], "day") # v2
+
+    feed = changes_since(spark, path, 0, ["id"]).collect()
+    got = {(r["id"], r["_commit_version"], r["_change_type"]): r["val"] for r in feed}
+    assert got[(1, 1, "update_preimage")] == "a"
+    assert got[(1, 1, "update_postimage")] == "a1"
+    assert got[(1, 2, "update_preimage")] == "a1"
+    assert got[(1, 2, "update_postimage")] == "a2"
+    assert got[(3, 2, "insert")] == "c"
+    assert not any(k[0] == 2 for k in got)  # untouched key emits nothing
+
+    # cursor: first poll sees everything, commit advances durably,
+    # a fresh cursor (crash/restart) resumes past the committed batch
+    cur = ChangeFeedCursor(spark, path, ["id"], ck)
+    df, latest = cur.poll()
+    assert latest == 2 and df.count() == len(feed)
+    cur.commit(latest)
+    df2, latest2 = ChangeFeedCursor(spark, path, ["id"], ck).poll()
+    assert latest2 == 2 and df2.count() == 0
+
+    upsert_cow(mk([(2, "d1", "b1")]), path, ["id"], "day")                 # v3
+    df3, latest3 = ChangeFeedCursor(spark, path, ["id"], ck).poll()
+    rows3 = {(r["id"], r["_change_type"]) for r in df3.collect()}
+    assert latest3 == 3
+    assert rows3 == {(2, "update_preimage"), (2, "update_postimage")}

@@ -524,3 +524,87 @@ def snapshot_changes(
         F.lit("update_postimage").alias("_change_type"),
     )
     return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
+def changes_since(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    key_cols: list[str],
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental change feed: the union of every per-commit
+    :func:`snapshot_changes` step in ``(from_version, to_version]``,
+    each row tagged ``_commit_version`` — Delta's
+    ``readChangeFeed(startingVersion=...)`` analog. Consumers get every
+    intermediate image in commit order, not just the endpoint diff
+    (a key updated twice appears twice, under its own version).
+
+    Scale shape: each step is churn-proportional (see
+    :func:`snapshot_changes`); the union is a plan-level concat of the
+    per-step feeds — Spark runs the steps' scans independently, nothing
+    re-reads the table."""
+    versions = [v for v in list_versions(spark, path) if v > from_version]
+    if to_version is not None:
+        versions = [v for v in versions if v <= to_version]
+    if from_version not in list_versions(spark, path):
+        raise ValueError(f"from_version {from_version} is not a committed version")
+    out = None
+    prev = from_version
+    for v in versions:
+        step = snapshot_changes(spark, path, prev, v, key_cols).withColumn(
+            "_commit_version", F.lit(v).cast("bigint")
+        )
+        out = step if out is None else out.unionByName(step)
+        prev = v
+    if out is None:
+        snap = read_snapshot(spark, path, from_version)
+        return (
+            spark.createDataFrame([], snap.schema)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("bigint"))
+            .limit(0)
+        )
+    return out
+
+
+class ChangeFeedCursor:
+    """Checkpointed cursor over a snapshot table's change feed — the
+    micro-batch consumer loop for index refresh / replication jobs:
+    each ``poll()`` returns (changes DataFrame, latest_version) for
+    everything committed since the cursor, and ``commit(version)``
+    durably advances it (write-temp + atomic rename, so a crashed
+    consumer re-reads its last uncommitted batch: at-least-once, and
+    the per-version tags make downstream upserts idempotent)."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], checkpoint: str):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.checkpoint = checkpoint
+
+    def position(self) -> int:
+        import os
+
+        if not os.path.exists(self.checkpoint):
+            return 0
+        with open(self.checkpoint) as fh:
+            return int(fh.read().strip())
+
+    def poll(self) -> tuple[DataFrame, int]:
+        pos = self.position()
+        latest = latest_version(self.spark, self.path)
+        if latest is None:
+            raise ValueError(f"no snapshots under {self.path}")
+        return (
+            changes_since(self.spark, self.path, pos, self.key_cols, latest),
+            latest,
+        )
+
+    def commit(self, version: int) -> None:
+        import os
+
+        tmp = f"{self.checkpoint}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self.checkpoint)
