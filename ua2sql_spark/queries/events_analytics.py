@@ -664,3 +664,103 @@ def x167_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.sum(F.when(F.col("term").isNull(), 1).otherwise(0)).alias("n_onesided"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E12: growth accounting — every active (user, day) classified as
+# new / retained / resurrected, plus churn attributed to the day the
+# user went silent: the standard DAU decomposition (new + retained +
+# resurrected = DAU, and DAU_d - DAU_{d+1} = churned_{d+1} -
+# new_{d+1} - resurrected_{d+1}). Built entirely from per-user lag/lead
+# windows over the DEDUPED activity table.
+#
+# Scale shape: one shuffle to dedupe (user, day), one per-user window
+# (partition-local sort of that user's own days), then a |days|-bounded
+# aggregate. No day x user self-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_growth_accounting",
+    oracle="""
+    WITH au AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               LAG(d) OVER w AS prev_d,
+               LEAD(d) OVER w AS next_d,
+               MIN(d) OVER (PARTITION BY user_id) AS first_d
+        FROM au
+        WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    states AS (
+        SELECT CAST(d AS TIMESTAMP) AS day,
+               CASE WHEN d = first_d THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END AS is_retained,
+               CASE WHEN prev_d IS NOT NULL AND prev_d < d - 1 THEN 1 ELSE 0 END
+                   AS is_resurrected
+        FROM seq
+        UNION ALL
+        SELECT CAST(d + 1 AS TIMESTAMP) AS day, 0, 0, 0
+        FROM seq WHERE next_d IS NULL OR next_d > d + 1
+    )
+    SELECT day,
+           CAST(SUM(is_new) AS BIGINT) AS new_users,
+           CAST(SUM(is_retained) AS BIGINT) AS retained,
+           CAST(SUM(is_resurrected) AS BIGINT) AS resurrected,
+           CAST(SUM(CASE WHEN is_new + is_retained + is_resurrected = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS churned
+    FROM states
+    GROUP BY day
+    """,
+)
+def q168_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = au.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+        F.min("d").over(Window.partitionBy("user_id")).alias("first_d"),
+    )
+    active = seq.select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.when(F.col("d") == F.col("first_d"), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_d") == F.date_sub("d", 1), 1)
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            F.col("prev_d").isNotNull()
+            & (F.col("prev_d") < F.date_sub("d", 1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+    )
+    churn_marks = seq.filter(
+        F.col("next_d").isNull() | (F.col("next_d") > F.date_add("d", 1))
+    ).select(
+        F.date_add("d", 1).cast("timestamp").alias("day"),
+        F.lit(0).alias("is_new"),
+        F.lit(0).alias("is_retained"),
+        F.lit(0).alias("is_resurrected"),
+    )
+    states = active.unionByName(churn_marks)
+    return states.groupBy("day").agg(
+        F.sum("is_new").alias("new_users"),
+        F.sum("is_retained").alias("retained"),
+        F.sum("is_resurrected").alias("resurrected"),
+        F.sum(
+            F.when(
+                F.col("is_new") + F.col("is_retained") + F.col("is_resurrected")
+                == 0,
+                1,
+            ).otherwise(0)
+        ).alias("churned"),
+    )
