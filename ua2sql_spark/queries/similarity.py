@@ -1142,3 +1142,90 @@ def x154_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4j: Johnson–Lindenstrauss sketch — signed random projection of the
+# 64-d embeddings down to 8 dims (Achlioptas 2003: ±1 entries preserve
+# pairwise distances in expectation). The cheap-ANN/dedup front-end:
+# an 8-d sketch makes candidate generation ~8x cheaper while the full
+# vector stays available for exact re-ranking.
+#
+# Scale shape: the DISTRIBUTED MATMUL archetype — vectors posexplode to
+# (vec, j, x), the M x d ±1 projection matrix (deterministic md5-parity
+# entries, generated by expression, broadcast) joins on j, and ONE
+# partial-aggregated groupBy(vec, out_dim) finishes. Because matrix
+# entries are exactly ±1, each term is ±x (exact), so the
+# decimal-interior sum is order-insensitive and the sketch is
+# bit-identical across engines and partitionings.
+# ---------------------------------------------------------------------------
+_JL_OUT = 8
+_JL_IN = 64
+
+
+@query(
+    "x169_jl_projection",
+    oracle=f"""
+    WITH mat AS (
+        SELECT i, j,
+               CASE WHEN ('0x' || substring(md5(CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(0, {_JL_OUT}) AS r1(i), range(0, {_JL_IN}) AS r2(j)
+    ),
+    ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+               unnest(embedding) AS x
+        FROM embeddings WHERE vec_id < 100
+    )
+    SELECT ex.vec_id, mat.i AS out_dim,
+           ROUND(CAST(SUM(CAST(CAST(ex.x AS DOUBLE) * mat.s AS DECIMAL(28, 8)))
+                      AS DOUBLE) / SQRT({_JL_OUT}), 6) AS component
+    FROM ex JOIN mat ON mat.j = ex.j
+    GROUP BY ex.vec_id, mat.i
+    """,
+)
+def x169_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    mat = (
+        spark.range(_JL_OUT)
+        .withColumnRenamed("id", "i")
+        .crossJoin(spark.range(_JL_IN).withColumnRenamed("id", "j"))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.col("i").cast("string"), F.col("j").cast("string")
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("j", "x"))
+    return (
+        ex.join(F.broadcast(mat), "j")
+        .groupBy("vec_id", F.col("i").alias("out_dim"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x").cast("double") * F.col("s")).cast("decimal(28,8)")
+                ).cast("double")
+                / F.sqrt(F.lit(float(_JL_OUT))),
+                6,
+            ).alias("component")
+        )
+    )
