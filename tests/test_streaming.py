@@ -825,3 +825,45 @@ def test_stream_stream_full_outer_emits_both_unmatched(spark, tmp_path):
     assert (1, 1) in pairs                 # matched
     assert (2, None) in pairs              # left-unmatched emitted
     assert (None, 3) in pairs              # right-unmatched emitted
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path):
+    """Online drift monitoring (streaming/drift.py): a baseline frozen
+    from a reference window scores every micro-batch; an identical
+    stream reads ~0 PSI while a shifted stream reads clearly higher."""
+    from ua2sql_spark.catalog import load_table
+    from ua2sql_spark.streaming.drift import (
+        batch_psi,
+        psi_monitor_sink,
+        train_baseline,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    baseline = train_baseline(ev, "value", n_bins=10)
+    assert sum(baseline["counts"]) == ev.count()
+
+    # batch-level sanity before streaming: identical data ~ 0 drift,
+    # a multiplicative shift is clearly larger
+    same = batch_psi(ev, baseline)
+    shifted = batch_psi(ev.withColumn("value", F.col("value") * 1.7), baseline)
+    assert abs(same["psi"]) < 1e-12 and same["n_onesided"] == 0
+    assert shifted["psi"] > 0.05
+
+    # stream the shifted half through the foreachBatch monitor
+    src = str(tmp_path / "src")
+    mon = str(tmp_path / "monitor")
+    ev.withColumn("value", F.col("value") * 1.7).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    (
+        stream.writeStream.foreachBatch(psi_monitor_sink(baseline, mon))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    rows = spark.read.parquet(mon).collect()
+    assert len(rows) >= 1
+    assert sum(r["n_rows"] for r in rows) == ev.count()
+    total_psi = max(r["psi"] for r in rows)
+    assert total_psi > 0.05
