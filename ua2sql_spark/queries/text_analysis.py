@@ -626,3 +626,50 @@ def x158_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
     )
     return agg.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# X3j: inverted-index construction — positional posting lists for the
+# query-term vocabulary: (term, doc, tf, sorted positions). The
+# retrieval-infra build step BM25 (x158) queries against; positions
+# enable phrase/proximity matching. Restricted here to the x158 query
+# terms so the output is demonstrably bounded; production builds run
+# the identical plan over the full vocabulary, sharded by term.
+#
+# Scale shape: posexplode + an early term filter (pushed below the
+# shuffle), ONE groupBy(term, doc) packing positions map-side into a
+# sorted array — posting lists build in a single shuffle, and no
+# posting ever crosses docs (the per-row array is bounded by one doc's
+# term frequency).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x170_inverted_index",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS p
+        FROM documents
+    )
+    SELECT w AS term, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           list_sort(list(p)) AS positions
+    FROM pos
+    WHERE w IN ('hash', 'join', 'merge')
+    GROUP BY w, doc_id
+    """,
+)
+def x170_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "w")
+    ).select("doc_id", "w", (F.col("p0") + 1).cast("bigint").alias("p"))
+    return (
+        pos.filter(F.col("w").isin("hash", "join", "merge"))
+        .groupBy(F.col("w").alias("term"), F.col("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("p")).alias("positions"),
+        )
+    )
