@@ -673,3 +673,66 @@ def x170_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("p")).alias("positions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X3k: positional phrase match — docs where 'hash' is IMMEDIATELY
+# followed by 'join', resolved from the x170 posting lists alone (the
+# reason positional indexes exist): join the two terms' postings on
+# doc, then one higher-order overlap test — shift the first term's
+# positions by +1 and intersect. No text re-scan, no regex; phrase
+# semantics at index speed.
+#
+# Scale shape: postings for exactly two terms join on doc_id (both
+# sides pre-shrunk by the term filter), the overlap test is per-row
+# array math bounded by tf, and n_matches counts the phrase
+# occurrences exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x171_phrase_match",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS p
+        FROM documents
+    ),
+    postings AS (
+        SELECT w, doc_id, list_sort(list(p)) AS ps
+        FROM pos WHERE w IN ('hash', 'join')
+        GROUP BY w, doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps))
+                AS BIGINT) AS n_matches
+    FROM postings a JOIN postings b USING (doc_id)
+    WHERE a.w = 'hash' AND b.w = 'join'
+      AND len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps)) > 0
+    ORDER BY doc_id
+    """,
+)
+def x171_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "w")
+    ).select("doc_id", "w", (F.col("p0") + 1).cast("bigint").alias("p"))
+    postings = (
+        pos.filter(F.col("w").isin("hash", "join"))
+        .groupBy("w", "doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    )
+    a = postings.filter(F.col("w") == "hash").select(
+        "doc_id", F.col("ps").alias("pa")
+    )
+    b = postings.filter(F.col("w") == "join").select(
+        "doc_id", F.col("ps").alias("pb")
+    )
+    shifted = F.transform(F.col("pa"), lambda x: x + 1)
+    n = F.size(F.array_intersect(shifted, F.col("pb")))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", n.cast("bigint").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy("doc_id")
+    )
