@@ -1221,3 +1221,99 @@ def x163_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("o").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X12: cross-source duplication matrix — shingle-set Jaccard between
+# SOURCES (not documents): which feeds copy from each other, the
+# provenance audit that decides dedup ORDER (dedupe the syndicated copy,
+# keep the origin). Same banded-pair discipline as x138: a shingle
+# shared by more than K sources carries no provenance signal and would
+# explode K^2 pairs from one row, so it is dropped BEFORE the pair
+# expansion (here |sources| is small; at crawl scale source=domain and
+# the cap is what keeps the explode bounded).
+#
+# Scale shape: distinct (source, shingle) is one shuffle; per-source
+# set sizes broadcast back; the capped self-join on shingle produces
+# <= K^2 pairs per shingle; one |source-pairs|-bounded aggregate
+# finishes. Jaccard is an exact integer ratio rounded at 6dp.
+# ---------------------------------------------------------------------------
+_SO_N = 12          # character-shingle width
+_SO_CAP = 16        # max sources sharing a shingle before it's dropped
+
+
+@query(
+    "x172_source_overlap",
+    oracle=f"""
+    WITH ss AS (
+        SELECT DISTINCT source,
+               substring(text, i, {_SO_N}) AS g
+        FROM documents,
+             unnest(range(1, len(text) - {_SO_N} + 2)) AS t(i)
+        WHERE len(text) >= {_SO_N}
+    ),
+    capped AS (
+        SELECT g FROM ss GROUP BY g
+        HAVING COUNT(*) BETWEEN 2 AND {_SO_CAP}
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM ss GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+        JOIN capped c ON c.g = a.g
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, inter,
+           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.source = pairs.src_a
+    JOIN sizes sb ON sb.source = pairs.src_b
+    WHERE inter >= 5
+    ORDER BY src_a, src_b
+    """,
+)
+def x172_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.functions.text import char_shingles
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _SO_N)
+    ss = d.select(
+        "source", F.explode(char_shingles(F.col("text"), _SO_N)).alias("g")
+    ).distinct()
+    capped = (
+        ss.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nsrc"))
+        .filter(F.col("nsrc").between(2, _SO_CAP))
+        .select("g")
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        ss.alias("a")
+        .join(ss.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .join(capped, "g")
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 5)
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb")))
+    return (
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
