@@ -654,7 +654,7 @@ def x158_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w AS term, doc_id,
            CAST(COUNT(*) AS BIGINT) AS tf,
-           list_sort(list(p)) AS positions
+           ARRAY_TO_STRING(list_sort(list(p)), ',') AS positions
     FROM pos
     WHERE w IN ('hash', 'join', 'merge')
     GROUP BY w, doc_id
@@ -670,7 +670,12 @@ def x170_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("term"), F.col("doc_id"))
         .agg(
             F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list("p")).alias("positions"),
+            # joined string, not a raw array: the registry's policy for
+            # collection outputs (see q20) — deterministic AND hashable
+            # under the driver's order-insensitive value compare
+            F.concat_ws(",", F.sort_array(F.collect_list("p"))).alias(
+                "positions"
+            ),
         )
     )
 
