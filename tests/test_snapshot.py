@@ -396,13 +396,27 @@ def test_changes_since_and_cursor_resume(spark, tmp_path):
     assert got[(1, 2, "update_preimage")] == "a1"
     assert got[(1, 2, "update_postimage")] == "a2"
     assert got[(3, 2, "insert")] == "c"
-    assert not any(k[0] == 2 for k in got)  # untouched key emits nothing
+    assert not any(k[0] == 2 for k in got)  # untouched after v0: no event
 
-    # cursor: first poll sees everything, commit advances durably,
-    # a fresh cursor (crash/restart) resumes past the committed batch
+    # from the very beginning (-1): v0's initial rows arrive as inserts
+    # (Delta startingVersion=0 semantics) — key 2 is now delivered
+    full = changes_since(spark, path, -1, ["id"]).collect()
+    fgot = {(r["id"], r["_commit_version"], r["_change_type"]): r["val"] for r in full}
+    assert fgot[(1, 0, "insert")] == "a" and fgot[(2, 0, "insert")] == "b"
+    assert len(full) == len(feed) + 2
+
+    # a vacuumed/never-committed base version must fail with the
+    # re-bootstrap message, not silently skip
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="re-bootstrap"):
+        changes_since(spark, path, 99, ["id"])
+
+    # cursor: a FRESH consumer starts at -1, so its first poll includes
+    # v0's inserts; commit advances durably and a restart resumes past
     cur = ChangeFeedCursor(spark, path, ["id"], ck)
     df, latest = cur.poll()
-    assert latest == 2 and df.count() == len(feed)
+    assert latest == 2 and df.count() == len(full)
     cur.commit(latest)
     df2, latest2 = ChangeFeedCursor(spark, path, ["id"], ck).poll()
     assert latest2 == 2 and df2.count() == 0
@@ -412,3 +426,32 @@ def test_changes_since_and_cursor_resume(spark, tmp_path):
     rows3 = {(r["id"], r["_change_type"]) for r in df3.collect()}
     assert latest3 == 3
     assert rows3 == {(2, "update_preimage"), (2, "update_postimage")}
+
+
+def test_changes_since_spans_schema_evolving_commit(spark, tmp_path):
+    """Regression (round-6 review): a column-adding commit inside the
+    polled range used to crash the unionByName of per-commit steps;
+    older steps now read the evolved column as NULL."""
+    from ua2sql_spark.operators.snapshot import changes_since, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", "a")], "id bigint, day string, val string"),
+        path, ["id"], "day",
+    )                                                                      # v0
+    upsert_cow(
+        spark.createDataFrame([(2, "d1", "b")], "id bigint, day string, val string"),
+        path, ["id"], "day",
+    )                                                                      # v1
+    upsert_cow(
+        spark.createDataFrame(
+            [(1, "d1", "a2", 0.9)],
+            "id bigint, day string, val string, quality double",
+        ),
+        path, ["id"], "day",
+    )                                                                      # v2 adds a column
+    rows = changes_since(spark, path, -1, ["id"]).collect()
+    by = {(r["id"], r["_commit_version"], r["_change_type"]): r for r in rows}
+    assert by[(1, 0, "insert")]["val"] == "a"
+    assert by[(1, 0, "insert")].asDict().get("quality") is None
+    assert by[(1, 2, "update_postimage")]["quality"] == 0.9

@@ -848,7 +848,20 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
     same = batch_psi(ev, baseline)
     shifted = batch_psi(ev.withColumn("value", F.col("value") * 1.7), baseline)
     assert abs(same["psi"]) < 1e-12 and same["n_onesided"] == 0
+    assert same["n_null"] == 0
     assert shifted["psi"] > 0.05
+
+    # a NULL surge is drift, not an omission: half the batch nulled out
+    # must register (null bin one-sided vs the null-free baseline) and
+    # n_rows must still count the whole batch
+    nulled = batch_psi(
+        ev.withColumn(
+            "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+        ),
+        baseline,
+    )
+    assert nulled["n_null"] > 0 and nulled["n_rows"] == ev.count()
+    assert nulled["n_onesided"] >= 1
 
     # stream the shifted half through the foreachBatch monitor
     src = str(tmp_path / "src")

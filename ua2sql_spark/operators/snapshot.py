@@ -540,25 +540,53 @@ def changes_since(
     intermediate image in commit order, not just the endpoint diff
     (a key updated twice appears twice, under its own version).
 
+    ``from_version = -1`` means "from the very beginning": the feed
+    opens with version 0's rows as inserts (Delta's
+    ``startingVersion=0`` includes commit 0), then the per-commit
+    diffs. A non-negative ``from_version`` must still be a committed
+    (retained) version — if retention aged it out, the diff base is
+    gone and the only honest recovery is a re-bootstrap: full-sync from
+    ``read_snapshot(latest)`` and ``commit(latest)``; the error says
+    so.
+
     Scale shape: each step is churn-proportional (see
     :func:`snapshot_changes`); the union is a plan-level concat of the
-    per-step feeds — Spark runs the steps' scans independently, nothing
-    re-reads the table."""
-    versions = [v for v in list_versions(spark, path) if v > from_version]
+    per-step feeds (``allowMissingColumns`` so a schema-evolving
+    commit inside the range reads as NULLs on the older steps) — Spark
+    runs the steps' scans independently, nothing re-reads the table;
+    ONE snapshot-root listing serves the whole call."""
+    all_versions = list_versions(spark, path)
+    if not all_versions:
+        raise ValueError(f"no snapshots under {path}")
+    if from_version >= 0 and from_version not in all_versions:
+        raise ValueError(
+            f"from_version {from_version} is not a committed version "
+            f"(retained: {all_versions}); if retention removed it, "
+            "re-bootstrap: full-sync from read_snapshot(latest) and "
+            "commit(latest)"
+        )
+    versions = [v for v in all_versions if v > from_version]
     if to_version is not None:
         versions = [v for v in versions if v <= to_version]
-    if from_version not in list_versions(spark, path):
-        raise ValueError(f"from_version {from_version} is not a committed version")
     out = None
     prev = from_version
     for v in versions:
-        step = snapshot_changes(spark, path, prev, v, key_cols).withColumn(
-            "_commit_version", F.lit(v).cast("bigint")
+        if prev < 0:
+            # opening step: v0's entire content is the insert batch
+            step = read_snapshot(spark, path, v).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        else:
+            step = snapshot_changes(spark, path, prev, v, key_cols)
+        step = step.withColumn("_commit_version", F.lit(v).cast("bigint"))
+        out = (
+            step
+            if out is None
+            else out.unionByName(step, allowMissingColumns=True)
         )
-        out = step if out is None else out.unionByName(step)
         prev = v
     if out is None:
-        snap = read_snapshot(spark, path, from_version)
+        snap = read_snapshot(spark, path, max(all_versions))
         return (
             spark.createDataFrame([], snap.schema)
             .withColumn("_change_type", F.lit(""))
@@ -587,7 +615,7 @@ class ChangeFeedCursor:
         import os
 
         if not os.path.exists(self.checkpoint):
-            return 0
+            return -1  # fresh consumer: deliver v0's inserts too
         with open(self.checkpoint) as fh:
             return int(fh.read().strip())
 

@@ -1279,9 +1279,15 @@ def x172_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.functions.text import char_shingles
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _SO_N)
-    ss = d.select(
-        "source", F.explode(char_shingles(F.col("text"), _SO_N)).alias("g")
-    ).distinct()
+    # materialized once: four legs (capped/sizes/both self-join sides)
+    # reuse the explode+distinct subtree (the x138 discipline)
+    ss = (
+        d.select(
+            "source", F.explode(char_shingles(F.col("text"), _SO_N)).alias("g")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     capped = (
         ss.groupBy("g")
         .agg(F.count(F.lit(1)).alias("nsrc"))
@@ -1289,11 +1295,14 @@ def x172_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    # the cap joins BEFORE the self-join (Catalyst without CBO keeps
+    # join order): a stop-shingle shared by M sources would otherwise
+    # materialize ~M^2 rows first and be filtered after the fact
+    ss_c = ss.join(capped, "g")
     pairs = (
-        ss.alias("a")
-        .join(ss.alias("b"), "g")
+        ss_c.alias("a")
+        .join(ss_c.alias("b"), "g")
         .filter(F.col("a.source") < F.col("b.source"))
-        .join(capped, "g")
         .groupBy(
             F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
         )

@@ -24,6 +24,10 @@ Design (the 100 TB argument):
 * Bins empty on either side are excluded from the sum and counted in
   ``n_onesided`` (same no-epsilon policy as x167): a genuinely new
   mode shows up as n_onesided > 0, which is itself a drift signal.
+* NULLs are a BIN, not an omission: a null-surge upstream (schema or
+  parser change) is a canonical drift event, so the null fraction
+  participates in the PSI sum exactly like a value bin and is also
+  reported as ``n_null``.
 """
 
 from __future__ import annotations
@@ -40,28 +44,42 @@ def train_baseline(df: DataFrame, col: str, n_bins: int = 10) -> dict:
     lo, hi = df.agg(F.min(col), F.max(col)).first()
     if lo is None or lo == hi:
         raise ValueError(f"degenerate baseline range for {col!r}: [{lo}, {hi}]")
-    binned = df.select(_bin_expr(col, float(lo), float(hi), n_bins).alias("bin"))
-    counts = {
-        r["bin"]: r["c"]
-        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
+    counts = _bin_counts(df, col, float(lo), float(hi), n_bins)
     return {
         "col": col,
         "lo": float(lo),
         "hi": float(hi),
         "n_bins": n_bins,
-        "counts": [counts.get(b, 0) for b in range(n_bins)],
+        # index n_bins is the NULL bin
+        "counts": counts,
     }
 
 
+def _bin_counts(df: DataFrame, col: str, lo: float, hi: float, n_bins: int) -> list[int]:
+    """Per-bin counts with NULLs as the extra trailing bin (a NULL
+    value bins to a NULL key, which groupBy keeps as its own group)."""
+    got = {
+        r["bin"]: r["c"]
+        for r in df.select(_bin_expr(col, lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    return [got.get(b, 0) for b in range(n_bins)] + [got.get(None, 0)]
+
+
 def _bin_expr(col: str, lo: float, hi: float, n_bins: int):
-    return F.least(
+    # the NULL guard is explicit because greatest() SKIPS nulls
+    # (greatest(0, NULL) = 0): without it a NULL value would silently
+    # land in bin 0 instead of the null bin
+    clamped = F.least(
         F.lit(n_bins - 1),
         F.greatest(
             F.lit(0),
             F.floor((F.col(col) - F.lit(lo)) / F.lit(hi - lo) * n_bins),
         ),
-    ).cast("bigint")
+    )
+    return F.when(F.col(col).isNotNull(), clamped).cast("bigint")
 
 
 def batch_psi(batch: DataFrame, baseline: dict) -> dict:
@@ -69,27 +87,24 @@ def batch_psi(batch: DataFrame, baseline: dict) -> dict:
     ``{"psi", "n_rows", "n_onesided"}`` — exact integer ratios, the
     n_bins-sized fold done driver-side."""
     n_bins = baseline["n_bins"]
-    got = {
-        r["bin"]: r["c"]
-        for r in batch.select(
-            _bin_expr(baseline["col"], baseline["lo"], baseline["hi"], n_bins).alias(
-                "bin"
-            )
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    cur = [got.get(b, 0) for b in range(n_bins)]
+    cur = _bin_counts(
+        batch, baseline["col"], baseline["lo"], baseline["hi"], n_bins
+    )
     na, nb = sum(baseline["counts"]), sum(cur)
     psi, onesided = 0.0, 0
-    for ca, cb in zip(baseline["counts"], cur):
-        if ca > 0 and cb > 0:
-            p, q = ca / na, cb / nb
-            psi += (q - p) * math.log(q / p)
-        elif ca > 0 or cb > 0:
-            onesided += 1
-    return {"psi": psi, "n_rows": nb, "n_onesided": onesided}
+    if nb:
+        for ca, cb in zip(baseline["counts"], cur):
+            if ca > 0 and cb > 0:
+                p, q = ca / na, cb / nb
+                psi += (q - p) * math.log(q / p)
+            elif ca > 0 or cb > 0:
+                onesided += 1
+    return {
+        "psi": psi,
+        "n_rows": nb,
+        "n_onesided": onesided,
+        "n_null": cur[n_bins],
+    }
 
 
 def psi_monitor_sink(baseline: dict, monitor_path: str):
@@ -99,13 +114,25 @@ def psi_monitor_sink(baseline: dict, monitor_path: str):
     same at-least-once contract as the rollup sink)."""
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # no isEmpty() pre-probe: foreachBatch inputs re-read their
+        # source per action, so probing would scan the batch twice —
+        # batch_psi's one aggregate learns emptiness for free
         m = batch_psi(batch, baseline)
+        if m["n_rows"] == 0:
+            return
         spark = batch.sparkSession
         spark.createDataFrame(
-            [(int(epoch_id), m["psi"], m["n_rows"], m["n_onesided"])],
-            "epoch_id bigint, psi double, n_rows bigint, n_onesided bigint",
+            [
+                (
+                    int(epoch_id),
+                    m["psi"],
+                    m["n_rows"],
+                    m["n_onesided"],
+                    m["n_null"],
+                )
+            ],
+            "epoch_id bigint, psi double, n_rows bigint, "
+            "n_onesided bigint, n_null bigint",
         ).write.mode("append").parquet(monitor_path)
 
     return _sink
