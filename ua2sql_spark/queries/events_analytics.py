@@ -764,3 +764,106 @@ def q168_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E13: two-sample Kolmogorov–Smirnov distance — the nonparametric
+# "same distribution?" test between two cohorts (here purchase vs view
+# values), complementing PSI (x167: fixed coarse bins, additive) with
+# the ECDF sup-distance. Evaluated at 1000 equi-width edges: the
+# distributed form — the cumulative window then runs over <=1000
+# AGGREGATED rows (the x155 bounded-window discipline), never a global
+# sort of raw values, and D is exact at the evaluated edges (integer
+# cross-products; the only rounding is the final display division).
+# ---------------------------------------------------------------------------
+_KS_BINS = 1000
+
+
+@query(
+    "x173_ks_two_sample",
+    oracle=f"""
+    WITH src AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM src),
+    cells AS (
+        SELECT LEAST({_KS_BINS - 1},
+                     CAST(FLOOR((value - rng.lo) / (rng.hi - rng.lo)
+                                * {_KS_BINS}) AS BIGINT)) AS bin,
+               CAST(SUM(is_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - is_a) AS BIGINT) AS cb
+        FROM src, rng
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin,
+               CAST(SUM(ca) OVER (ORDER BY bin) AS BIGINT) AS cum_a,
+               CAST(SUM(cb) OVER (ORDER BY bin) AS BIGINT) AS cum_b,
+               CAST(SUM(ca) OVER () AS BIGINT) AS na,
+               CAST(SUM(cb) OVER () AS BIGINT) AS nb
+        FROM cells
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+           CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
+                 / (MAX(na) * MAX(nb)), 6) AS d_stat,
+           CAST(MIN(CASE WHEN ABS(cum_a * nb - cum_b * na) =
+                    (SELECT MAX(ABS(cum_a * nb - cum_b * na)) FROM cum)
+                    THEN bin END) AS BIGINT) AS argmax_bin
+    FROM cum
+    """,
+)
+def x173_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    src = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    rng = src.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    cells = (
+        src.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.least(
+                F.lit(_KS_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _KS_BINS
+                ),
+            ).alias("bin")
+        )
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(1 - F.col("is_a")).alias("cb"),
+        )
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "bin",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    diff = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+    scored = cum.select("bin", "na", "nb", diff.alias("diff")).withColumn(
+        "dmax", F.max("diff").over(wall)
+    )
+    return scored.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max("diff").alias("d_num"),
+        F.round(
+            F.max("diff").cast("double") / (F.max("na") * F.max("nb")), 6
+        ).alias("d_stat"),
+        F.min(
+            F.when(F.col("diff") == F.col("dmax"), F.col("bin"))
+        ).alias("argmax_bin"),
+    )
