@@ -455,3 +455,57 @@ def test_changes_since_spans_schema_evolving_commit(spark, tmp_path):
     assert by[(1, 0, "insert")]["val"] == "a"
     assert by[(1, 0, "insert")].asDict().get("quality") is None
     assert by[(1, 2, "update_postimage")]["quality"] == 0.9
+
+
+def test_change_feed_reconstructs_any_version(spark, tmp_path):
+    """The CDF soundness invariant: for ANY pair of versions, applying
+    the change feed to the old snapshot — drop delete/update_preimage
+    keys, add insert/update_postimage rows — reproduces the new
+    snapshot exactly. This is what downstream replicas DO with the
+    feed, so it is the contract that matters."""
+    from ua2sql_spark.operators.snapshot import (
+        changes_since,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id bigint, day string, val string"
+    )
+    batches = [
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (None, "d2", "n0")],
+        [(1, "d1", "a1"), (4, "d3", "d")],
+        [(2, "d1", "b1"), (3, "d2", "c1"), (5, "d1", "e")],
+        [(None, "d2", "n1"), (1, "d1", "a2")],
+    ]
+    for b in batches:
+        upsert_cow(mk(b), path, ["id"], "day")
+
+    def rows(df):
+        return {
+            (r["id"], r["day"], r["val"]) for r in df.select("id", "day", "val").collect()
+        }
+
+    for v_old in range(0, 3):
+        for v_new in range(v_old + 1, 4):
+            feed = changes_since(spark, path, v_old, ["id"], v_new).collect()
+            state = rows(read_snapshot(spark, path, v_old))
+            # apply commits in order — each step's keyed images
+            for v in sorted({r["_commit_version"] for r in feed}):
+                step = [r for r in feed if r["_commit_version"] == v]
+                gone = {
+                    r["id"]
+                    for r in step
+                    if r["_change_type"] in ("delete", "update_preimage")
+                }
+                state = {t for t in state if t[0] not in gone}
+                state |= {
+                    (r["id"], r["day"], r["val"])
+                    for r in step
+                    if r["_change_type"] in ("insert", "update_postimage")
+                }
+            assert state == rows(read_snapshot(spark, path, v_new)), (
+                v_old,
+                v_new,
+            )
