@@ -578,14 +578,30 @@ _BM25_TOPK = 20
 def x158_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    totals = dl.agg(
+    # ONE corpus explode + ONE doc-level shuffle: document length and
+    # the per-query-term tfs come out of the same aggregate (conditional
+    # sums), instead of exploding the corpus once for dl and again for
+    # tf — at 100 TB the explode is the dominant cost, so pay it once.
+    stats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    dl = stats.select("doc_id", "dl")
+    totals = stats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
+    stack_args = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
     tf = (
-        words.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        stats.selectExpr(
+            "doc_id", f"stack({len(_BM25_TERMS)}, {stack_args}) AS (w, tf)"
+        )
+        .filter(F.col("tf") > 0)
+        .select("doc_id", "w", F.col("tf").cast("bigint").alias("tf"))
     )
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.crossJoin(F.broadcast(totals)).select(
