@@ -1105,7 +1105,12 @@ def x160_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x161_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    cl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # bounded |sources|x|langs| rows, reused twice — materialize once
+    cl = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     tot = cl.groupBy("source").agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_langs")
     )

@@ -737,10 +737,13 @@ def x142_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x164_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_reingest(spark, sf_dir)
+    # cluster-bounded rows, reused by the total and the histogram —
+    # materialize once instead of re-running the sha shuffle twice
     clusters = (
         docs.select(F.sha2(F.col("text"), 256).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
     )
     tot = clusters.agg(F.sum("k").alias("n_rows"))
     return (

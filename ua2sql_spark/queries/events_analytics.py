@@ -478,8 +478,10 @@ def q159_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x165_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    # materialized once: margin + both self-join sides reuse the
+    # deduped activity (the x138 discipline — else 3 corpus scans)
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    n = ut.agg(F.count_distinct("user_id").alias("n_users"))
     margin = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     pairs = (
         ut.alias("a")

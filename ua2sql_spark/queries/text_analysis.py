@@ -742,6 +742,7 @@ def x171_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.filter(F.col("w").isin("hash", "join"))
         .groupBy("w", "doc_id")
         .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .localCheckpoint()  # both phrase sides reuse it — one explode
     )
     a = postings.filter(F.col("w") == "hash").select(
         "doc_id", F.col("ps").alias("pa")
