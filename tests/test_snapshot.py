@@ -524,6 +524,7 @@ def test_incremental_view_maintenance_matches_rebuild(spark, tmp_path):
     from ua2sql_spark.operators.snapshot import (
         changes_since,
         read_snapshot,
+        rollback,
         upsert_cow,
     )
 
@@ -540,25 +541,41 @@ def test_incremental_view_maintenance_matches_rebuild(spark, tmp_path):
     upsert_cow(mk([(1, "a", 12.5), (4, "c", 1.0)]), path, ["id"], "grp")   # v1
     upsert_cow(mk([(2, "a", 0.25), (5, "b", 3.0)]), path, ["id"], "grp")   # v2
 
+    def view_state():
+        return {
+            r["grp"]: (r["n"], r["sum_value"], r["avg_value"])
+            for r in read_view(spark, view).collect()
+        }
+
+    def rebuilt_state(version=None):
+        return {
+            r["grp"]: (r["n"], float(r["s"]), float(r["s"]) / r["n"])
+            for r in read_snapshot(spark, path, version)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("amount").cast("decimal(28,8)")).alias("s"),
+            )
+            .collect()
+        }
+
     pos = 0
     for v in (1, 2):
         feed = changes_since(spark, path, pos, ["id"], v)
         assert refresh_from_feed(spark, view, feed, "grp", "amount") > 0
         pos = v
 
-    got = {
-        r["grp"]: (r["n"], r["sum_value"], r["avg_value"])
-        for r in read_view(spark, view).collect()
-    }
-    # rebuild from scratch at the latest version
-    rebuilt = {
-        r["grp"]: (r["n"], float(r["s"]), float(r["s"]) / r["n"])
-        for r in read_snapshot(spark, path)
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("amount").cast("decimal(28,8)")).alias("s"),
-        )
-        .collect()
-    }
-    assert got == rebuilt, (got, rebuilt)
+    assert view_state() == rebuilt_state(2)
+
+    # deletes: roll back to v0 — group "c" (born in v1) vanishes
+    # ENTIRELY, so its hash bucket holds no surviving groups; "a"/"b"
+    # revert to their v0 aggregates. This drives the -1 branch of the
+    # signed delta AND the emptied-bucket erase (dynamic partition
+    # overwrite alone would leave the stale bucket=… directory and a
+    # phantom "c" in the view).
+    v3 = rollback(spark, path, 0)
+    feed = changes_since(spark, path, pos, ["id"], v3)
+    assert refresh_from_feed(spark, view, feed, "grp", "amount") > 0
+    got = view_state()
+    assert "c" not in got, got
+    assert got == rebuilt_state(v3), (got, rebuilt_state(v3))

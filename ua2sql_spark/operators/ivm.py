@@ -79,7 +79,7 @@ def refresh_from_feed(
     val_col: str,
 ) -> int:
     """Apply one change-feed batch to the materialized view. Returns
-    the number of touched groups (0 = nothing to do)."""
+    the number of touched GROUPS (0 = nothing to do)."""
     sign = F.col("_change_type")
     sign_expr = None
     for ct, sg in _SIGN.items():
@@ -100,12 +100,16 @@ def refresh_from_feed(
             F.sum(F.col(val_col).cast(DEC) * F.col("sg")).cast(DEC).alias("dsum"),
         )
     )
+    # Materialize the churn-proportional delta ONCE: it is consumed
+    # twice (bucket discovery here, the merge-write below) and would
+    # otherwise re-execute the change-feed scan + signed-sum shuffle.
     touched = delta.withColumn(
         "bucket", F.pmod(F.xxhash64("grp"), F.lit(_N_BUCKETS))
-    )
-    buckets = [r["bucket"] for r in touched.select("bucket").distinct().collect()]
-    if not buckets:
+    ).localCheckpoint(eager=True)
+    n_groups = touched.count()
+    if n_groups == 0:
         return 0
+    buckets = [r["bucket"] for r in touched.select("bucket").distinct().collect()]
     try:
         existing = spark.read.parquet(view_path).filter(
             F.col("bucket").isin(buckets)
@@ -138,15 +142,35 @@ def refresh_from_feed(
                 F.sum("sum_value").cast(DEC).alias("sum_value"),
             )
         )
+    # Materialize the survivors once: consumed by the write AND by the
+    # emptied-bucket discovery below.
+    survivors = merged.filter(F.col("n") > 0).localCheckpoint(eager=True)
     (
-        merged.filter(F.col("n") > 0)  # fully-deleted groups drop out
-        .coalesce(1)  # a bucket of group aggregates is tiny by construction
+        survivors.coalesce(1)  # a bucket of group aggregates is tiny by construction
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(view_path)
     )
-    return len(buckets)
+    # Dynamic partition overwrite only rewrites buckets PRESENT in the
+    # written data — a touched bucket whose every group reached count
+    # zero has no surviving rows, so its stale directory would outlive
+    # the delete. Erase those directories explicitly (driver-side, but
+    # bounded by the ≤_N_BUCKETS touched set).
+    if existing is not None:
+        alive = {
+            r["bucket"] for r in survivors.select("bucket").distinct().collect()
+        }
+        emptied = [b for b in buckets if b not in alive]
+        if emptied:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            root = jvm.org.apache.hadoop.fs.Path(view_path)
+            fs = root.getFileSystem(jsc.hadoopConfiguration())
+            for b in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(root, f"bucket={b}")
+                fs.delete(p, True)
+    return n_groups
 
 
 def read_view(spark: SparkSession, view_path: str) -> DataFrame:
