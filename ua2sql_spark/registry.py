@@ -73,6 +73,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # All rotated-out rows remain local-oracle green in
 # tests/test_oracle.py.
 #
+# Late-r6 rotation #2, for the analytics batch built after the first
+# rotation (x155-x173, q159, q168 had never seen a driver check):
+# x41 -> x158 (exact dedup keeps x115/x117/x142 in window; BM25 is a
+# new lexical-retrieval family), q34 -> x170 (array higher-order
+# functions are exercised harder by the positional posting lists'
+# collect/sort/join of struct arrays), q22 -> q159 (ranking stays via
+# q25 top-k; sliding distinct actives is a new windowed-distinct
+# family), q13 -> x157 (group-by+HAVING kept by q16/q19/q114/q123/
+# q139/q140; the declarative data-quality gate is a new audit family),
+# x112 -> x173 (similarity keeps x130/x71 + three recall contracts;
+# two-sample KS over binned ECDFs is a new distribution-distance
+# family), q86 -> q168 (TPC-H archetypes keep q126; growth-accounting
+# DAU decomposition is a new product-analytics family).
+#
 # Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
 # another in-window representative moved below the fold (q02/q03 —
 # filter+CASE surface proven by q01; q06 → q116 full outer carries both
@@ -117,7 +131,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # HLL union contract — q123 strictly dominates the old q14 row: its
     # exact_custkeys column hash-checks exact COUNT(DISTINCT) per group
     # AND pins the mergeable-sketch estimate)
-    "q13_groupby_having",
+    "x157_quality_constraints",
     "q123_hll_union_contract",
     "q16_rollup",
     "q140_bitmap_exact_distinct",
@@ -125,20 +139,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q139_theta_setops_contract",
     "q114_approx_percentile_contract",
     # windows + sorts + statistical aggregates
-    "q22_window_rank",
+    "q159_sliding_active_users",
     "q25_topk_per_group",
     "q145_ab_welch_ttest",
     # SQL surface: recursive CTE, Spark-4 variant JSON, arrays
     "q147_recursive_hierarchy",
     "q120_variant_json",
-    "q34_array_funcs",
+    "x170_inverted_index",
     # temporal join + event analytics + streaming-window mirror
     "q35_asof_join",
     "q144_gap_fill_locf",
     "q40_tumbling_window",
     # dedup: exact, LSH pairs, survivor, clusters (md5-oracle + fast
     # xxhash64 production family), incremental index
-    "x41_exact_dedup",
+    "x158_bm25_search",
     "x142_cdc_chunks",
     "x153_exif_probe",
     "x143_unicode_normalize",
@@ -153,7 +167,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x151_tokenizer_fertility",
     "x121_ivf_recall_contract",
     "x133_quantized_recall_contract",
-    "x112_embedding_quantize",
+    "x173_ks_two_sample",
     # text analysis
     "x48_token_stats",
     # multimodal
@@ -166,7 +180,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x138_domain_pagerank",
     # TPC-H archetypes + polymorphic UDTF
     "q126_sales_opportunity",
-    "q86_supplier_wait",
+    "q168_growth_accounting",
     "x149_udtf_polymorphic",
     # training-data pipeline: packing, epoch up-sampling, scrub,
     # temperature resampling
