@@ -599,3 +599,16 @@ def test_sliding_actives_has_no_range_self_join(spark):
     plan = simple_plan(df)
     assert "Generate explode" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_cell_join_is_equi_over_checkpointed_assignment(spark):
+    """x174: the intra-cell pair join is an EQUI join keyed on cell
+    (never a cartesian), and both its sides read the ONE
+    localCheckpointed assignment (Scan ExistingRDD barriers in the
+    plan) — the centroid crossJoin + top-1 window runs once, not once
+    per consumer."""
+    df = all_queries()["x174_semdedup"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan

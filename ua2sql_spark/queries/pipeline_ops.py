@@ -823,3 +823,104 @@ def x162_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "lang", "n_chars", F.round("k", 12).alias("race_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X2j: SemDeDup — semantic deduplication the way the pruning literature
+# does it (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+# space into coarse cells, then inside each cell drop every vector that
+# has a LOWER-id neighbor with cosine >= tau (min-id survivor, the same
+# one-hop rule as the text dedup tiers). Complements x68: sign-LSH
+# blocks by bit agreement (recall bounded by the hash family), SemDeDup
+# blocks by nearest-centroid cell — the shape that scales to "prune 50%
+# of LAION" because the pairwise work is confined to cells.
+#
+# 100 TB shape: centroids broadcast (K fixed by the index build, as in
+# x121's corpus-sized stride), assignment is a map-side crossJoin +
+# per-vector top-1 — the corpus never shuffles until the per-cell
+# self-join, which shuffles on cell id and does |cell|^2 work per cell;
+# K is chosen so |cell| ~ N/K stays ~10^3 (the paper's regime), making
+# each cell's pair block ~10^6 — task-sized, no global pair explosion.
+# Demo stride 25 mirrors the oracle literally; production sizes K off
+# the corpus count exactly as x121 does.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_STRIDE = 25
+_SEMDEDUP_TAU = 0.3  # x68's corpus calibration: random 64-d cosines top out ~0.6
+
+
+@query(
+    "x174_semdedup",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % {_SEMDEDUP_STRIDE} = 0
+    ),
+    ranked AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND({_sql_cosine('e.embedding', 'c.cemb')}, 6) DESC,
+                            c.cid) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1
+    ),
+    removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS n_removed,
+           ROUND(CAST(COUNT(*) - COUNT(r.vec_id) AS DOUBLE) / COUNT(*), 4) AS keep_frac
+    FROM assign s LEFT JOIN removed r ON s.vec_id = r.vec_id
+    GROUP BY s.cell
+    ORDER BY s.cell
+    """,
+)
+def x174_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.ivf import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Materialized once: the assignment feeds BOTH sides of the
+    # per-cell self-join and the final per-cell rollup.
+    assigned = ivf_assign(emb, centroid_stride=_SEMDEDUP_STRIDE).localCheckpoint(
+        eager=False
+    )
+    left = assigned.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "cell"
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("cell").alias("cell_r"),
+    )
+    removed = (
+        left.join(
+            right, (F.col("cell") == F.col("cell_r")) & (F.col("va") < F.col("vb"))
+        )
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= _SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("rm").alias("n_removed"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "n_removed",
+            F.round(
+                (F.col("n_vecs") - F.col("n_removed")).cast("double")
+                / F.col("n_vecs"),
+                4,
+            ).alias("keep_frac"),
+        )
+        .orderBy("cell")
+    )
