@@ -107,6 +107,9 @@ HEADLINE = [
     # r6 addition: BM25 — the lexical-retrieval family's watched number
     # (corpus word explode + broadcast stats + TakeOrderedAndProject)
     "x158_bm25_search",
+    # r6 addition: SemDeDup — semantic dedup's watched number (broadcast
+    # centroid assignment + the per-cell pair join)
+    "x174_semdedup",
 ]
 
 

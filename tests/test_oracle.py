@@ -73,10 +73,10 @@ def test_driver_window_families():
         # registry.py's rotation comment records which rows moved below
         # the fold and which family member covers each)
         "q01_pricing_summary", "q04_join_inner", "q116_join_full_outer",
-        "q35_asof_join", "q22_window_rank", "q120_variant_json",
+        "q35_asof_join", "q25_topk_per_group", "q120_variant_json",
         "q114_approx_percentile_contract", "q123_hll_union_contract",
         "q40_tumbling_window", "q135_bloom_semijoin_reduction",
-        "x41_exact_dedup", "x142_cdc_chunks",
+        "x142_cdc_chunks",
         "x153_exif_probe", "q140_bitmap_exact_distinct",
         "x115_neardup_clusters_fast", "x117_incremental_dedup",
         "x154_pq_recall_contract",
@@ -87,12 +87,16 @@ def test_driver_window_families():
         "x136_lang_stats_applyinarrow", "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank", "q147_recursive_hierarchy",
-        "q126_sales_opportunity", "q86_supplier_wait",
+        "q126_sales_opportunity", "q168_growth_accounting",
         "x97_sequence_pack", "x150_epoch_upsample", "x111_pii_scrub",
         "x131_temperature_resample", "q144_gap_fill_locf",
-        "x112_embedding_quantize", "x143_unicode_normalize",
+        "x143_unicode_normalize",
         "x146_record_linkage", "q139_theta_setops_contract",
         "q145_ab_welch_ttest", "q150_pipe_syntax",
+        # late-r6 rotation #2 (registry.py): the analytics batch
+        "x158_bm25_search", "x170_inverted_index",
+        "q159_sliding_active_users", "x157_quality_constraints",
+        "x173_ks_two_sample",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -47,17 +47,40 @@ def ivf_assign(
     Returns the input columns plus ``cell`` (centroid id). Deterministic:
     scores round to 6 decimals, ties break on centroid id.
     """
+    # Norms are precomputed ONCE per vector and per centroid instead of
+    # inside the |V| x K score expression: the arithmetic is the exact
+    # same float ops in the same order (dot / (sqrt(na2) * sqrt(nb2))),
+    # so scores stay bit-identical to the oracle's per-pair formula,
+    # but the interpreted higher-order-function work per pair drops
+    # from 3 array folds to 1.
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cemb")
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cemb"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("__cnorm"),
     )
-    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "__score", F.round(_cosine(F.col(vec_col), F.col("__cemb")), 6)
+    scored = (
+        emb.withColumn("__vnorm", F.sqrt(sq_norm(F.col(vec_col))))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            vec_col,
+            F.col("__cid"),
+            F.round(
+                dot(F.col(vec_col), F.col("__cemb"))
+                / (F.col("__vnorm") * F.col("__cnorm")),
+                6,
+            ).alias("__score"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("__cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("__cid").alias("cell"))
+    # top-1 as a partial-aggregable max_by, not a row_number window:
+    # the |V| x K scored relation combines map-side to one row per
+    # vector BEFORE any shuffle, where the window phrasing would
+    # shuffle-and-sort all |V| x K rows. Ordering is identical:
+    # max score, ties to the LOWEST centroid id (max of -cid).
+    return scored.groupBy(id_col, vec_col).agg(
+        F.max_by(
+            F.col("__cid"), F.struct(F.col("__score"), (-F.col("__cid")).alias("__t"))
+        ).alias("cell")
     )
 
 

@@ -882,25 +882,40 @@ _SEMDEDUP_TAU = 0.3  # x68's corpus calibration: random 64-d cosines top out ~0.
 def x174_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.operators.ivf import ivf_assign
 
+    from ua2sql_spark.functions.arrays import dot, sq_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # Materialized once: the assignment feeds BOTH sides of the
+    # Materialized once (norm included, so the per-pair cosine below is
+    # one array fold, not three — same float ops as the oracle's
+    # formula, see ivf_assign): the assignment feeds BOTH sides of the
     # per-cell self-join and the final per-cell rollup.
-    assigned = ivf_assign(emb, centroid_stride=_SEMDEDUP_STRIDE).localCheckpoint(
-        eager=False
+    assigned = (
+        ivf_assign(emb, centroid_stride=_SEMDEDUP_STRIDE)
+        .withColumn("__norm", F.sqrt(sq_norm(F.col("embedding"))))
+        .localCheckpoint(eager=False)
     )
     left = assigned.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "cell"
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("__norm").alias("na"),
+        "cell",
     )
     right = assigned.select(
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("__norm").alias("nb"),
         F.col("cell").alias("cell_r"),
     )
     removed = (
         left.join(
             right, (F.col("cell") == F.col("cell_r")) & (F.col("va") < F.col("vb"))
         )
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= _SEMDEDUP_TAU)
+        .filter(
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= _SEMDEDUP_TAU
+        )
         .select(F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("rm", F.lit(1))
@@ -923,4 +938,162 @@ def x174_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_frac"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2k: dataset profiling — the deequ-Profiler counterpart of x157's
+# declared-constraint gate: x157 verifies expectations someone WROTE,
+# x175 computes the statistics you write them FROM (per-column
+# completeness, cardinality, range, mean). ONE scan, ONE aggregate row
+# fanned out to per-column rows; the multi-COUNT(DISTINCT) costs one
+# Expand (x|columns| rows map-side) — the standard profiler trade,
+# acceptable because the profiled column set is fixed and small. At
+# 100 TB the same shape runs with approx_count_distinct (the q123 HLL
+# family) to drop the Expand; exact distincts here keep the oracle
+# bit-checkable.
+# ---------------------------------------------------------------------------
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "x175_column_profile",
+    oracle=f"""
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_custkey) AS nn_ck, COUNT(DISTINCT o_custkey) AS nd_ck,
+               MIN(o_custkey) AS mn_ck, MAX(o_custkey) AS mx_ck,
+               {sql_dsum('o_custkey')} AS s_ck,
+               COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
+               MIN(o_orderstatus) AS mn_st, MAX(o_orderstatus) AS mx_st,
+               COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT o_totalprice) AS nd_tp,
+               MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp,
+               {sql_dsum('o_totalprice')} AS s_tp,
+               COUNT(o_orderdate) AS nn_od, COUNT(DISTINCT o_orderdate) AS nd_od,
+               strftime(MIN(o_orderdate), '{_TS_FMT_DUCK}') AS mn_od,
+               strftime(MAX(o_orderdate), '{_TS_FMT_DUCK}') AS mx_od,
+               COUNT(o_orderpriority) AS nn_op, COUNT(DISTINCT o_orderpriority) AS nd_op,
+               MIN(o_orderpriority) AS mn_op, MAX(o_orderpriority) AS mx_op
+        FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows - nn_ck AS BIGINT) AS n_nulls,
+           ROUND(CAST(n_rows - nn_ck AS DOUBLE) / n_rows, 4) AS null_frac,
+           CAST(nd_ck AS BIGINT) AS n_distinct,
+           CAST(mn_ck AS DOUBLE) AS min_num, CAST(mx_ck AS DOUBLE) AS max_num,
+           ROUND(s_ck / nn_ck, 4) AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(n_rows AS BIGINT),
+           CAST(n_rows - nn_st AS BIGINT),
+           ROUND(CAST(n_rows - nn_st AS DOUBLE) / n_rows, 4),
+           CAST(nd_st AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           mn_st, mx_st
+    FROM s
+    UNION ALL
+    SELECT 'o_totalprice', CAST(n_rows AS BIGINT),
+           CAST(n_rows - nn_tp AS BIGINT),
+           ROUND(CAST(n_rows - nn_tp AS DOUBLE) / n_rows, 4),
+           CAST(nd_tp AS BIGINT),
+           mn_tp, mx_tp, ROUND(s_tp / nn_tp, 4),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM s
+    UNION ALL
+    SELECT 'o_orderdate', CAST(n_rows AS BIGINT),
+           CAST(n_rows - nn_od AS BIGINT),
+           ROUND(CAST(n_rows - nn_od AS DOUBLE) / n_rows, 4),
+           CAST(nd_od AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           mn_od, mx_od
+    FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(n_rows AS BIGINT),
+           CAST(n_rows - nn_op AS BIGINT),
+           ROUND(CAST(n_rows - nn_op AS DOUBLE) / n_rows, 4),
+           CAST(nd_op AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           mn_op, mx_op
+    FROM s
+    ORDER BY col_name
+    """,
+)
+def x175_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").alias("mn_ck"),
+        F.max("o_custkey").alias("mx_ck"),
+        dsum("o_custkey").alias("s_ck"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+        dsum("o_totalprice").alias("s_tp"),
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.date_format(F.min("o_orderdate"), _TS_FMT_SPARK).alias("mn_od"),
+        F.date_format(F.max("o_orderdate"), _TS_FMT_SPARK).alias("mx_od"),
+        F.count("o_orderpriority").alias("nn_op"),
+        F.countDistinct("o_orderpriority").alias("nd_op"),
+        F.min("o_orderpriority").alias("mn_op"),
+        F.max("o_orderpriority").alias("mx_op"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def prof(name, nn, nd, mn_num, mx_num, avg_num, mn_s, mx_s):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            (F.col("n_rows") - F.col(nn)).cast("bigint").alias("n_nulls"),
+            F.round(
+                (F.col("n_rows") - F.col(nn)).cast("double") / F.col("n_rows"), 4
+            ).alias("null_frac"),
+            F.col(nd).cast("bigint").alias("n_distinct"),
+            mn_num.alias("min_num"),
+            mx_num.alias("max_num"),
+            avg_num.alias("avg_num"),
+            mn_s.alias("min_str"),
+            mx_s.alias("max_str"),
+        )
+
+    rows = F.array(
+        prof(
+            "o_custkey", "nn_ck", "nd_ck",
+            F.col("mn_ck").cast("double"), F.col("mx_ck").cast("double"),
+            F.round(F.col("s_ck") / F.col("nn_ck"), 4), null_s, null_s,
+        ),
+        prof(
+            "o_orderstatus", "nn_st", "nd_st",
+            null_d, null_d, null_d, F.col("mn_st"), F.col("mx_st"),
+        ),
+        prof(
+            "o_totalprice", "nn_tp", "nd_tp",
+            F.col("mn_tp"), F.col("mx_tp"),
+            F.round(F.col("s_tp") / F.col("nn_tp"), 4), null_s, null_s,
+        ),
+        prof(
+            "o_orderdate", "nn_od", "nd_od",
+            null_d, null_d, null_d, F.col("mn_od"), F.col("mx_od"),
+        ),
+        prof(
+            "o_orderpriority", "nn_op", "nd_op",
+            null_d, null_d, null_d, F.col("mn_op"), F.col("mx_op"),
+        ),
+    )
+    return (
+        s.select(F.col("n_rows").cast("bigint").alias("n_rows"), F.explode(rows).alias("p"))
+        .select(
+            "p.col_name", "n_rows", "p.n_nulls", "p.null_frac", "p.n_distinct",
+            "p.min_num", "p.max_num", "p.avg_num", "p.min_str", "p.max_str",
+        )
+        .orderBy("col_name")
     )
