@@ -869,3 +869,104 @@ def x173_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("diff") == F.col("dmax"), F.col("bin"))
         ).alias("argmax_bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E11: robust time-series anomaly detection — the monitoring primitive
+# behind every ingest/quality dashboard: flag a day whose event volume
+# deviates from its own trailing baseline. Median/MAD (the robust
+# z-score) instead of mean/stddev, because a single spike day must not
+# drag the baseline it is judged against (the classic self-masking
+# failure of mean-based alerting). Distinct from x167's PSI (whole-
+# distribution drift between two corpora) and x173's KS (two-sample
+# ECDF distance): this scores each point against its own history.
+#
+# Scale shape: the corpus collapses to the |types| x |days| daily grid
+# in ONE aggregate (the only pass over raw events); the trailing
+# 6-day frame is then two range self-joins OF THE TINY GRID (bounded
+# 6x expansion of |types|x|days| rows, nothing touches the corpus
+# again). The MAD needs the frame's median BEFORE deviations exist, so
+# it is inherently two grid passes — not expressible as one window.
+# Medians interpolate at even frame sizes in both engines
+# (quantile_cont <-> percentile), and (a+b)/2 of integers is exactly
+# representable, so the gate hashes bit-equal.
+# ---------------------------------------------------------------------------
+@query(
+    "x177_rolling_mad_anomaly",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS dday,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT a.event_type, a.dday, a.cnt,
+               quantile_cont(b.cnt, 0.5) AS med
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type
+         AND b.dday BETWEEN a.dday - 6 AND a.dday - 1
+        GROUP BY a.event_type, a.dday, a.cnt
+        HAVING COUNT(*) = 6
+    ),
+    s AS (
+        SELECT m.event_type, m.dday, m.cnt, m.med,
+               quantile_cont(ABS(b.cnt - m.med), 0.5) AS mad
+        FROM m JOIN d b
+          ON m.event_type = b.event_type
+         AND b.dday BETWEEN m.dday - 6 AND m.dday - 1
+        GROUP BY m.event_type, m.dday, m.cnt, m.med
+    )
+    SELECT event_type, strftime(dday, '%Y-%m-%d') AS day,
+           cnt, ROUND(med, 4) AS med, ROUND(mad, 4) AS mad,
+           ROUND(cnt - med, 4) AS deviation,
+           CAST(CASE WHEN ABS(cnt - med) > 3 * mad THEN 1 ELSE 0 END AS INT)
+               AS is_anomaly
+    FROM s
+    ORDER BY event_type, day
+    """,
+)
+def x177_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # the ONLY corpus pass; everything after joins the tiny daily grid
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("dday"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("dday").alias("bday"),
+        F.col("cnt").alias("bcnt"),
+    )
+    trailing = (F.col("bday") >= F.date_sub(F.col("dday"), 6)) & (
+        F.col("bday") <= F.date_sub(F.col("dday"), 1)
+    )
+    m = (
+        daily.join(b, (F.col("event_type") == F.col("b_type")) & trailing)
+        .groupBy("event_type", "dday", "cnt")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.percentile(F.col("bcnt"), F.lit(0.5)).alias("med"),
+        )
+        .filter(F.col("n_win") == 6)
+        .drop("n_win")
+    )
+    s = (
+        m.join(b, (F.col("event_type") == F.col("b_type")) & trailing)
+        .groupBy("event_type", "dday", "cnt", "med")
+        .agg(
+            F.percentile(F.abs(F.col("bcnt") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )
+    return s.select(
+        "event_type",
+        F.date_format("dday", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        F.round(F.col("cnt") - F.col("med"), 4).alias("deviation"),
+        F.when(F.abs(F.col("cnt") - F.col("med")) > 3 * F.col("mad"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "day")

@@ -813,3 +813,140 @@ def q135_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x176: triangle counting over the co-purchase graph — the graph-
+# structure counterpart of x165's pair mining (A-priori level 2) and
+# x138's PageRank (iterative dataflow): triangles/transitivity are the
+# standard cohesion measures behind community detection and
+# recommendation neighborhoods ("items bought together in threes").
+#
+# Graph: nodes = parts, an edge where two parts share an order. The
+# per-order pair expansion is bounded by order width (≤ C(13,2) pairs
+# per order in this corpus — fan-in capped by construction, unlike a
+# naive per-gram explode).
+#
+# Scale shape — the classic m^1.5 degree-orientation bound: every edge
+# is DIRECTED from its (degree, id)-smaller endpoint to the larger, so
+# a node's out-degree is O(sqrt(m)) regardless of how skewed the raw
+# degree distribution is (a hub of degree d keeps only edges to
+# HIGHER-ordered nodes). Wedges are then one self-join of the directed
+# edge list on source (sum C(outdeg,2) = O(m^1.5) rows, never
+# degree², never all-pairs), and each triangle is counted exactly once
+# — no /3 or /6 correction, no duplicate enumeration. The degree table
+# is |nodes|-bounded and broadcast onto the edge list. Everything is
+# exact integers; transitivity is one double division rounded at 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "x176_copurchase_triangles",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    ),
+    de AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+        FROM e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    w AS (
+        SELECT e1.dst AS b, e2.dst AS c
+        FROM de e1 JOIN de e2
+          ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM w SEMI JOIN de e3 ON e3.src = w.b AND e3.dst = w.c
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT tot.n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           tot.n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           ROUND(3.0 * tri.n_triangles / tot.n_wedges, 6) AS transitivity
+    FROM tot, tri
+    """,
+)
+def x176_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    # materialized once: the directed edge list feeds BOTH wedge sides
+    # and the closing semi-join (the x138/x165 reuse discipline)
+    edges = (
+        lp.alias("a")
+        .join(
+            lp.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    de = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = de.alias("e1")
+    e2 = de.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            F.struct(F.col("e1.dd"), F.col("e1.dst"))
+            < F.struct(F.col("e2.dd"), F.col("e2.dst"))
+        ),
+    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    tri = wedges.join(
+        de.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        tot.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
