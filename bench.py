@@ -110,6 +110,14 @@ HEADLINE = [
     # r6 addition: SemDeDup — semantic dedup's watched number (broadcast
     # centroid assignment + the per-cell pair join)
     "x174_semdedup",
+    # r6 addition: Lloyd k-means — the clustering/iterative family's
+    # watched number (array-fold distances vs broadcast centroids,
+    # map-side-combinable argmin; 3 assignment passes + 2 updates)
+    "x178_kmeans_lloyd",
+    # r6 addition: the REAL-codec media seam (WAV encode->decode round
+    # trip per row through Arrow-batched mapInPandas) — the engine's
+    # deliberate Python hot path now watched with real codec work
+    "x180_audio_features",
 ]
 
 

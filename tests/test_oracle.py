@@ -72,23 +72,22 @@ def test_driver_window_families():
         # archetypes, training-data pipeline ops (round-6 rotation:
         # registry.py's rotation comment records which rows moved below
         # the fold and which family member covers each)
-        "q01_pricing_summary", "q04_join_inner", "q116_join_full_outer",
+        "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
         "q35_asof_join", "q25_topk_per_group", "q120_variant_json",
         "q114_approx_percentile_contract", "q123_hll_union_contract",
-        "q40_tumbling_window", "q135_bloom_semijoin_reduction",
+        "q135_bloom_semijoin_reduction",
         "x142_cdc_chunks",
         "x153_exif_probe", "q140_bitmap_exact_distinct",
-        "x115_neardup_clusters_fast", "x117_incremental_dedup",
+        "x115_neardup_clusters_fast",
         "x154_pq_recall_contract",
         "x130_hybrid_search_rrf", "x71_ivf_ann",
-        "x121_ivf_recall_contract",
         "x48_token_stats", "x151_tokenizer_fertility",
-        "x53_decode_mapinpandas", "x127_classifier_scores",
+        "x127_classifier_scores",
         "x136_lang_stats_applyinarrow", "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank", "q147_recursive_hierarchy",
         "q126_sales_opportunity", "q168_growth_accounting",
-        "x97_sequence_pack", "x150_epoch_upsample", "x111_pii_scrub",
+        "x97_sequence_pack", "x150_epoch_upsample",
         "x131_temperature_resample", "q144_gap_fill_locf",
         "x143_unicode_normalize",
         "x146_record_linkage", "q139_theta_setops_contract",
@@ -97,6 +96,10 @@ def test_driver_window_families():
         "x158_bm25_search", "x170_inverted_index",
         "q159_sliding_active_users", "x157_quality_constraints",
         "x173_ks_two_sample",
+        # late-r6 rotation #3 (registry.py): the x174-x180 batch
+        "x174_semdedup", "x175_column_profile",
+        "x176_copurchase_triangles", "x177_rolling_mad_anomaly",
+        "x178_kmeans_lloyd", "x179_prefix_simjoin", "x180_audio_features",
     }
     assert required <= set(DRIVER_WINDOW)
 

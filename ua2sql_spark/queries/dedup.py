@@ -767,3 +767,115 @@ def x164_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# X2h: EXACT set-similarity join via prefix filtering (PPJoin family,
+# Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the deterministic
+# complement of the MinHash-LSH tier: LSH trades recall for speed
+# probabilistically; the prefix filter is a LOSSLESS candidate pruner,
+# so the join returns EXACTLY the pairs with Jaccard >= t. The oracle
+# deliberately brute-forces all pairs with no filter — a driver-gated
+# recall-1.0 contract for the pruning, not a replay of it.
+#
+# Filter soundness: order every token set by global rarity (df ASC,
+# token ASC — rarest first); if J(a,b) >= t then |a∩b| >= ceil(t·|s|)
+# for each side s, so two sets whose first |s| - ceil(t·|s|) + 1
+# tokens are disjoint cannot qualify — candidates only need to share a
+# PREFIX token. All threshold arithmetic is integer (ceil(19s/20) =
+# (19s+19)//20, verify 20·|∩| >= 19·|∪|), so there is no float-epsilon
+# soundness hole on either engine.
+#
+# Scale shape: candidate fan-in per token is its df restricted to
+# prefixes — frequent tokens almost never land in a rarest-first
+# prefix, which is the whole trick; the size-compatibility bound
+# (20·min >= 19·max) prunes inside the join condition before the
+# distinct. Verification joins are per-candidate array intersections,
+# never all-pairs. df table is |vocab|-bounded and broadcast.
+# ---------------------------------------------------------------------------
+_PSJ_NUM, _PSJ_DEN = 19, 20  # Jaccard threshold 0.95 as an exact rational
+
+
+@query(
+    "x179_prefix_simjoin",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS gs
+        FROM documents
+    )
+    SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.gs, b.gs)) AS i,
+               len(list_distinct(list_concat(a.gs, b.gs))) AS u
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    ) WHERE {_PSJ_DEN} * i >= {_PSJ_NUM} * u
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x179_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sets = (
+        d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("gs"))
+        # documents is a handful of parquet files — spread the explode/
+        # window/verify work across executors before three passes reuse it
+        .repartition(32, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    toks = sets.select("doc_id", F.explode("gs").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sized = toks.join(
+        sets.select("doc_id", F.size("gs").alias("s")), "doc_id"
+    ).join(F.broadcast(dfreq), "tok")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # prefix length pi = s - ceil(t*s) + 1, all-integer ceil
+    pi = (
+        F.col("s")
+        - ((F.lit(_PSJ_NUM) * F.col("s") + (_PSJ_DEN - 1)) / _PSJ_DEN).cast("long")
+        + 1
+    )
+    prefix = (
+        sized.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= pi)
+        .select("doc_id", "tok", "s")
+        .localCheckpoint(eager=False)
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("s").alias("sa")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"),
+        F.col("s").alias("sb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(_PSJ_DEN) * F.least("sa", "sb")
+                >= F.lit(_PSJ_NUM) * F.greatest("sa", "sb")
+            ),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = sets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
+    gb = sets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb")).alias("i"),
+            F.size(F.array_union("ga", "gb")).alias("u"),
+        )
+        .filter(F.lit(_PSJ_DEN) * F.col("i") >= F.lit(_PSJ_NUM) * F.col("u"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")

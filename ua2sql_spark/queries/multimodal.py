@@ -331,3 +331,93 @@ def x153_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exif_orientation int, exif_datetime string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X6f: audio feature extraction through a REAL encode→decode round
+# trip. Each row synthesizes a deterministic 16-bit PCM mono WAV
+# (samples from an integer formula on doc_id, so SQL can replay them),
+# writes it with the stdlib encoder, then decodes it back through
+# ``functions.media.decode_audio_real`` — the same seam a cluster
+# binds to libsndfile — inside one Arrow-batched mapInPandas. The
+# oracle recomputes every emitted number from the sample formula
+# alone, so what the gate verifies is that the WAV bytes on the wire
+# round-trip losslessly: a header/byte-order/width bug in either codec
+# direction breaks payload_bytes, n_samples, or rms.
+#
+# All interior arithmetic is integer (sum of s² ≤ n·2048² ≪ 2⁵³, so
+# the one cast to double is exact in both engines); rms/duration are
+# single correctly-rounded divisions. Scale: map-only per-row Python
+# at Arrow batch granularity — the deliberate Python hot path, benched
+# alongside x53.
+# ---------------------------------------------------------------------------
+_AUD_RATE = 16000
+
+
+def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import struct
+    import wave
+
+    from ua2sql_spark.functions.media import decode_audio_real
+
+    for pdf in it:
+        rows = {k: [] for k in
+                ("doc_id", "payload_bytes", "channels", "sample_rate",
+                 "n_samples", "duration_s", "rms")}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = 800 + (doc_id % 7) * 160
+            samples = [((doc_id * 131 + k * 17) % 4096) - 2048 for k in range(n)]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(_AUD_RATE)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+            payload = buf.getvalue()
+            stats = decode_audio_real(payload)
+            rows["doc_id"].append(doc_id)
+            rows["payload_bytes"].append(len(payload))
+            rows["channels"].append(stats["channels"])
+            rows["sample_rate"].append(stats["sample_rate"])
+            rows["n_samples"].append(stats["n_samples"])
+            rows["duration_s"].append(round(stats["duration_s"], 6))
+            rows["rms"].append(round(stats["rms"], 6))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "x180_audio_features",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, 800 + (doc_id % 7) * 160 AS n FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n,
+               unnest(list_transform(range(0, n),
+                      k -> ((doc_id * 131 + k * 17) % 4096) - 2048)) AS v
+        FROM p
+    ),
+    a AS (
+        SELECT doc_id, ANY_VALUE(n) AS n, SUM(v * v) AS ss
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * n AS BIGINT) AS payload_bytes,
+           1 AS channels, {_AUD_RATE} AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(CAST(n AS DOUBLE) / {_AUD_RATE}, 6) AS duration_s,
+           ROUND(SQRT(CAST(ss AS DOUBLE) / n), 6) AS rms
+    FROM a ORDER BY doc_id
+    """,
+)
+def x180_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        _audio_batches,
+        schema=(
+            "doc_id bigint, payload_bytes bigint, channels int, "
+            "sample_rate int, n_samples bigint, duration_s double, rms double"
+        ),
+    ).orderBy("doc_id")

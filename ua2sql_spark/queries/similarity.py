@@ -1229,3 +1229,160 @@ def x169_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("component")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X5g: k-means refinement (Lloyd iterations) — the clustering family's
+# iterative-dataflow row, completing the progression stride-init (IVF,
+# x71) -> refined centroids: two unrolled assign/update rounds over the
+# embedding corpus, then per-cell membership and inertia against the
+# refined centroids. This is how production IVF indexes are actually
+# trained (coarse quantizer = k-means over a sample); x174/x71 consume
+# exactly such centroids.
+#
+# Scale shape: every step is key-bounded — assignment is pts x K
+# broadcast-joined per dim then reduced by (vec, cid) with an exact
+# DECIMAL(28,8) interior (dim-order independent, so map-side partials
+# commute); the argmin is a partial-aggregable MIN over a (d2, cid)
+# struct (ties to the lowest centroid id), never a per-vector window
+# sort; centroid update is one |K|·d-bounded aggregate. K iterations =
+# K statically-unrolled rounds of the same three bounded shuffles (the
+# x138 discipline). At 100 TB the update runs on a sample — the plan
+# shape is unchanged.
+# ---------------------------------------------------------------------------
+_KM_STRIDE = 20
+
+
+def _km_sql_iter(prev_cent: str, tag: str) -> str:
+    """One Lloyd round as oracle CTEs: distances vs ``prev_cent``,
+    argmin assignment, decimal-interior centroid update."""
+    return f"""
+    d{tag} AS (
+        SELECT p.vec_id, c.cid,
+               SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(28,8))) AS d2
+        FROM pts p JOIN {prev_cent} c ON p.i = c.i
+        GROUP BY p.vec_id, c.cid
+    ),
+    a{tag} AS (
+        SELECT vec_id, cid AS cell, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d{tag}) WHERE rn = 1
+    ),
+    c{tag} AS (
+        SELECT a.cell AS cid, p.i,
+               CAST(CAST(SUM(CAST(p.x AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM pts p JOIN a{tag} a ON p.vec_id = a.vec_id
+        GROUP BY a.cell, p.i
+    )"""
+
+
+@query(
+    "x178_kmeans_lloyd",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cinit AS (
+        SELECT vec_id AS cid, i, x AS c FROM pts WHERE vec_id % {_KM_STRIDE} = 0
+    ),
+    {_km_sql_iter('cinit', '1')},
+    {_km_sql_iter('c1', '2')},
+    dfin AS (
+        SELECT p.vec_id, c.cid,
+               SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(28,8))) AS d2
+        FROM pts p JOIN c2 c ON p.i = c.i
+        GROUP BY p.vec_id, c.cid
+    ),
+    afin AS (
+        SELECT vec_id, cid AS cell, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dfin) WHERE rn = 1
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(CAST(SUM(d2) AS STRING) AS DOUBLE), 6) AS inertia
+    FROM afin GROUP BY cell ORDER BY cell
+    """,
+)
+def x178_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark realizes the SAME arithmetic as the oracle's per-dim
+    # explode, but keeps vectors as arrays: the distance is a zip_with
+    # fold whose per-dim squares are cast to DECIMAL(28,8) and summed
+    # exactly — decimal addition is associative, so the fold equals the
+    # oracle's order-free SUM bit-for-bit. That turns the distance pass
+    # from a |V|·K·d-row shuffle into a |V|·K-row map against BROADCAST
+    # centroid arrays (the ivf_assign shape); only the centroid UPDATE
+    # explodes dims, and only |V|·d member rows, once per round.
+    # fold accumulator stays DECIMAL(28,8): each addend is cast to
+    # (18,8) (exact — per-dim squares are < 2^31) so the addition's
+    # result type (29,8) keeps FULL 8-digit scale, then the re-cast to
+    # (28,8) is scale-preserving and exact. (A wider accumulator would
+    # make Spark type-infer the addition as DECIMAL(38,7) — a silent 7dp
+    # rounding the oracle's SUM never performs.)
+    DEC18 = "decimal(18,8)"
+    DEC28 = "decimal(28,8)"
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
+        )
+        # the embeddings table is a handful of files — repartition for
+        # executor parallelism before the 3 distance passes reuse it
+        .repartition(32, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    cent = pts.filter(F.col("vec_id") % _KM_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+    def distances(cent_df):
+        d2 = F.aggregate(
+            F.zip_with(F.col("emb"), F.col("cemb"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast(DEC28),
+            lambda acc, v: (acc + v.cast(DEC18)).cast(DEC28),
+        )
+        return pts.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", F.col("cid"), d2.alias("d2")
+        )
+
+    def argmin(d2_df):
+        # partial-aggregable MIN over (d2, cid): decimal d2 compares
+        # exactly, ties break to the lowest centroid id — same row the
+        # oracle's ROW_NUMBER picks, but map-side combinable.
+        return d2_df.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m")
+        ).select("vec_id", F.col("m.cid").alias("cell"), F.col("m.d2").alias("d2"))
+
+    def update(assign_df):
+        # the one per-dim explode: |V|·d member rows -> |K|·d means ->
+        # deterministic array rebuild (sort by dim index)
+        member_dims = (
+            pts.join(assign_df.select("vec_id", "cell"), "vec_id")
+            .select("cell", F.posexplode("emb").alias("i", "x"))
+            .groupBy(F.col("cell").alias("cid"), "i")
+            .agg(
+                (F.sum(F.col("x").cast(DEC28)).cast("double") / F.count("x")).alias("c")
+            )
+        )
+        return member_dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("cemb")
+        )
+
+    for _ in range(2):
+        cent = update(argmin(distances(cent)))
+    final = argmin(distances(cent))
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.sum("d2").cast("double"), 6).alias("inertia"),
+        )
+        .orderBy("cell")
+    )

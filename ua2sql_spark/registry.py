@@ -55,7 +55,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # linkage (x146), epoch up-sampling (x150), tokenizer fertility
 # (x151), Welch t-test (q145; q146 histogram stays local, same stats
 # family), temperature resampling (x131). Out, each leaving an
-# in-window family representative: q07/q08 (semi/anti join shapes kept
+# in-window family representative (rotation #1): q07/q08 (semi/anti join shapes kept
 # by q135's bloom semi-join and x117's plan-pinned anti-join + q126's
 # decorrelated anti), q20 (agg family keeps q13/q16/q19/q114), q26
 # (sorts keep q22/q25), q28 (JSON kept by q120 variant), x43/x96 (md5
@@ -86,6 +86,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # two-sample KS over binned ECDFs is a new distribution-distance
 # family), q86 -> q168 (TPC-H archetypes keep q126; growth-accounting
 # DAU decomposition is a new product-analytics family).
+#
+# Late-r6 rotation #3, for the final r6 batch (x174-x180 did not exist
+# at rotation #2). In, all never-driver-checked new families; out, rows
+# driver-green in r5 (or earlier) whose family keeps an in-window
+# representative: q04 -> x176 (inner equi-join exercised by every
+# remaining join row; degree-oriented triangle counting is a new graph-
+# cohesion family), q19 -> x175 (max_by stays driver-proven r1-r5; the
+# deequ-style column profiler is a new dataset-audit family and its
+# fan-out row carries five exact COUNT(DISTINCT)s), q40 -> x177
+# (windowed events keep q35/q144/q159 in window; rolling-median/MAD
+# anomaly detection is a new robust-monitoring family), x117 -> x179
+# (incremental dedup green r5, family keeps x115/x142/x158; the PPJoin
+# prefix-filter join adds an EXACT-similarity recall-1.0 contract the
+# LSH tier cannot express), x121 -> x178 (IVF recall stays gated by
+# x133/x154 quantized contracts; Lloyd k-means is the clustering/
+# iterative side of the same family), x53 -> x180 (fake-decode seam
+# green r1-r5 and strictly dominated by the REAL WAV encode->decode
+# round trip through the same mapInPandas plumbing), x111 -> x174
+# (PII scrub green r5, selection family keeps x131/x150; SemDeDup is
+# the semantic-dedup family's only row). All rotated-out rows remain
+# local-oracle green in tests/test_oracle.py.
 #
 # Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
 # another in-window representative moved below the fold (q02/q03 —
@@ -121,7 +142,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational: filters+projection rep, every join flavor
     "q01_pricing_summary",
-    "q04_join_inner",
+    "x176_copurchase_triangles",
     "q05_join_star_broadcast",
     "q135_bloom_semijoin_reduction",
     "x146_record_linkage",
@@ -135,7 +156,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q123_hll_union_contract",
     "q16_rollup",
     "q140_bitmap_exact_distinct",
-    "q19_max_by_checkpoint",
+    "x175_column_profile",
     "q139_theta_setops_contract",
     "q114_approx_percentile_contract",
     # windows + sorts + statistical aggregates
@@ -149,7 +170,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # temporal join + event analytics + streaming-window mirror
     "q35_asof_join",
     "q144_gap_fill_locf",
-    "q40_tumbling_window",
+    "x177_rolling_mad_anomaly",
     # dedup: exact, LSH pairs, survivor, clusters (md5-oracle + fast
     # xxhash64 production family), incremental index
     "x158_bm25_search",
@@ -157,7 +178,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x153_exif_probe",
     "x143_unicode_normalize",
     "x115_neardup_clusters_fast",
-    "x117_incremental_dedup",
+    "x179_prefix_simjoin",
     "x154_pq_recall_contract",
     # similarity (hybrid RRF, IVF, both recall gates) + pipe syntax
     # + tokenizer fertility
@@ -165,13 +186,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q150_pipe_syntax",
     "x71_ivf_ann",
     "x151_tokenizer_fertility",
-    "x121_ivf_recall_contract",
+    "x178_kmeans_lloyd",
     "x133_quantized_recall_contract",
     "x173_ks_two_sample",
     # text analysis
     "x48_token_stats",
     # multimodal
-    "x53_decode_mapinpandas",
+    "x180_audio_features",
     # Python-execution surface: the inference seam + applyInArrow
     "x127_classifier_scores",
     "x136_lang_stats_applyinarrow",
@@ -186,7 +207,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # temperature resampling
     "x97_sequence_pack",
     "x150_epoch_upsample",
-    "x111_pii_scrub",
+    "x174_semdedup",
     "x131_temperature_resample",
 )
 
