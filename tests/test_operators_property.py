@@ -641,3 +641,128 @@ def test_source_diversity_monolingual_source_yields_null_evenness(spark, tmp_pat
     ev = {r["source"]: (r["evenness"], r["entropy"]) for r in rows}
     assert ev["s1"][0] is None and ev["s1"][1] == 0.0
     assert ev["s2"][0] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# x176's degree-orientation triangle count vs a brute-force reference:
+# the m^1.5 plan must count EXACTLY the brute-force triangles (each
+# once, no /3 correction) on arbitrary small graphs, including skewed
+# hubs and tie-heavy degree distributions.
+# ---------------------------------------------------------------------------
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(raw=edges_strategy)
+def test_degree_oriented_triangles_match_bruteforce(spark, raw):
+    from itertools import combinations
+
+    edges = {(min(u, v), max(u, v)) for u, v in raw}
+    nodes = sorted({n for e in edges for n in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= edges
+    )
+
+    e = spark.createDataFrame(sorted(edges), "u int, v int")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    de = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+    )
+    wedges = (
+        de.alias("e1")
+        .join(
+            de.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (
+                F.struct(F.col("e1.dd"), F.col("e1.dst"))
+                < F.struct(F.col("e2.dd"), F.col("e2.dst"))
+            ),
+        )
+        .select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    )
+    got = wedges.join(
+        de.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).count()
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# x179's prefix filter is LOSSLESS: on arbitrary token sets, candidates
+# surviving (shared prefix token + size compatibility) must contain
+# EVERY pair with Jaccard >= t — recall 1.0 by construction, verified
+# against brute force. (Precision is what verification is for.)
+# ---------------------------------------------------------------------------
+docsets_strategy = st.lists(
+    st.sets(st.integers(0, 14), min_size=1, max_size=8),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(docs=docsets_strategy)
+def test_prefix_filter_recall_is_one(spark, docs):
+    from itertools import combinations
+
+    NUM, DEN = 19, 20
+    truth = {
+        (i, j)
+        for (i, a), (j, b) in combinations(enumerate(docs), 2)
+        if DEN * len(a & b) >= NUM * len(a | b)
+    }
+
+    rows = [(i, sorted(s)) for i, s in enumerate(docs)]
+    sets = spark.createDataFrame(rows, "doc_id int, gs array<int>")
+    toks = sets.select("doc_id", F.explode("gs").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sized = toks.join(sets.select("doc_id", F.size("gs").alias("s")), "doc_id").join(
+        F.broadcast(dfreq), "tok"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pi = F.col("s") - ((F.lit(NUM) * F.col("s") + (DEN - 1)) / DEN).cast("long") + 1
+    prefix = (
+        sized.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= pi)
+        .select("doc_id", "tok", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("da"), "tok", F.col("s").alias("sa"))
+    b = prefix.select(
+        F.col("doc_id").alias("db"), F.col("tok").alias("tok_b"), F.col("s").alias("sb")
+    )
+    cand = {
+        (r.da, r.db)
+        for r in a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("da") < F.col("db"))
+            & (F.lit(DEN) * F.least("sa", "sb") >= F.lit(NUM) * F.greatest("sa", "sb")),
+        )
+        .select("da", "db")
+        .distinct()
+        .collect()
+    }
+    assert truth <= cand, (sorted(truth - cand), sorted(docs))

@@ -356,7 +356,6 @@ _AUD_RATE = 16000
 
 def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import io
-    import struct
     import wave
 
     from ua2sql_spark.functions.media import decode_audio_real
@@ -365,16 +364,21 @@ def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = {k: [] for k in
                 ("doc_id", "payload_bytes", "channels", "sample_rate",
                  "n_samples", "duration_s", "rms")}
+        import numpy as np
+
         for doc_id in pdf["doc_id"]:
             doc_id = int(doc_id)
             n = 800 + (doc_id % 7) * 160
-            samples = [((doc_id * 131 + k * 17) % 4096) - 2048 for k in range(n)]
+            # exact int64 arithmetic — identical values to the naive
+            # per-sample loop (and to the oracle's list_transform)
+            k = np.arange(n, dtype=np.int64)
+            samples = ((doc_id * 131 + k * 17) % 4096) - 2048
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:
                 w.setnchannels(1)
                 w.setsampwidth(2)
                 w.setframerate(_AUD_RATE)
-                w.writeframes(struct.pack(f"<{n}h", *samples))
+                w.writeframes(samples.astype("<i2").tobytes())
             payload = buf.getvalue()
             stats = decode_audio_real(payload)
             rows["doc_id"].append(doc_id)
@@ -414,7 +418,10 @@ def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def x180_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    # the projected column is 8 bytes/row — repartition is near-free and
+    # spreads the per-row codec work across executors (the table is a
+    # handful of files, so the scan alone gives ~1 task)
+    return d.select("doc_id").repartition(32, "doc_id").mapInPandas(
         _audio_batches,
         schema=(
             "doc_id bigint, payload_bytes bigint, channels int, "
