@@ -81,7 +81,7 @@ def test_driver_window_families():
         "x115_neardup_clusters_fast",
         "x154_pq_recall_contract",
         "x130_hybrid_search_rrf", "x71_ivf_ann",
-        "x48_token_stats", "x151_tokenizer_fertility",
+        "x151_tokenizer_fertility",
         "x127_classifier_scores",
         "x136_lang_stats_applyinarrow", "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
@@ -100,6 +100,7 @@ def test_driver_window_families():
         "x174_semdedup", "x175_column_profile",
         "x176_copurchase_triangles", "x177_rolling_mad_anomaly",
         "x178_kmeans_lloyd", "x179_prefix_simjoin", "x180_audio_features",
+        "x181_lsh_recall_contract",
     }
     assert required <= set(DRIVER_WINDOW)
 

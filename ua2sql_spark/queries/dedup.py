@@ -813,9 +813,20 @@ _PSJ_NUM, _PSJ_DEN = 19, 20  # Jaccard threshold 0.95 as an exact rational
     """,
 )
 def x179_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = _prefix_sim_pairs(load_table(spark, sf_dir, "documents"))
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _prefix_sim_pairs(d: DataFrame) -> DataFrame:
+    """The x179 core, shared with x181's truth side: EXACT Jaccard >=
+    NUM/DEN word-set pairs via lossless prefix filtering; returns
+    (doc_a, doc_b, i, u)."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     sets = (
         d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("gs"))
         # documents is a handful of parquet files — spread the explode/
@@ -874,8 +885,106 @@ def x179_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.lit(_PSJ_DEN) * F.col("i") >= F.lit(_PSJ_NUM) * F.col("u"))
     )
-    return verified.select(
-        "doc_a",
-        "doc_b",
-        F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
-    ).orderBy("doc_a", "doc_b")
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# X2i: LSH recall contract — the dedup family's quality gate, mirroring
+# what x121/x133/x154 do for retrieval: the banded-MinHash tier's
+# recall is MEASURED against the exact prefix-filter tier (x179, a
+# lossless join, so its output IS ground truth) and gated as a bit.
+# Theory for 16 hashes / 2 bands of 8 at s≈0.95: 1-(1-s^8)^2 ≈ 0.886;
+# observed 0.83–0.86 on this corpus — the gate (10·hits ≥ 7·truth)
+# leaves margin for per-round data regeneration while still catching a
+# banding/seed/tokenizer regression that silently drops recall.
+#
+# The intersection is an explicit semi-join of LSH pairs against the
+# integer-thresholded truth set, so no float-boundary equivalence
+# argument is needed anywhere. Both counts are exact integers; recall
+# is one double division. Scale: truth = x179's prefix-filter plan,
+# LSH = x43's banded plan, intersection keyed on the (small) pair sets.
+# ---------------------------------------------------------------------------
+@query(
+    "x181_lsh_recall_contract",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, {', '.join(_SQL_MINHASH)} FROM w GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {no} AS band_no,"
+            f" md5(concat_ws('|', {', '.join(f'h{j}' for j in js)})) AS band_hash FROM mh"
+            for no, js in _band_ranges()
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         AND {_PSJ_DEN} * len(list_intersect(a.ws, b.ws))
+             >= {_PSJ_NUM} * len(list_distinct(list_concat(a.ws, b.ws)))
+    ),
+    hit AS (SELECT * FROM truth SEMI JOIN cand USING (doc_a, doc_b)),
+    n AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM hit) AS n_hits
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_hits AS BIGINT) AS n_lsh_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall,
+           CAST(CASE WHEN 10 * n_hits >= 7 * n_true THEN 1 ELSE 0 END AS INT)
+               AS meets_bound
+    FROM n
+    """,
+)
+def x181_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = (
+        _prefix_sim_pairs(d).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    )
+    # threshold 19/20 as a double == the 0.95 literal; the filter only
+    # trims LSH candidates below the bar, the semi-join against the
+    # integer-defined truth decides what counts as a hit
+    lsh = minhash_lsh_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        threshold=_PSJ_NUM / _PSJ_DEN,
+        hash_family="md5",  # pinned: the oracle replays these digests
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hits = lsh.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_lsh_hits")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_hits))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_lsh_hits").cast("bigint").alias("n_lsh_hits"),
+            F.round(
+                F.col("n_lsh_hits").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+            F.when(
+                F.lit(10) * F.col("n_lsh_hits") >= F.lit(7) * F.col("n_true"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("meets_bound"),
+        )
+    )

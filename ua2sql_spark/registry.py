@@ -105,8 +105,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # green r1-r5 and strictly dominated by the REAL WAV encode->decode
 # round trip through the same mapInPandas plumbing), x111 -> x174
 # (PII scrub green r5, selection family keeps x131/x150; SemDeDup is
-# the semantic-dedup family's only row). All rotated-out rows remain
-# local-oracle green in tests/test_oracle.py.
+# the semantic-dedup family's only row), x48 -> x181 (token stats
+# driver-green r1-r5, text family keeps x151 fertility in window;
+# the LSH recall contract makes dedup quality a driver-gated bit —
+# banded-MinHash recall measured against the exact x179 tier). All
+# rotated-out rows remain local-oracle green in tests/test_oracle.py.
 #
 # Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
 # another in-window representative moved below the fold (q02/q03 —
@@ -190,7 +193,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x133_quantized_recall_contract",
     "x173_ks_two_sample",
     # text analysis
-    "x48_token_stats",
+    "x181_lsh_recall_contract",
     # multimodal
     "x180_audio_features",
     # Python-execution surface: the inference seam + applyInArrow
