@@ -140,6 +140,10 @@ _SWEEP_HEAVY = frozenset({
     "x71_ivf_ann", "x100_ivf_knn_classify", "x89_knn_classify",
     "x101_minhash_fast_exact_tier", "x81_neardup_dedup", "x44_simhash",
     "q10_join_cross", "x106_contamination",
+    # deliberately brute-force (all-pairs) truth sides — the POINT of
+    # their oracles is independence from the engine's pruning, which
+    # makes them ~3 min each in DuckDB at sf0.1
+    "x179_prefix_simjoin", "x181_lsh_recall_contract",
 })
 
 
