@@ -114,7 +114,7 @@ def test_bucket_pruning_point_lookup(spark, bucketed_orders_customer):
         assert df.count() > 0
 
 
-def test_one_file_per_bucket(spark, bucketed_orders_customer, tmp_path_factory):
+def test_one_file_per_bucket(spark, bucketed_orders_customer):
     """write_bucketed's repartition-on-key contract: each bucket is one
     file (no per-writing-task fanout), so sortBy order is trusted at
     read time and file counts stay O(n_buckets), not O(tasks×buckets)."""

@@ -644,10 +644,12 @@ def test_source_diversity_monolingual_source_yields_null_evenness(spark, tmp_pat
 
 
 # ---------------------------------------------------------------------------
-# x176's degree-orientation triangle count vs a brute-force reference:
-# the m^1.5 plan must count EXACTLY the brute-force triangles (each
-# once, no /3 correction) on arbitrary small graphs, including skewed
-# hubs and tie-heavy degree distributions.
+# x176's degree-orientation triangle count (operators/graph.py) vs a
+# brute-force reference: the m^1.5 plan must count EXACTLY the
+# brute-force triangles (each once, no /3 correction) on arbitrary
+# small graphs, including skewed hubs and tie-heavy degree
+# distributions. The test calls the SAME triangle_stats the registered
+# query uses.
 # ---------------------------------------------------------------------------
 edges_strategy = st.lists(
     st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
@@ -661,108 +663,67 @@ edges_strategy = st.lists(
 def test_degree_oriented_triangles_match_bruteforce(spark, raw):
     from itertools import combinations
 
+    from ua2sql_spark.operators.graph import triangle_stats
+
     edges = {(min(u, v), max(u, v)) for u, v in raw}
     nodes = sorted({n for e in edges for n in e})
-    expected = sum(
+    expected_tri = sum(
         1
         for a, b, c in combinations(nodes, 3)
         if {(a, b), (a, c), (b, c)} <= edges
     )
+    deg = {n: sum(1 for e in edges if n in e) for n in nodes}
+    expected_wedges = sum(d * (d - 1) // 2 for d in deg.values())
 
     e = spark.createDataFrame(sorted(edges), "u int, v int")
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
-    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
-    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    de = (
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-        )
-    )
-    wedges = (
-        de.alias("e1")
-        .join(
-            de.alias("e2"),
-            (F.col("e1.src") == F.col("e2.src"))
-            & (
-                F.struct(F.col("e1.dd"), F.col("e1.dst"))
-                < F.struct(F.col("e2.dd"), F.col("e2.dst"))
-            ),
-        )
-        .select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
-    )
-    got = wedges.join(
-        de.select(F.col("src").alias("b"), F.col("dst").alias("c")),
-        ["b", "c"],
-        "left_semi",
-    ).count()
-    assert got == expected
+    row = triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == expected_tri
+    assert row["n_wedges"] == expected_wedges
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
 
 
 # ---------------------------------------------------------------------------
-# x179's prefix filter is LOSSLESS: on arbitrary token sets, candidates
-# surviving (shared prefix token + size compatibility) must contain
-# EVERY pair with Jaccard >= t — recall 1.0 by construction, verified
-# against brute force. (Precision is what verification is for.)
+# x179's production pipeline (queries/dedup.py:_prefix_sim_pairs) is
+# EXACT: its verified output must equal brute-force Jaccard >= 19/20
+# enumeration. The generator mixes near-copies of a 25-token base set
+# (base minus one element has J = 24/25 = 0.96, so NON-IDENTICAL
+# qualifying pairs exist — a 15-token universe would make the property
+# vacuous, since 20i >= 19u with u <= 15 forces i = u) with fully
+# random sets that exercise the size filter and rare-token prefixes.
 # ---------------------------------------------------------------------------
+_PFX_BASE = frozenset(range(25))
 docsets_strategy = st.lists(
-    st.sets(st.integers(0, 14), min_size=1, max_size=8),
+    st.one_of(
+        # near-copy: base minus at most one element
+        st.integers(-1, 24).map(
+            lambda k: _PFX_BASE if k < 0 else _PFX_BASE - {k}
+        ),
+        # unrelated random set
+        st.sets(st.integers(0, 39), min_size=1, max_size=30),
+    ),
     min_size=2,
-    max_size=12,
+    max_size=10,
 )
 
 
 @SETTINGS
 @given(docs=docsets_strategy)
-def test_prefix_filter_recall_is_one(spark, docs):
+def test_prefix_simjoin_is_exact(spark, docs):
     from itertools import combinations
 
-    NUM, DEN = 19, 20
+    from ua2sql_spark.queries.dedup import _PSJ_DEN, _PSJ_NUM, _prefix_sim_pairs
+
     truth = {
-        (i, j)
+        (i, j): (len(a & b), len(a | b))
         for (i, a), (j, b) in combinations(enumerate(docs), 2)
-        if DEN * len(a & b) >= NUM * len(a | b)
+        if _PSJ_DEN * len(a & b) >= _PSJ_NUM * len(a | b)
     }
 
-    rows = [(i, sorted(s)) for i, s in enumerate(docs)]
-    sets = spark.createDataFrame(rows, "doc_id int, gs array<int>")
-    toks = sets.select("doc_id", F.explode("gs").alias("tok"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sized = toks.join(sets.select("doc_id", F.size("gs").alias("s")), "doc_id").join(
-        F.broadcast(dfreq), "tok"
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    pi = F.col("s") - ((F.lit(NUM) * F.col("s") + (DEN - 1)) / DEN).cast("long") + 1
-    prefix = (
-        sized.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= pi)
-        .select("doc_id", "tok", "s")
-    )
-    a = prefix.select(F.col("doc_id").alias("da"), "tok", F.col("s").alias("sa"))
-    b = prefix.select(
-        F.col("doc_id").alias("db"), F.col("tok").alias("tok_b"), F.col("s").alias("sb")
-    )
-    cand = {
-        (r.da, r.db)
-        for r in a.join(
-            b,
-            (F.col("tok") == F.col("tok_b"))
-            & (F.col("da") < F.col("db"))
-            & (F.lit(DEN) * F.least("sa", "sb") >= F.lit(NUM) * F.greatest("sa", "sb")),
-        )
-        .select("da", "db")
-        .distinct()
-        .collect()
+    rows = [(i, " ".join(str(t) for t in sorted(s))) for i, s in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["i"], r["u"])
+        for r in _prefix_sim_pairs(d).collect()
     }
-    assert truth <= cand, (sorted(truth - cand), sorted(docs))
+    assert got == truth, (sorted(truth.items()), sorted(got.items()))

@@ -100,7 +100,7 @@ def test_driver_window_families():
         "x174_semdedup", "x175_column_profile",
         "x176_copurchase_triangles", "x177_rolling_mad_anomaly",
         "x178_kmeans_lloyd", "x179_prefix_simjoin", "x180_audio_features",
-        "x181_lsh_recall_contract",
+        "x181_lsh_recall_contract", "x182_annotator_agreement",
     }
     assert required <= set(DRIVER_WINDOW)
 

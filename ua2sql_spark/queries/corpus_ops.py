@@ -1331,3 +1331,113 @@ def x172_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x182: annotator agreement (Cohen's kappa) — the statistic every
+# LLM-labeling pipeline computes before trusting labels: two annotators
+# (here deterministic md5-derived pseudo-annotators; in production, two
+# model judges or judge-vs-human) label every document into 3 classes,
+# annotator B independently re-deriving A's label 70% of the time and
+# flipping otherwise, so kappa lands mid-scale where the chance
+# correction actually matters (independent annotators would pin it ~0,
+# perfect copies at 1 — neither exercises the formula).
+#
+# Everything is exact integer counts until three final divisions:
+# po = agree/n, pe = Σ_k ra_k·rb_k / n², kappa = (po-pe)/(1-pe) —
+# identical operands in both engines, rounded at 6dp.
+#
+# Scale: ONE corpus pass builds (la, lb) map-only from md5 bits; the
+# agreement sum folds into the same aggregate; marginals are two
+# 3-row aggregates joined on class. Nothing exceeds |classes| rows
+# after the first shuffle.
+# ---------------------------------------------------------------------------
+_AGREE_CLASSES = 3
+
+
+@query(
+    "x182_annotator_agreement",
+    oracle=f"""
+    WITH lab AS (
+        SELECT doc_id,
+               (('0x' || substring(md5('a|' || text), 1, 8))::BIGINT
+                   % {_AGREE_CLASSES}) AS la,
+               (('0x' || substring(md5('c|' || CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))::BIGINT
+                   % 10) AS coin,
+               (('0x' || substring(md5('f|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {_AGREE_CLASSES - 1}) AS flip
+        FROM documents
+    ),
+    ab AS (
+        SELECT doc_id, la,
+               CASE WHEN coin < 7 THEN la
+                    ELSE (la + 1 + flip) % {_AGREE_CLASSES} END AS lb
+        FROM lab
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM ab
+    ),
+    ma AS (SELECT la AS k, COUNT(*) AS ra FROM ab GROUP BY la),
+    mb AS (SELECT lb AS k, COUNT(*) AS rb FROM ab GROUP BY lb),
+    pe_num AS (
+        SELECT CAST(SUM(ma.ra * mb.rb) AS BIGINT) AS chance_pairs
+        FROM ma JOIN mb USING (k)
+    )
+    SELECT n_items, n_agree,
+           ROUND(CAST(n_agree AS DOUBLE) / n_items, 6) AS po,
+           ROUND(CAST(chance_pairs AS DOUBLE) / (n_items * n_items), 6) AS pe,
+           ROUND(
+               (CAST(n_agree AS DOUBLE) / n_items
+                - CAST(chance_pairs AS DOUBLE) / (n_items * n_items))
+               / (1 - CAST(chance_pairs AS DOUBLE) / (n_items * n_items)),
+               6) AS kappa
+    FROM tot, pe_num
+    """,
+)
+def x182_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def hex8_int(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+    d = load_table(spark, sf_dir, "documents")
+    la = hex8_int(F.concat(F.lit("a|"), F.col("text"))) % _AGREE_CLASSES
+    coin = (
+        hex8_int(
+            F.concat(
+                F.lit("c|"), F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+            )
+        )
+        % 10
+    )
+    flip = hex8_int(F.concat(F.lit("f|"), F.col("doc_id").cast("string"))) % (
+        _AGREE_CLASSES - 1
+    )
+    ab = d.select(
+        la.alias("la"),
+        F.when(coin < 7, la).otherwise((la + 1 + flip) % _AGREE_CLASSES).alias("lb"),
+    ).localCheckpoint(eager=False)
+    tot = ab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    ma = ab.groupBy(F.col("la").alias("k")).agg(F.count(F.lit(1)).alias("ra"))
+    mb = ab.groupBy(F.col("lb").alias("k")).agg(F.count(F.lit(1)).alias("rb"))
+    pe_num = (
+        ma.join(mb, "k")
+        .agg(F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("chance_pairs"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_items")
+    pe = F.col("chance_pairs").cast("double") / (F.col("n_items") * F.col("n_items"))
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n_items",
+            "n_agree",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1) - pe), 6).alias("kappa"),
+        )
+    )

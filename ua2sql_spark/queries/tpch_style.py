@@ -882,12 +882,12 @@ def q135_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def x176_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.graph import triangle_stats
+
     li = load_table(spark, sf_dir, "lineitem")
     lp = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
-    # materialized once: the directed edge list feeds BOTH wedge sides
-    # and the closing semi-join (the x138/x165 reuse discipline)
     edges = (
         lp.alias("a")
         .join(
@@ -896,57 +896,16 @@ def x176_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
-    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
-    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    de = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    e1 = de.alias("e1")
-    e2 = de.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (
-            F.struct(F.col("e1.dd"), F.col("e1.dst"))
-            < F.struct(F.col("e2.dd"), F.col("e2.dst"))
+    # operators/graph.py owns the orientation/wedge plan (materialized-
+    # once edge list + degree broadcast) and is property-tested against
+    # brute force — the query only derives edges and adds transitivity
+    return triangle_stats(edges).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "transitivity"
         ),
-    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
-    tri = wedges.join(
-        de.select(F.col("src").alias("b"), F.col("dst").alias("c")),
-        ["b", "c"],
-        "left_semi",
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    tot = deg.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
-    )
-    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
-        tot.crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            F.col("n_triangles").cast("bigint").alias("n_triangles"),
-            F.round(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
-            ).alias("transitivity"),
-        )
     )

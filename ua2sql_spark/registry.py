@@ -108,7 +108,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the semantic-dedup family's only row), x48 -> x181 (token stats
 # driver-green r1-r5, text family keeps x151 fertility in window;
 # the LSH recall contract makes dedup quality a driver-gated bit —
-# banded-MinHash recall measured against the exact x179 tier). All
+# banded-MinHash recall measured against the exact x179 tier),
+# q16 -> x182 (rollup driver-green r1-r5, agg family keeps q114/
+# q123/q139/q140/x157/q145 in window; Cohen's-kappa annotator
+# agreement is a new label-quality family). All
 # rotated-out rows remain local-oracle green in tests/test_oracle.py.
 #
 # Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
@@ -157,7 +160,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # AND pins the mergeable-sketch estimate)
     "x157_quality_constraints",
     "q123_hll_union_contract",
-    "q16_rollup",
+    "x182_annotator_agreement",
     "q140_bitmap_exact_distinct",
     "x175_column_profile",
     "q139_theta_setops_contract",
