@@ -970,3 +970,94 @@ def x177_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# E12: bot/abuse cadence detection — the traffic-hygiene filter a crawl
+# or telemetry pipeline runs before events feed anything downstream:
+# per-user robust cadence features (median inter-event gap, same-type
+# repeat fraction, events/hour over the active span) and a
+# POPULATION-RELATIVE flag — users in the fastest decile of median
+# gaps. Relative gates are how real abuse systems work (absolute
+# thresholds rot as traffic shifts); median gap, like x177's MAD, is
+# robust to a user's own outlier pauses.
+#
+# Scale shape: one per-user window (the same shuffle any per-user
+# analytic pays) → per-user aggregate (|users| rows) → ONE bounded
+# percentile over the user table broadcast back as the decile
+# threshold. Nothing after the first aggregate exceeds |users| rows.
+# Users with a single event carry no cadence and are excluded by both
+# engines (gap IS NULL).
+# ---------------------------------------------------------------------------
+@query(
+    "x183_bot_cadence",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_type,
+               EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+               CASE WHEN event_type = LAG(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS rpt
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+               quantile_cont(gap_us, 0.5) AS med_gap_us,
+               ROUND(CAST(SUM(rpt) AS DOUBLE) / COUNT(*), 6) AS repeat_frac,
+               ROUND(CAST(COUNT(*) + 1 AS DOUBLE)
+                     / (CAST(SUM(gap_us) AS DOUBLE) / 3600000000.0), 4)
+                   AS events_per_hour
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    ),
+    thr AS (SELECT quantile_cont(med_gap_us, 0.1) AS p10 FROM u)
+    SELECT user_id, n_events, ROUND(med_gap_us, 4) AS med_gap_us,
+           repeat_frac, events_per_hour,
+           CAST(CASE WHEN med_gap_us <= thr.p10 THEN 1 ELSE 0 END AS INT)
+               AS is_bot
+    FROM u, thr
+    ORDER BY user_id
+    """,
+)
+def x183_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), 1
+        ).otherwise(0).alias("rpt"),
+    ).filter(F.col("gap_us").isNotNull())
+    u = g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        F.percentile(F.col("gap_us"), F.lit(0.5)).alias("med_gap_us"),
+        F.round(F.sum("rpt").cast("double") / F.count(F.lit(1)), 6).alias(
+            "repeat_frac"
+        ),
+        F.round(
+            (F.count(F.lit(1)) + 1).cast("double")
+            / (F.sum("gap_us").cast("double") / 3600000000.0),
+            4,
+        ).alias("events_per_hour"),
+    )
+    thr = u.agg(F.percentile(F.col("med_gap_us"), F.lit(0.1)).alias("p10"))
+    return (
+        u.crossJoin(F.broadcast(thr))
+        .select(
+            "user_id",
+            "n_events",
+            F.round("med_gap_us", 4).alias("med_gap_us"),
+            "repeat_frac",
+            "events_per_hour",
+            F.when(F.col("med_gap_us") <= F.col("p10"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )

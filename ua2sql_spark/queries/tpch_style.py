@@ -909,3 +909,136 @@ def x176_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transitivity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x184: RFM customer segmentation — the canonical product-analytics
+# feature build (recency / frequency / monetary quintile scores →
+# named segments). Deliberately NOT q118's NTILE: a global NTILE is a
+# single-partition sort of every customer, the one window shape SCALE.md
+# §1 forbids at 100 TB. Instead the quintile CUTOFFS come from one
+# bounded percentile aggregate (the mergeable-sketch path at scale,
+# exact here for the oracle) broadcast back, and score assignment is
+# four map-side comparisons per feature — scan-shaped end to end.
+# Quantile-bucket scoring differs from NTILE only at tied boundary
+# values, where it is the better-defined choice (equal inputs get
+# equal scores; NTILE splits them by arbitrary rank).
+#
+# Recency anchors to the corpus max order date (broadcast 1-row agg),
+# so the query is reproducible rather than wall-clock-dependent; dates
+# are compared as DATE in both engines.
+# ---------------------------------------------------------------------------
+_RFM_Q = [0.2, 0.4, 0.6, 0.8]
+
+
+def _rfm_score_sql(v: str, cuts: str) -> str:
+    return " + ".join(["1"] + [f"CASE WHEN {v} > {cuts}[{i + 1}] THEN 1 ELSE 0 END"
+                               for i in range(4)])
+
+
+@query(
+    "x184_rfm_segmentation",
+    oracle=f"""
+    WITH anchor AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)), anchor.max_d)
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS monetary
+        FROM orders, anchor
+        GROUP BY o_custkey, anchor.max_d
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days, {_RFM_Q}) AS rc,
+               quantile_cont(n_orders, {_RFM_Q}) AS fc,
+               quantile_cont(monetary, {_RFM_Q}) AS mc
+        FROM cust
+    ),
+    scored AS (
+        SELECT o_custkey,
+               -- recency: SMALLER is better, so invert the bucket
+               6 - ({_rfm_score_sql('recency_days', 'cuts.rc')}) AS r,
+               {_rfm_score_sql('n_orders', 'cuts.fc')} AS f,
+               {_rfm_score_sql('monetary', 'cuts.mc')} AS m,
+               recency_days, n_orders, monetary
+        FROM cust, cuts
+    ),
+    seg AS (
+        SELECT *,
+               CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                    WHEN f >= 4 THEN 'loyal'
+                    WHEN m >= 4 THEN 'big_spender'
+                    WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+                    WHEN r <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 4)
+               AS avg_recency_days,
+           ROUND(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*), 4) AS avg_orders,
+           {sql_dsum('monetary')} AS total_monetary
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def x184_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    anchor = o.agg(F.max(od).alias("max_d"))
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "max_d")
+        .agg(
+            F.datediff(F.first("max_d"), F.max(od)).alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    cuts = cust.agg(
+        F.percentile(F.col("recency_days"), F.array(*[F.lit(q) for q in _RFM_Q])).alias("rc"),
+        F.percentile(F.col("n_orders"), F.array(*[F.lit(q) for q in _RFM_Q])).alias("fc"),
+        F.percentile(F.col("monetary"), F.array(*[F.lit(q) for q in _RFM_Q])).alias("mc"),
+    )
+
+    def score(v, cuts_col):
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(F.col(v) > F.col(cuts_col)[i], 1).otherwise(0)
+        return s
+
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        (F.lit(6) - score("recency_days", "rc")).alias("r"),
+        score("n_orders", "fc").alias("f"),
+        score("monetary", "mc").alias("m"),
+    )
+    seg = scored.withColumn(
+        "segment",
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4), "champion")
+        .when(F.col("f") >= 4, "loyal")
+        .when(F.col("m") >= 4, "big_spender")
+        .when((F.col("r") <= 2) & (F.col("f") >= 3), "at_risk")
+        .when(F.col("r") <= 2, "hibernating")
+        .otherwise("regular"),
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("recency_days").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_recency_days"
+            ),
+            F.round(F.sum("n_orders").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_orders"
+            ),
+            dsum("monetary").alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
