@@ -653,3 +653,119 @@ def q146_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x185: Count-Min frequency-sketch contract — completes the mergeable-
+# sketch suite (q123 HLL distinct, q139 theta set-ops, q114 GK
+# percentiles, q140 bitmap exactness) with the FREQUENCY sketch: a
+# d×w cell grid where cell (j, h_j(key)) accumulates every occurrence,
+# so the whole sketch merges across 1000 executors by pure cell-wise
+# addition and est(k) = min_j cell(j, h_j(k)). Two structural
+# guarantees are gated per key against the exact x107-style counts:
+# CMS NEVER underestimates (est ≥ true, an identity of the min-of-
+# sums construction), and the overestimate stays within the ε·N
+# collision bound — both as integer compares (64·err ≤ 3·N ≈ 4.7%·N,
+# ~3× the observed max at sf0.01 under the pinned md5 hashes, margin
+# for per-round data regeneration).
+#
+# Scale shape: contributions are map-only (d rows per input row via an
+# in-row explode), the sketch is ONE d·w-row aggregate, estimates join
+# the top-k keys against the broadcast 256-row sketch. The exact side
+# is one groupBy + TakeOrdered — the same cost x107 already pays.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 64
+
+
+@query(
+    "x185_cms_heavy_hitters_contract",
+    oracle=f"""
+    WITH contrib AS (
+        SELECT o_custkey AS k, j,
+               (('0x' || substring(md5(CAST(j AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % {_CMS_W}) AS b
+        FROM orders, (SELECT unnest([0, 1, 2, 3]) AS j)
+    ),
+    cells AS (SELECT j, b, COUNT(*) AS c FROM contrib GROUP BY j, b),
+    n AS (SELECT COUNT(*) AS total FROM orders),
+    exact AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM orders GROUP BY 1
+        ORDER BY true_n DESC, k LIMIT 10
+    ),
+    est AS (
+        SELECT e.k, e.true_n, CAST(MIN(c.c) AS BIGINT) AS cms_est
+        FROM exact e
+        JOIN (SELECT DISTINCT k, j, b FROM contrib) kb ON kb.k = e.k
+        JOIN cells c ON c.j = kb.j AND c.b = kb.b
+        GROUP BY e.k, e.true_n
+    )
+    SELECT k AS custkey, true_n, cms_est,
+           CAST(cms_est - true_n AS BIGINT) AS over_err,
+           CAST(CASE WHEN cms_est >= true_n THEN 1 ELSE 0 END AS INT)
+               AS never_under,
+           CAST(CASE WHEN {_CMS_W} * (cms_est - true_n) <= 3 * n.total
+                THEN 1 ELSE 0 END AS INT) AS within_bound
+    FROM est, n
+    ORDER BY custkey
+    """,
+)
+def x185_cms_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def bucket(j_col, key_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(j_col.cast("string"), F.lit("|"), key_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % _CMS_W
+
+    contrib = o.select(
+        F.col("o_custkey").alias("k"),
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    ).select("k", "j", bucket(F.col("j"), F.col("k")).alias("b"))
+    cells = contrib.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    total = o.agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.desc("true_n"), "k")
+        .limit(10)
+    )
+    key_buckets = exact.select(
+        "k",
+        "true_n",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    ).select("k", "true_n", "j", bucket(F.col("j"), F.col("k")).alias("b"))
+    est = (
+        key_buckets.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("k", "true_n")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").alias("custkey"),
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).cast("bigint").alias("over_err"),
+            F.when(F.col("cms_est") >= F.col("true_n"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("never_under"),
+            F.when(
+                F.lit(_CMS_W) * (F.col("cms_est") - F.col("true_n"))
+                <= F.lit(3) * F.col("total"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("custkey")
+    )
