@@ -73,16 +73,15 @@ def test_driver_window_families():
         # registry.py's rotation comment records which rows moved below
         # the fold and which family member covers each)
         "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
-        "q35_asof_join", "q25_topk_per_group", "q120_variant_json",
+        "q35_asof_join", "q120_variant_json",
         "q114_approx_percentile_contract", "q123_hll_union_contract",
         "q135_bloom_semijoin_reduction",
         "x142_cdc_chunks",
         "x153_exif_probe", "q140_bitmap_exact_distinct",
         "x115_neardup_clusters_fast",
         "x154_pq_recall_contract",
-        "x130_hybrid_search_rrf", "x71_ivf_ann",
+        "x71_ivf_ann",
         "x151_tokenizer_fertility",
-        "x127_classifier_scores",
         "x136_lang_stats_applyinarrow", "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank", "q147_recursive_hierarchy",
@@ -101,6 +100,9 @@ def test_driver_window_families():
         "x176_copurchase_triangles", "x177_rolling_mad_anomaly",
         "x178_kmeans_lloyd", "x179_prefix_simjoin", "x180_audio_features",
         "x181_lsh_recall_contract", "x182_annotator_agreement",
+        # late-r6 rotation #4 (registry.py): the final batch
+        "x183_bot_cadence", "x184_rfm_segmentation",
+        "x185_cms_heavy_hitters_contract",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -111,7 +111,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # banded-MinHash recall measured against the exact x179 tier),
 # q16 -> x182 (rollup driver-green r1-r5, agg family keeps q114/
 # q123/q139/q140/x157/q145 in window; Cohen's-kappa annotator
-# agreement is a new label-quality family). All
+# agreement is a new label-quality family). Rotation #4 (the final
+# r6 batch): q25 -> x183 (top-k green r1-r5 with the
+# WindowGroupLimit plan-pin enforced locally, windowed family keeps
+# q159; bot-cadence is a new traffic-hygiene family), x130 -> x184
+# (RRF fusion green r5, similarity keeps x71/x133/x154/x173/x178/
+# x174; scan-shaped RFM is a new product-analytics feature-build
+# family), x127 -> x185 (inference seam green r5, the Python/Arrow
+# surface keeps x136/x149/x180 in window; the CMS contract
+# completes the mergeable-sketch suite). All
 # rotated-out rows remain local-oracle green in tests/test_oracle.py.
 #
 # Round-5 rotation (VERDICT r4 next-round #1): rows whose family keeps
@@ -167,7 +175,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q114_approx_percentile_contract",
     # windows + sorts + statistical aggregates
     "q159_sliding_active_users",
-    "q25_topk_per_group",
+    "x183_bot_cadence",
     "q145_ab_welch_ttest",
     # SQL surface: recursive CTE, Spark-4 variant JSON, arrays
     "q147_recursive_hierarchy",
@@ -188,7 +196,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x154_pq_recall_contract",
     # similarity (hybrid RRF, IVF, both recall gates) + pipe syntax
     # + tokenizer fertility
-    "x130_hybrid_search_rrf",
+    "x184_rfm_segmentation",
     "q150_pipe_syntax",
     "x71_ivf_ann",
     "x151_tokenizer_fertility",
@@ -200,7 +208,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal
     "x180_audio_features",
     # Python-execution surface: the inference seam + applyInArrow
-    "x127_classifier_scores",
+    "x185_cms_heavy_hitters_contract",
     "x136_lang_stats_applyinarrow",
     # advanced SQL + data layout + iterative graph dataflow
     "x124_zorder_layout",
