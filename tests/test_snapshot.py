@@ -579,3 +579,137 @@ def test_incremental_view_maintenance_matches_rebuild(spark, tmp_path):
     got = view_state()
     assert "c" not in got, got
     assert got == rebuilt_state(v3), (got, rebuilt_state(v3))
+
+
+def test_hive_escape_parity_with_jvm(spark):
+    """ADVICE r6 #1: the pure-Python fallback for Hive partition-path
+    escaping must match Spark's ExternalCatalogUtils bit-for-bit on
+    reserved characters, so a private-API move can never degrade to a
+    raw (wrong) directory probe and a silent carried-row drop."""
+    from ua2sql_spark.operators.merge import escape_path_name
+
+    jvm_esc = (
+        spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName
+    )
+    tricky = [
+        "plain",
+        "with space",
+        "a/b",
+        "a\\b",
+        "a:b=c",
+        'q"uote',
+        "per%cent",
+        "hash#star*",
+        "quo'te",
+        "br[ack]ets{^}",
+        "quest?ion",
+        "tab\there",
+        "new\nline",
+        "del\x7f",
+        "\x01ctl\x1f",
+        "unicode-é-日本",
+        "",
+    ]
+    for s in tricky:
+        assert escape_path_name(s) == jvm_esc(s), repr(s)
+
+
+def test_upsert_cow_rejects_batch_missing_target_columns(spark, tmp_path):
+    """ADVICE r6 #2: a batch missing a target data column must fail
+    loudly — projecting carried rows onto batch.columns would silently
+    drop that column for every rewritten partition."""
+    from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    full = spark.createDataFrame(
+        [(1, "d1", 10.0, "x")], "id bigint, day string, val double, note string"
+    )
+    upsert_cow(full, path, ["id"], "day")
+    narrow = spark.createDataFrame(
+        [(2, "d1", 5.0)], "id bigint, day string, val double"
+    )
+    with pytest.raises(ValueError, match="missing target columns.*note"):
+        upsert_cow(narrow, path, ["id"], "day")
+    # the failed upsert committed nothing: still one version, one row
+    snap = read_snapshot(spark, path)
+    assert snap.count() == 1 and "note" in snap.columns
+
+
+def test_cursor_checkpoint_via_hadoop_fs(spark, tmp_path):
+    """ADVICE r6 #4: the cursor checkpoint rides the same Hadoop
+    FileSystem API as the table ops (works with a file: URI, not just a
+    posix path), and commit survives an existing checkpoint."""
+    from ua2sql_spark.operators.snapshot import ChangeFeedCursor, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", 1.0)], "id bigint, day string, val double"),
+        path,
+        ["id"],
+        "day",
+    )
+    ck = "file://" + str(tmp_path / "ckdir" / "cursor")
+    cur = ChangeFeedCursor(spark, path, ["id"], ck)
+    assert cur.position() == -1
+    df, latest = cur.poll()
+    assert df.count() == 1 and latest == 0
+    cur.commit(latest)
+    assert ChangeFeedCursor(spark, path, ["id"], ck).position() == 0
+    cur.commit(7)  # overwrite an existing checkpoint
+    assert cur.position() == 7
+
+
+def test_ivm_versioned_refresh_is_atomic(spark, tmp_path):
+    """ADVICE r6 #3: the view is manifest-versioned — an orphan data
+    directory (a refresh that crashed before its manifest commit) is
+    invisible to readers, and vacuum reclaims unreferenced data dirs
+    without disturbing the live version."""
+    from ua2sql_spark.operators.ivm import (
+        build_view,
+        list_view_versions,
+        read_view,
+        refresh_from_feed,
+        vacuum_view,
+    )
+    from ua2sql_spark.operators.snapshot import (
+        changes_since,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id bigint, grp string, amount double"
+    )
+    upsert_cow(mk([(1, "a", 10.0), (2, "b", 4.0)]), path, ["id"], "grp")  # v0
+    build_view(read_snapshot(spark, path, 0), "grp", "amount", view)
+    assert list_view_versions(spark, view) == [0]
+    before = {r["grp"]: r["n"] for r in read_view(spark, view).collect()}
+
+    # simulate a torn refresh: a data dir lands but no manifest commit
+    orphan = tmp_path / "view" / "d-deadbeef" / "bucket=3"
+    orphan.mkdir(parents=True)
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [("zz", 99, Decimal("1.0"))], "grp string, n bigint, sum_value decimal(28,8)"
+    ).coalesce(1).write.mode("overwrite").parquet(str(orphan))
+    after = {r["grp"]: r["n"] for r in read_view(spark, view).collect()}
+    assert after == before  # reader never sees the torn write
+
+    upsert_cow(mk([(3, "a", 2.0)]), path, ["id"], "grp")  # v1
+    feed = changes_since(spark, path, 0, ["id"], 1)
+    assert refresh_from_feed(spark, view, feed, "grp", "amount") > 0
+    assert list_view_versions(spark, view) == [0, 1]
+    got = {r["grp"]: r["n"] for r in read_view(spark, view).collect()}
+    assert got == {"a": 2, "b": 1}
+    # pinned read of the old version still works (time travel)
+    old = {r["grp"]: r["n"] for r in read_view(spark, view, version=0).collect()}
+    assert old == {"a": 1, "b": 1}
+
+    # vacuum keep=1: v0 manifest + the orphan dir go; latest survives
+    assert vacuum_view(spark, view, keep_versions=1) >= 1
+    assert list_view_versions(spark, view) == [1]
+    assert {r["grp"]: r["n"] for r in read_view(spark, view).collect()} == got

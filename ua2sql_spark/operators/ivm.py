@@ -19,16 +19,24 @@ Design (the 100 TB argument):
 * The feed is churn-proportional (``snapshot.changes_since``), the
   signed delta aggregate is one |touched groups|-bounded shuffle, and
   the view rewrite touches only the HASH BUCKETS holding touched
-  groups (dynamic partition overwrite over ``pmod(xxhash64(group), B)``
-  bucket dirs) — refresh cost scales with churn, never view size.
+  groups — refresh cost scales with churn, never view size.
+* The view is VERSIONED like the snapshot store it sits beside
+  (ADVICE r6 #3): each refresh writes its rewritten buckets to a fresh
+  immutable data directory, then commits a manifest mapping every
+  bucket to the directory holding its current content via staged-write
+  + atomic rename — THE commit point. Readers resolve the latest
+  manifest, so a crashed refresh is invisible (its orphan data dir is
+  unreferenced) and a concurrent reader sees either the old version or
+  the new one, never a torn mix. Emptied buckets are simply OMITTED
+  from the new manifest — no post-write directory deletion step exists
+  to crash in.
 * COUNT and SUM are the differentiable aggregates (signed-sum
   monoids); sums ride the decimal interior (``queries/common.py``
   policy) so the view is bit-identical to a from-scratch rebuild —
   tested as the soundness invariant. AVG derives as sum/count at read
   time. MIN/MAX are NOT differentiable under deletes (a retracted
   extremum needs the base table); refuse rather than approximate.
-* Groups whose count reaches zero are dropped from the view (their
-  bucket is rewritten without them), so deletes fully erase.
+* Groups whose count reaches zero are dropped from the view.
 * Single writer, same as every maintenance op here; under epoch
   replay apply the same feed twice and the view double-counts — the
   CDF cursor's commit protocol exists precisely to prevent that.
@@ -36,12 +44,19 @@ Design (the 100 TB argument):
 
 from __future__ import annotations
 
+import re
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
+
+from ua2sql_spark.operators.snapshot import _jfs
 
 DEC = "decimal(28,8)"
 _N_BUCKETS = 64
+_IVM_DIR = "_ivm"
+_VER_RE = re.compile(r"^v(\d{6,})$")
+_MANIFEST_SCHEMA = "bucket bigint, dir string"
 
 _SIGN = {
     "insert": 1,
@@ -51,10 +66,76 @@ _SIGN = {
 }
 
 
+def _ivm_root(view_path: str) -> str:
+    return f"{view_path}/{_IVM_DIR}"
+
+
+def _manifest_path(view_path: str, version: int) -> str:
+    return f"{_ivm_root(view_path)}/v{version:06d}"
+
+
+def list_view_versions(spark: SparkSession, view_path: str) -> list[int]:
+    jvm, fs, _ = _jfs(spark, view_path)
+    root = jvm.org.apache.hadoop.fs.Path(_ivm_root(view_path))
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        m = _VER_RE.match(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _latest_view_version(spark: SparkSession, view_path: str) -> int | None:
+    versions = list_view_versions(spark, view_path)
+    return versions[-1] if versions else None
+
+
+def _read_manifest(spark: SparkSession, view_path: str, version: int) -> list[tuple]:
+    return [
+        (r["bucket"], r["dir"])
+        for r in spark.read.parquet(_manifest_path(view_path, version)).collect()
+    ]
+
+
+def _commit_view_manifest(
+    spark: SparkSession, view_path: str, version: int, rows: list[tuple]
+) -> None:
+    """Staged write + atomic rename to v{N} — THE commit point (the
+    snapshot store's model, ``snapshot._commit_manifest``)."""
+    jvm, fs, _ = _jfs(spark, view_path)
+    staged = f"{_ivm_root(view_path)}/.tmp-{uuid.uuid4().hex}"
+    spark.createDataFrame(rows, _MANIFEST_SCHEMA).coalesce(1).write.parquet(staged)
+    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(view_path, version))
+    fs.mkdirs(final.getParent())
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), final):
+        raise RuntimeError(
+            f"view manifest rename failed for v{version} of {view_path} "
+            "(concurrent writer?)"
+        )
+
+
+def _write_buckets(df: DataFrame, view_path: str) -> list[tuple]:
+    """Write one refresh's bucket data to a fresh immutable directory;
+    return (bucket, dir) manifest rows for the buckets actually
+    present. ONE partitioned write job regardless of bucket count."""
+    data_dir = f"{view_path}/d-{uuid.uuid4().hex}"
+    df.coalesce(1).write.partitionBy("bucket").parquet(data_dir)
+    spark = df.sparkSession
+    jvm, fs, _ = _jfs(spark, data_dir)
+    rows = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir)):
+        name = st.getPath().getName()
+        if name.startswith("bucket="):
+            rows.append((int(name.split("=", 1)[1]), f"{data_dir}/{name}"))
+    return rows
+
+
 def build_view(base: DataFrame, group_col: str, val_col: str, view_path: str) -> None:
     """Materialize the COUNT/SUM view from a base snapshot — the
     bootstrap (run once; every later refresh is differential)."""
-    (
+    agg = (
         base.groupBy(F.col(group_col).alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -64,11 +145,9 @@ def build_view(base: DataFrame, group_col: str, val_col: str, view_path: str) ->
             F.sum(F.col(val_col).cast(DEC)).cast(DEC).alias("sum_value"),
         )
         .withColumn("bucket", F.pmod(F.xxhash64("grp"), F.lit(_N_BUCKETS)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(view_path)
     )
+    rows = _write_buckets(agg, view_path)
+    _commit_view_manifest(base.sparkSession, view_path, 0, rows)
 
 
 def refresh_from_feed(
@@ -79,7 +158,8 @@ def refresh_from_feed(
     val_col: str,
 ) -> int:
     """Apply one change-feed batch to the materialized view. Returns
-    the number of touched GROUPS (0 = nothing to do)."""
+    the number of touched GROUPS (0 = nothing to do, no version
+    committed)."""
     sign = F.col("_change_type")
     sign_expr = None
     for ct, sg in _SIGN.items():
@@ -109,76 +189,93 @@ def refresh_from_feed(
     n_groups = touched.count()
     if n_groups == 0:
         return 0
-    buckets = [r["bucket"] for r in touched.select("bucket").distinct().collect()]
-    try:
-        existing = spark.read.parquet(view_path).filter(
-            F.col("bucket").isin(buckets)
+    buckets = {r["bucket"] for r in touched.select("bucket").distinct().collect()}
+
+    prev = _latest_view_version(spark, view_path)
+    if prev is None:
+        raise ValueError(
+            f"{view_path} has no committed view version; run build_view first"
         )
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc):
-            raise
-        existing = None
-    if existing is None:
-        merged = touched.select(
-            "grp",
-            F.col("dn").alias("n"),
-            F.col("dsum").cast(DEC).alias("sum_value"),
-            "bucket",
+    manifest = _read_manifest(spark, view_path, prev)
+    carried = [(b, d) for b, d in manifest if b not in buckets]
+    touched_dirs = [d for b, d in manifest if b in buckets]
+
+    new_rows = touched.select(
+        "grp",
+        F.col("dn").alias("n"),
+        F.col("dsum").cast(DEC).alias("sum_value"),
+        "bucket",
+    )
+    if touched_dirs:
+        # Leaf-dir reads drop the hive partition column; re-derive the
+        # bucket from the group key (it is a pure function of it).
+        existing = (
+            spark.read.parquet(*touched_dirs)
+            .select("grp", "n", "sum_value")
+            .withColumn("bucket", F.pmod(F.xxhash64("grp"), F.lit(_N_BUCKETS)))
         )
-    else:
         merged = (
-            existing.select("grp", "n", "sum_value", "bucket")
-            .unionByName(
-                touched.select(
-                    "grp",
-                    F.col("dn").alias("n"),
-                    F.col("dsum").cast(DEC).alias("sum_value"),
-                    "bucket",
-                )
-            )
+            existing.unionByName(new_rows)
             .groupBy("grp", "bucket")
             .agg(
                 F.sum("n").cast("bigint").alias("n"),
                 F.sum("sum_value").cast(DEC).alias("sum_value"),
             )
         )
-    # Materialize the survivors once: consumed by the write AND by the
-    # emptied-bucket discovery below.
-    survivors = merged.filter(F.col("n") > 0).localCheckpoint(eager=True)
-    (
-        survivors.coalesce(1)  # a bucket of group aggregates is tiny by construction
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(view_path)
-    )
-    # Dynamic partition overwrite only rewrites buckets PRESENT in the
-    # written data — a touched bucket whose every group reached count
-    # zero has no surviving rows, so its stale directory would outlive
-    # the delete. Erase those directories explicitly (driver-side, but
-    # bounded by the ≤_N_BUCKETS touched set).
-    if existing is not None:
-        alive = {
-            r["bucket"] for r in survivors.select("bucket").distinct().collect()
-        }
-        emptied = [b for b in buckets if b not in alive]
-        if emptied:
-            jvm = spark._jvm
-            jsc = spark._jsc
-            root = jvm.org.apache.hadoop.fs.Path(view_path)
-            fs = root.getFileSystem(jsc.hadoopConfiguration())
-            for b in emptied:
-                p = jvm.org.apache.hadoop.fs.Path(root, f"bucket={b}")
-                fs.delete(p, True)
+    else:
+        merged = new_rows
+    survivors = merged.filter(F.col("n") > 0)
+    # Buckets whose every group reached count zero simply have no rows
+    # in the new data dir, hence no manifest entry — the delete is the
+    # ABSENCE of a mapping, not a post-commit directory erase.
+    written = _write_buckets(survivors, view_path)
+    _commit_view_manifest(spark, view_path, prev + 1, carried + written)
     return n_groups
 
 
-def read_view(spark: SparkSession, view_path: str) -> DataFrame:
-    """The maintained view with AVG derived at read time."""
-    v = spark.read.parquet(view_path)
+def read_view(spark: SparkSession, view_path: str, version: int | None = None) -> DataFrame:
+    """The maintained view (latest version unless pinned) with AVG
+    derived at read time. Resolves the manifest, then reads just the
+    referenced bucket directories — an in-flight refresh is invisible."""
+    if version is None:
+        version = _latest_view_version(spark, view_path)
+        if version is None:
+            raise ValueError(f"{view_path} has no committed view version")
+    dirs = [d for _b, d in _read_manifest(spark, view_path, version)]
+    if not dirs:
+        return spark.createDataFrame([], "grp string, n bigint, sum_value double").withColumn(
+            "avg_value", F.lit(None).cast("double")
+        )
+    v = spark.read.parquet(*dirs)
     return v.select(
         "grp",
         "n",
         F.col("sum_value").cast("double").alias("sum_value"),
         (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+def vacuum_view(spark: SparkSession, view_path: str, keep_versions: int = 2) -> int:
+    """Delete data directories unreferenced by the ``keep_versions``
+    newest manifests, and the older manifests themselves. Returns the
+    number of directories removed. Driver-side but bounded by the
+    version count × ≤``_N_BUCKETS`` manifest rows."""
+    versions = list_view_versions(spark, view_path)
+    if len(versions) <= keep_versions:
+        return 0
+    keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+    live = set()
+    for ver in keep:
+        live.update(d for _b, d in _read_manifest(spark, view_path, ver))
+    # a data dir d-<uuid> is referenced via its bucket=N children
+    live_dirs = {d.rsplit("/bucket=", 1)[0] for d in live}
+    jvm, fs, root = _jfs(spark, view_path)
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("d-") and f"{view_path}/{name}" not in live_dirs:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    for ver in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(view_path, ver)), True)
+    return removed

@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 
 _HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
+# The characters Hive/Spark percent-escape in partition directory names
+# (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.charToEscape):
+# ASCII control characters 0x01-0x1F plus the reserved set below.
+_HIVE_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^"]
+)
+
+
+def escape_path_name(raw: str) -> str:
+    """Pure-Python twin of Spark's ``ExternalCatalogUtils.escapePathName``
+    (same character set, same ``%XX`` uppercase-hex encoding). Kept in
+    lockstep with the JVM implementation by a parity test so a private-API
+    move can never silently degrade to un-escaped paths (ADVICE r6 #1:
+    a raw fallback would probe a nonexistent directory and the dynamic
+    partition overwrite would then drop the partition's carried rows)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in raw
+    )
+
 
 def _partition_dir_name(spark: SparkSession, partition_col: str, value) -> str:
     """Hive-layout directory name for one partition value, using Spark's
@@ -45,7 +65,7 @@ def _partition_dir_name(spark: SparkSession, partition_col: str, value) -> str:
             raw
         )
     except Exception:  # pragma: no cover - JVM private API moved
-        esc = raw
+        esc = escape_path_name(raw)
     return f"{partition_col}={esc}"
 
 

@@ -289,6 +289,18 @@ def upsert_cow(
             # old files and evolve lazily on their next touch
             # (read_snapshot(merge_schema=True) reads across both).
             slice_cols = set(slice_df.columns)
+            # ...but the reverse — a batch MISSING columns the target
+            # has — must fail loudly: projecting carried rows onto
+            # batch.columns would silently drop those columns' values
+            # for every rewritten partition while untouched partitions
+            # keep them, leaving the table heterogeneous (ADVICE r6 #2).
+            dropped = slice_cols - set(batch.columns)
+            if dropped:
+                raise ValueError(
+                    f"batch is missing target columns {sorted(dropped)}; "
+                    "add them to the batch (NULLs are fine) or drop them "
+                    "from the table explicitly"
+                )
             bt = dict(batch.dtypes)
             proj = [
                 F.col(f"t.{c}") if c in slice_cols
@@ -612,12 +624,23 @@ class ChangeFeedCursor:
         self.checkpoint = checkpoint
 
     def position(self) -> int:
-        import os
-
-        if not os.path.exists(self.checkpoint):
+        jvm, fs, p = _jfs(self.spark, self.checkpoint)
+        if not fs.exists(p):
             return -1  # fresh consumer: deliver v0's inserts too
-        with open(self.checkpoint) as fh:
-            return int(fh.read().strip())
+        # byte-at-a-time read() (returns int, -1 at EOF): the payload is
+        # a ≤20-byte ASCII integer, and py4j java arrays passed to
+        # readFully are NOT mutated visibly on the Python side.
+        stream = fs.open(p)
+        try:
+            data = []
+            while len(data) < 64:
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+        finally:
+            stream.close()
+        return int(bytes(data).decode("ascii").strip())
 
     def poll(self) -> tuple[DataFrame, int]:
         pos = self.position()
@@ -630,9 +653,26 @@ class ChangeFeedCursor:
         )
 
     def commit(self, version: int) -> None:
-        import os
+        # Same Hadoop FileSystem the table operations use (ADVICE r6
+        # #4), so the checkpoint can live beside an s3a:/hdfs: table.
+        # Write-temp + rename; FileSystem.rename won't overwrite, so an
+        # existing checkpoint is deleted first — a crash in that window
+        # resets the cursor to -1, which replays the feed from v0:
+        # at-least-once, never lost progress masquerading as progress.
+        import uuid
 
-        tmp = f"{self.checkpoint}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self.checkpoint)
+        jvm, fs, p = _jfs(self.spark, self.checkpoint)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{self.checkpoint}.tmp-{uuid.uuid4().hex}"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(version).encode("ascii")))
+        finally:
+            out.close()
+        if fs.exists(p):
+            fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise RuntimeError(
+                f"cursor checkpoint rename failed for {self.checkpoint}"
+            )
