@@ -69,40 +69,43 @@ def test_driver_window_families():
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
         # text, multimodal, Pandas-UDF surface, advanced SQL, TPC-H
-        # archetypes, training-data pipeline ops (round-6 rotation:
-        # registry.py's rotation comment records which rows moved below
-        # the fold and which family member covers each)
+        # archetypes, training-data pipeline ops, versioned tables
+        # (round-7 rotation #5: registry.py's rotation comment records
+        # which rows moved below the fold and which family member
+        # covers each)
         "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
         "q35_asof_join", "q120_variant_json",
-        "q114_approx_percentile_contract", "q123_hll_union_contract",
+        "q114_approx_percentile_contract",
         "q135_bloom_semijoin_reduction",
-        "x142_cdc_chunks",
-        "x153_exif_probe", "q140_bitmap_exact_distinct",
+        "q140_bitmap_exact_distinct",
         "x115_neardup_clusters_fast",
-        "x154_pq_recall_contract",
-        "x71_ivf_ann",
-        "x151_tokenizer_fertility",
-        "x136_lang_stats_applyinarrow", "x149_udtf_polymorphic",
+        "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
-        "x138_domain_pagerank", "q147_recursive_hierarchy",
+        "x138_domain_pagerank",
         "q126_sales_opportunity", "q168_growth_accounting",
-        "x97_sequence_pack", "x150_epoch_upsample",
+        "x150_epoch_upsample",
         "x131_temperature_resample", "q144_gap_fill_locf",
-        "x143_unicode_normalize",
         "x146_record_linkage", "q139_theta_setops_contract",
-        "q145_ab_welch_ttest", "q150_pipe_syntax",
-        # late-r6 rotation #2 (registry.py): the analytics batch
-        "x158_bm25_search", "x170_inverted_index",
+        "q145_ab_welch_ttest",
+        "x158_bm25_search",
         "q159_sliding_active_users", "x157_quality_constraints",
         "x173_ks_two_sample",
-        # late-r6 rotation #3 (registry.py): the x174-x180 batch
-        "x174_semdedup", "x175_column_profile",
-        "x176_copurchase_triangles", "x177_rolling_mad_anomaly",
-        "x178_kmeans_lloyd", "x179_prefix_simjoin", "x180_audio_features",
-        "x181_lsh_recall_contract", "x182_annotator_agreement",
-        # late-r6 rotation #4 (registry.py): the final batch
-        "x183_bot_cadence", "x184_rfm_segmentation",
+        "x174_semdedup",
+        "x179_prefix_simjoin", "x180_audio_features",
+        "x181_lsh_recall_contract",
+        "x183_bot_cadence",
         "x185_cms_heavy_hitters_contract",
+        # round-7 rotation #5: the never-driver-checked tail + X12
+        "x186_scd2_history",
+        "q119_string_agg", "q137_bivariate_stats",
+        "q146_histogram_equi_width", "q151_collation_group",
+        "q152_parameterized_sql",
+        "x155_pr_calibration", "x156_stratified_exact_sample",
+        "x160_url_canonicalize", "x161_source_diversity",
+        "x162_weighted_sample", "x163_lang_source_mi",
+        "x164_dup_size_histogram", "x165_event_cooccurrence",
+        "x166_event_path_trigrams", "x167_value_drift_psi",
+        "x169_jl_projection", "x171_phrase_match", "x172_source_overlap",
     }
     assert required <= set(DRIVER_WINDOW)
 

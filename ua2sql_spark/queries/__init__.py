@@ -16,4 +16,5 @@ from ua2sql_spark.queries import (  # noqa: F401
     udf_surface,
     corpus_ops,
     layout_ops,
+    versioned,
 )

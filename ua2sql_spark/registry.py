@@ -153,76 +153,95 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tier is a new mergeable-exactness family), x81 -> x141 (survivor
 # selection is semantically inside x96's min-id clusters; span-level
 # dedup is a new sub-document family).
+# Round-7 rotation #5 (VERDICT r6 next-round #1): bring the ~20 rows
+# that had NEVER held a driver check in any round into the window —
+# the late-r6 analytics batch (x155/x156/x160-x167/x169/x171/x172) and
+# the long-tail SQL-surface/stats rows (q119/q137/q146/q151/q152) —
+# plus x186_scd2_history, the first driver row for the X12
+# versioned-table family (VERDICT r6 next-round #2). Out, every one
+# driver-green in r6 and leaving a family representative in-window:
+# x176 (graph cohesion kept by x138 PageRank), q05 (broadcast-join
+# plan-pin stays local; joins keep q09/q116/q135/x146), q123 (sketch
+# suite keeps q139 theta + x185 CMS + q114 GK), x182 (stats keep q145
+# Welch + incoming q137/x173), x175 (audit keeps x157), q147+q150
+# (SQL surface gains q151 collation + q152 parameterized), x170
+# (lexical retrieval keeps x158 BM25 + incoming x171 phrase match),
+# x142 (dedup keeps x115/x179/x181 + incoming x164), x153 (multimodal
+# keeps x180 real-WAV), x143 (string-function family gains x160 URL
+# canonicalization), x154 (quantized-retrieval contracts keep x133),
+# x184 (product analytics keeps q168 + incoming x165/x166), x71
+# (similarity keeps x133/x174 + incoming x169 JL), x151 (text keeps
+# x158), x178 (clustering family keeps x174 SemDeDup's centroid
+# pipeline), x136 (Python surface keeps x149 UDTF + x180 mapInPandas),
+# x97 (pipeline keeps x150/x131 + incoming x156/x162 samplers), x177
+# (windowed anomaly family keeps q159/q144 + incoming x167 PSI).
+# All rotated-out rows remain local-oracle green in
+# tests/test_oracle.py and the alt-SF sweep.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational: filters+projection rep, every join flavor
+    # relational core + joins
     "q01_pricing_summary",
-    "x176_copurchase_triangles",
-    "q05_join_star_broadcast",
-    "q135_bloom_semijoin_reduction",
-    "x146_record_linkage",
     "q09_join_theta",
     "q116_join_full_outer",
-    # aggregates (incl. the approx-percentile sketch contract and the
-    # HLL union contract — q123 strictly dominates the old q14 row: its
-    # exact_custkeys column hash-checks exact COUNT(DISTINCT) per group
-    # AND pins the mergeable-sketch estimate)
+    "q135_bloom_semijoin_reduction",
+    "x146_record_linkage",
+    # aggregates + sketches + stats (q119/q137/q146: first driver row)
     "x157_quality_constraints",
-    "q123_hll_union_contract",
-    "x182_annotator_agreement",
     "q140_bitmap_exact_distinct",
-    "x175_column_profile",
     "q139_theta_setops_contract",
     "q114_approx_percentile_contract",
-    # windows + sorts + statistical aggregates
+    "q119_string_agg",
+    "q137_bivariate_stats",
+    "q146_histogram_equi_width",
+    "q145_ab_welch_ttest",
+    # windows + event analytics (x165/x166/x167: first driver row)
     "q159_sliding_active_users",
     "x183_bot_cadence",
-    "q145_ab_welch_ttest",
-    # SQL surface: recursive CTE, Spark-4 variant JSON, arrays
-    "q147_recursive_hierarchy",
-    "q120_variant_json",
-    "x170_inverted_index",
-    # temporal join + event analytics + streaming-window mirror
     "q35_asof_join",
     "q144_gap_fill_locf",
-    "x177_rolling_mad_anomaly",
-    # dedup: exact, LSH pairs, survivor, clusters (md5-oracle + fast
-    # xxhash64 production family), incremental index
-    "x158_bm25_search",
-    "x142_cdc_chunks",
-    "x153_exif_probe",
-    "x143_unicode_normalize",
+    "x165_event_cooccurrence",
+    "x166_event_path_trigrams",
+    "x167_value_drift_psi",
+    "q168_growth_accounting",
+    # SQL surface (q151/q152: first driver row)
+    "q120_variant_json",
+    "q151_collation_group",
+    "q152_parameterized_sql",
+    # versioned tables — the X12 family's FIRST driver row: a CoW
+    # snapshot built deterministically in-query, SCD2 history folded
+    # from its change feed, oracle replays the commits arithmetically
+    "x186_scd2_history",
+    # dedup tiers (x164: first driver row)
     "x115_neardup_clusters_fast",
     "x179_prefix_simjoin",
-    "x154_pq_recall_contract",
-    # similarity (hybrid RRF, IVF, both recall gates) + pipe syntax
-    # + tokenizer fertility
-    "x184_rfm_segmentation",
-    "q150_pipe_syntax",
-    "x71_ivf_ann",
-    "x151_tokenizer_fertility",
-    "x178_kmeans_lloyd",
+    "x181_lsh_recall_contract",
+    "x164_dup_size_histogram",
+    # similarity / embedding math (x169/x155: first driver row)
     "x133_quantized_recall_contract",
     "x173_ks_two_sample",
-    # text analysis
-    "x181_lsh_recall_contract",
-    # multimodal
+    "x169_jl_projection",
+    "x155_pr_calibration",
+    # text analysis / corpus quality (x160/x161/x163/x171/x172: first
+    # driver row)
+    "x158_bm25_search",
+    "x171_phrase_match",
+    "x160_url_canonicalize",
+    "x163_lang_source_mi",
+    "x161_source_diversity",
+    "x172_source_overlap",
+    # multimodal + Python-execution surface
     "x180_audio_features",
-    # Python-execution surface: the inference seam + applyInArrow
     "x185_cms_heavy_hitters_contract",
-    "x136_lang_stats_applyinarrow",
-    # advanced SQL + data layout + iterative graph dataflow
+    "x149_udtf_polymorphic",
+    # layout + iterative graph + TPC-H archetype
     "x124_zorder_layout",
     "x138_domain_pagerank",
-    # TPC-H archetypes + polymorphic UDTF
     "q126_sales_opportunity",
-    "q168_growth_accounting",
-    "x149_udtf_polymorphic",
-    # training-data pipeline: packing, epoch up-sampling, scrub,
-    # temperature resampling
-    "x97_sequence_pack",
+    # training-data pipeline (x156/x162: first driver row)
     "x150_epoch_upsample",
-    "x174_semdedup",
     "x131_temperature_resample",
+    "x156_stratified_exact_sample",
+    "x162_weighted_sample",
+    "x174_semdedup",
 )
 
 
