@@ -5,6 +5,8 @@ GROUPING SETS.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -643,8 +645,30 @@ def x131_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratios round to 6 — bit-stable across engines and partitionings.
 # Ground truth here is lang='en' (a deterministic, engine-independent
 # label); the score is x127's logistic computed IN-PLAN (no Python).
+#
+# DETERMINISM (r7 driver red, VERDICT r7 wrong-#1): the bin key used to
+# be FLOOR(ROUND(sigmoid(z), 4)*B) — sigmoid runs through EXP, a
+# transcendental whose rounding is NOT identical across libm/engine
+# builds, and the r7 driver's DuckDB disagreed with ours on the hash
+# while the full local emulation (186/186, atol=0, same parquet) was
+# green. Per the engine's determinism policy (decimal interiors,
+# integer gates — the x133/x154/x181 pattern) the hashed key is now
+# computed WITHOUT any transcendental: the probability-threshold bin
+# edges sigmoid(z) >= k/B are inverted ONCE driver-side to logit
+# boundaries ln(k/(B-k)) and embedded as identical shortest-roundtrip
+# double literals in BOTH the Spark plan and the oracle SQL; bin =
+# #edges <= z. z itself is pure rational IEEE arithmetic (mul/div/
+# add — each correctly rounded, bit-identical in every engine), and a
+# comparison of identical doubles against identical literals cannot
+# wobble. Same curve, same thresholds, no EXP near the hash.
 # ---------------------------------------------------------------------------
 _PRC_BINS = 100
+# logit(k/B) = ln(k/(B-k)) for k=1..B-1: Python-side constants; repr()
+# is shortest-roundtrip so both engines parse back the exact same bits.
+_PRC_EDGES: tuple[float, ...] = tuple(
+    math.log(k / (_PRC_BINS - k)) for k in range(1, _PRC_BINS)
+)
+_PRC_EDGES_SQL = ", ".join(repr(e) for e in _PRC_EDGES)
 
 
 @query(
@@ -661,10 +685,10 @@ _PRC_BINS = 100
     ),
     scored AS (
         SELECT pos,
-               LEAST(CAST(FLOOR(
-                   ROUND(1.0 / (1.0 + EXP(-(0.02 * nw + 1.5 * (uq / nw)
-                                            - 0.8 * (st / nw) - 0.5))), 4)
-                   * {_PRC_BINS}) AS INTEGER), {_PRC_BINS - 1}) AS bin
+               CAST(len(list_filter(
+                   [{_PRC_EDGES_SQL}],
+                   e -> (0.02 * nw + 1.5 * (uq / nw)
+                         - 0.8 * (st / nw) - 0.5) >= e)) AS INTEGER) AS bin
         FROM feats
     ),
     hist AS (
@@ -696,10 +720,11 @@ def x155_pr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     uq = F.size(F.array_distinct(ws)).cast("double")
     st = F.size(F.filter(ws, lambda w: w.isin("the", "a"))).cast("double")
     z = 0.02 * nw + 1.5 * (uq / nw) - 0.8 * (st / nw) - 0.5
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
-    binc = F.least(
-        F.floor(prob * _PRC_BINS).cast("int"), F.lit(_PRC_BINS - 1)
-    )
+    # sigmoid(z) >= k/B  <=>  z >= logit(k/B): count crossed edges. The
+    # edge list is a broadcast literal array; the HOF filter references
+    # the outer rational column z — no EXP in-plan, no Python.
+    edges = F.array(*[F.lit(e) for e in _PRC_EDGES])
+    binc = F.size(F.filter(edges, lambda e: z >= e)).cast("int")
     hist = (
         d.select(
             binc.alias("bin"),

@@ -177,57 +177,75 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (windowed anomaly family keeps q159/q144 + incoming x167 PSI).
 # All rotated-out rows remain local-oracle green in
 # tests/test_oracle.py and the alt-SF sweep.
+#
+# Round-8 rotation #6 (VERDICT r7 next-round #2): start retiring the 49
+# rows that have NEVER held a driver check — 18 in, prioritizing the
+# oldest pipeline ops over the TPC-H archetypes (whose shapes stay
+# driver-pinned by q01/q09/q116/q126/q135): x49 quality score, x68/x69
+# near-dup variants, x70 hash split, x84 BPE token count, x88/x89
+# centroid/kNN, x90 stratified sample, x91 distinctive terms, x98
+# corpus clean, x99 domain mix, x106 contamination, x107 heavy
+# hitters, x108 vocab OOV, x109 train shuffle, x110 dup-ngram
+# fraction, x113 token-budget sample, x134 BPE merge pairs. x125
+# unigram-logprob is deliberately NOT rotated in: its hashed columns
+# derive from ROUND(LN(p),4) — the same transcendental hazard that
+# made x155 the r7 red row — so it stays local-only until re-keyed.
+# Out, all driver-green in r7 and each leaving an in-window family
+# representative: x146 (joins keep q09/q116/q135/q126/q35), q119 (agg
+# keeps q114/q139/q140/x157/q145), q137+q146 (stats keep q145 Welch +
+# x173 KS), q151 (SQL surface keeps q152 + q120), x164 (dedup keeps
+# x115/x179/x181 + incoming x68/x69/x110/x106), x169 (embedding math
+# keeps x133/x174 + incoming x88/x89), x171/x160/x163/x161/x172 (text
+# keeps x158 BM25 + incoming x49/x84/x91/x98/x108/x134), x165/x166/
+# q168 (events keep q159/q144/x167/x183), x150/x131/x156 (sampling
+# keeps x162 + incoming x90/x109/x113). x155 stays IN per VERDICT r7
+# next-round #1, now hashed transcendental-free.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins
     "q01_pricing_summary",
     "q09_join_theta",
     "q116_join_full_outer",
     "q135_bloom_semijoin_reduction",
-    "x146_record_linkage",
-    # aggregates + sketches + stats (q119/q137/q146: first driver row)
+    # aggregates + sketches + stats
     "x157_quality_constraints",
     "q140_bitmap_exact_distinct",
     "q139_theta_setops_contract",
     "q114_approx_percentile_contract",
-    "q119_string_agg",
-    "q137_bivariate_stats",
-    "q146_histogram_equi_width",
     "q145_ab_welch_ttest",
-    # windows + event analytics (x165/x166/x167: first driver row)
+    "x107_heavy_hitters",
+    # windows + event analytics
     "q159_sliding_active_users",
     "x183_bot_cadence",
     "q35_asof_join",
     "q144_gap_fill_locf",
-    "x165_event_cooccurrence",
-    "x166_event_path_trigrams",
     "x167_value_drift_psi",
-    "q168_growth_accounting",
-    # SQL surface (q151/q152: first driver row)
+    # SQL surface
     "q120_variant_json",
-    "q151_collation_group",
     "q152_parameterized_sql",
-    # versioned tables — the X12 family's FIRST driver row: a CoW
-    # snapshot built deterministically in-query, SCD2 history folded
-    # from its change feed, oracle replays the commits arithmetically
+    # versioned tables — X12's driver row
     "x186_scd2_history",
-    # dedup tiers (x164: first driver row)
+    # dedup tiers (x68/x69/x110/x106: first driver row)
     "x115_neardup_clusters_fast",
     "x179_prefix_simjoin",
     "x181_lsh_recall_contract",
-    "x164_dup_size_histogram",
-    # similarity / embedding math (x169/x155: first driver row)
+    "x68_embedding_neardup",
+    "x69_ngram_jaccard_neardup",
+    "x110_dup_ngram_fraction",
+    "x106_contamination",
+    # similarity / embedding math (x88/x89: first driver row)
     "x133_quantized_recall_contract",
     "x173_ks_two_sample",
-    "x169_jl_projection",
     "x155_pr_calibration",
-    # text analysis / corpus quality (x160/x161/x163/x171/x172: first
+    "x88_label_centroids",
+    "x89_knn_classify",
+    # text analysis / corpus quality (x49/x84/x91/x108/x134: first
     # driver row)
     "x158_bm25_search",
-    "x171_phrase_match",
-    "x160_url_canonicalize",
-    "x163_lang_source_mi",
-    "x161_source_diversity",
-    "x172_source_overlap",
+    "x49_quality_score",
+    "x84_bpe_token_count",
+    "x91_distinctive_terms",
+    "x108_vocab_oov",
+    "x134_bpe_merge_pairs",
     # multimodal + Python-execution surface
     "x180_audio_features",
     "x185_cms_heavy_hitters_contract",
@@ -236,12 +254,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x124_zorder_layout",
     "x138_domain_pagerank",
     "q126_sales_opportunity",
-    # training-data pipeline (x156/x162: first driver row)
-    "x150_epoch_upsample",
-    "x131_temperature_resample",
-    "x156_stratified_exact_sample",
+    # training-data pipeline (x70/x90/x98/x99/x109/x113: first driver
+    # row)
     "x162_weighted_sample",
     "x174_semdedup",
+    "x70_hash_split",
+    "x90_stratified_sample",
+    "x98_corpus_clean",
+    "x99_domain_mix",
+    "x109_train_shuffle",
+    "x113_token_budget_sample",
 )
 
 
