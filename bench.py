@@ -121,6 +121,124 @@ HEADLINE = [
 ]
 
 
+def _median_of(fn, n: int = 3) -> float:
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
+
+
+def measure_extras(spark) -> dict:
+    """Composed-artifact + lakehouse-layer bench lines (VERDICT r7
+    next-round #3/#4). Not per-query medians: the e2e pipeline is one
+    wall-time number; the lakehouse pairs exist for their SHAPE
+    (bucketed < shuffle, pruned < full), each median-of-3 with untimed
+    setup."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ua2sql_spark.catalog import load_table
+    from ua2sql_spark.operators.bucketing import bucketed_join, write_bucketed
+    from ua2sql_spark.operators.manifest import build_file_manifest, read_pruned
+    from ua2sql_spark.pipeline import corpus_pipeline
+
+    extras: dict = {}
+    scratch = tempfile.mkdtemp(prefix="bench_extras_")
+    try:
+        # --- e2e corpus pipeline: ingest-parity read -> NFC -> quality
+        # gate -> exact+near dedup -> pack -> WebDataset export, as ONE
+        # watched number (run once: the stages inside persist/export —
+        # a median-of-3 would triple the round's slowest line for a
+        # number whose variance the stage counts already expose).
+        t0 = time.perf_counter()
+        m = corpus_pipeline(spark, SF_DIR, os.path.join(scratch, "wds"))
+        extras["pipeline_e2e_sec"] = round(time.perf_counter() - t0, 4)
+        extras["pipeline_rows"] = {
+            "raw": m["n_raw"],
+            "gated": m["n_gated"],
+            "survivors": m["n_survivors"],
+            "exported": m["n_exported"],
+        }
+
+        # --- bucketed vs shuffle join (broadcast off: the 100 TB shape
+        # is two fact tables, neither broadcastable — at bench scale the
+        # small side would otherwise broadcast and measure nothing).
+        orders = load_table(spark, SF_DIR, "orders").select(
+            F.col("o_orderkey").alias("orderkey"), "o_totalprice"
+        )
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+        )
+        write_bucketed(orders, "bench_orders_b", "orderkey", 32,
+                       path=os.path.join(scratch, "ob"))
+        write_bucketed(li, "bench_lineitem_b", "orderkey", 32,
+                       path=os.path.join(scratch, "lb"))
+        agg = lambda j: (  # noqa: E731
+            j.groupBy("orderkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        no_bhj = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        old_conf = {k: spark.conf.get(k, None) for k in no_bhj}
+        try:
+            for k, v in no_bhj.items():
+                spark.conf.set(k, v)
+            agg(orders.join(li, "orderkey"))  # warm-up (plan + codegen)
+            extras["join_shuffle_sec"] = _median_of(
+                lambda: agg(orders.join(li, "orderkey"))
+            )
+            agg(bucketed_join(spark, "bench_orders_b", "bench_lineitem_b", "orderkey"))
+            extras["join_bucketed_sec"] = _median_of(
+                lambda: agg(
+                    bucketed_join(
+                        spark, "bench_orders_b", "bench_lineitem_b", "orderkey"
+                    )
+                )
+            )
+        finally:
+            for k, v in old_conf.items():
+                spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+            spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+            spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
+
+        # --- manifest-pruned vs full scan: lineitem range-laid-out on
+        # l_shipdate into 32 files (the clustered layout a 100 TB table
+        # maintains anyway), manifest built once, then a 30-day window
+        # read both ways. Identical results asserted by test_catalog /
+        # test_layout; here just the two watched numbers.
+        lay = os.path.join(scratch, "li_ranged")
+        full = load_table(spark, SF_DIR, "lineitem")
+        full.repartitionByRange(32, "l_shipdate").write.parquet(lay)
+        manifest = build_file_manifest(spark, lay, ["l_shipdate"]).cache()
+        manifest.count()
+        lo, hi = "1996-03-01", "1996-03-31"
+        cnt = lambda df: (  # noqa: E731
+            df.groupBy("l_returnflag").count()
+            .write.format("noop").mode("overwrite").save()
+        )
+        pruned_df = lambda: read_pruned(  # noqa: E731
+            spark, manifest, "l_shipdate", lo, hi, cast="timestamp"
+        )
+        plain_df = lambda: spark.read.parquet(lay).filter(  # noqa: E731
+            F.col("l_shipdate").between(lo, hi)
+        )
+        cnt(plain_df())
+        extras["scan_full_sec"] = _median_of(lambda: cnt(plain_df()))
+        cnt(pruned_df())
+        extras["scan_manifest_pruned_sec"] = _median_of(lambda: cnt(pruned_df()))
+        manifest.unpersist()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return extras
+
+
 def main() -> None:
     from ua2sql_spark.session import get_spark
     from ua2sql_spark.registry import all_queries
@@ -165,6 +283,8 @@ def main() -> None:
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 4)
 
+    extras = measure_extras(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -176,6 +296,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "runs": all_runs,
         "n_runs": N_RUNS,
         "sf": sf_val,
@@ -192,6 +313,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "n_runs": N_RUNS,
         "sf": sf_val,
     }

@@ -713,3 +713,138 @@ def test_ivm_versioned_refresh_is_atomic(spark, tmp_path):
     assert vacuum_view(spark, view, keep_versions=1) >= 1
     assert list_view_versions(spark, view) == [1]
     assert {r["grp"]: r["n"] for r in read_view(spark, view).collect()} == got
+
+
+def test_upsert_cow_rejects_narrow_batch_touching_only_new_partitions(
+    spark, tmp_path
+):
+    """ADVICE r7 #3: the missing-column guard must hold even when the
+    batch touches ONLY brand-new partitions (live_touched empty) — the
+    schema is validated against the latest committed version's FULL
+    schema (manifest sidecar), not the touched-partition slice."""
+    from ua2sql_spark.operators.snapshot import (
+        read_snapshot,
+        table_schema,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    full = spark.createDataFrame(
+        [(1, "d1", 10.0, "x")], "id bigint, day string, val double, note string"
+    )
+    upsert_cow(full, path, ["id"], "day")
+    # the commit recorded the logical schema
+    sch = table_schema(spark, path, 0)
+    assert sch is not None and set(sch.names) == {"id", "day", "val", "note"}
+    # a narrow batch into a NEVER-SEEN partition must still fail
+    narrow = spark.createDataFrame(
+        [(2, "d9", 5.0)], "id bigint, day string, val double"
+    )
+    with pytest.raises(ValueError, match="missing target columns.*note"):
+        upsert_cow(narrow, path, ["id"], "day")
+    snap = read_snapshot(spark, path)
+    assert snap.count() == 1 and "note" in snap.columns
+    # widening into a new partition is fine, and the sidecar evolves
+    wide = spark.createDataFrame(
+        [(3, "d9", 1.0, "y", 7)],
+        "id bigint, day string, val double, note string, extra bigint",
+    )
+    upsert_cow(wide, path, ["id"], "day")
+    assert "extra" in table_schema(spark, path, 1).names
+
+
+def test_cursor_commit_is_monotone_and_crash_safe(spark, tmp_path):
+    """ADVICE r7 #2: commit never deletes a durable position before the
+    new one exists — the checkpoint is a directory of version-named
+    markers; position() is their max, foreign files are ignored, and a
+    re-commit of the same version is idempotent."""
+    from ua2sql_spark.operators.snapshot import ChangeFeedCursor, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", 1.0)], "id bigint, day string, val double"),
+        path,
+        ["id"],
+        "day",
+    )
+    ck = str(tmp_path / "ckdir" / "cursor")
+    cur = ChangeFeedCursor(spark, path, ["id"], ck)
+    assert cur.position() == -1
+    cur.commit(0)
+    assert cur.position() == 0
+    # the marker for v0 exists as a file BEFORE any later commit: a
+    # crash between commits can never regress below a committed position
+    import os
+
+    assert any(n.startswith("v-") for n in os.listdir(tmp_path / "ckdir" / "cursor"))
+    cur.commit(7)
+    assert cur.position() == 7
+    # superseded markers are GC'd, the new one survives (the local FS
+    # also writes hidden .crc checksum twins — not markers)
+    names = sorted(
+        n
+        for n in os.listdir(tmp_path / "ckdir" / "cursor")
+        if n.startswith("v-")
+    )
+    assert names == [f"v-{7:020d}"]
+    cur.commit(7)  # idempotent re-commit
+    assert cur.position() == 7
+    # a stale lower-version commit (replayed consumer) can't move it back
+    cur.commit(3)
+    assert cur.position() == 7
+    # foreign files in the checkpoint dir are not markers
+    (tmp_path / "ckdir" / "cursor" / "README").write_text("hi")
+    assert cur.position() == 7
+
+
+def test_vacuum_view_survives_path_respelling_and_bigint_groups(spark, tmp_path):
+    """ADVICE r7 #5 + VERDICT r7 wrong-#3: vacuum liveness compares
+    d-<uuid> basenames (a file:// or trailing-slash spelling of the
+    view path must not delete live data), and a BIGINT group column
+    round-trips through the all-groups-deleted empty case with its
+    real type, not a hardcoded string."""
+    from ua2sql_spark.operators.ivm import (
+        build_view,
+        read_view,
+        refresh_from_feed,
+        vacuum_view,
+    )
+    from ua2sql_spark.operators.snapshot import (
+        changes_since,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id bigint, grp bigint, amount double"
+    )
+    upsert_cow(mk([(1, 10, 4.0), (2, 20, 6.0)]), path, ["id"], "grp")  # v0
+    build_view(read_snapshot(spark, path, 0), "grp", "amount", view)
+    upsert_cow(mk([(3, 10, 1.0)]), path, ["id"], "grp")                # v1
+    refresh_from_feed(spark, view, changes_since(spark, path, 0, ["id"], 1),
+                      "grp", "amount")
+    live = {r["grp"]: r["n"] for r in read_view(spark, view).collect()}
+    assert live == {10: 2, 20: 1}
+
+    # vacuum with a differently-spelled (file:// + trailing slash) view
+    # path: with full-string comparison every live dir would "mismatch"
+    # and be deleted — basename comparison keeps the view readable
+    assert vacuum_view(spark, f"file://{view}/", keep_versions=1) >= 0
+    assert {r["grp"]: r["n"] for r in read_view(spark, view).collect()} == live
+
+    # delete every row via a synthetic change feed -> EMPTY view whose
+    # grp column still reads back as BIGINT (not the old hardcoded
+    # "grp string" fallback)
+    feed = spark.createDataFrame(
+        [(1, 10, 4.0, "delete"), (3, 10, 1.0, "delete"), (2, 20, 6.0, "delete")],
+        "id bigint, grp bigint, amount double, _change_type string",
+    )
+    pre_dtype = dict(read_view(spark, view).dtypes)["grp"]
+    refresh_from_feed(spark, view, feed, "grp", "amount")
+    empty = read_view(spark, view)
+    assert empty.count() == 0
+    # the empty view reports the view's own committed group type (an
+    # integer width here), never the old hardcoded "grp string"
+    assert dict(empty.dtypes)["grp"] == pre_dtype != "string"

@@ -208,15 +208,30 @@ def bootstrap_snapshot(
 
 
 def _commit_manifest(
-    spark: SparkSession, path: str, version: int, rows: list[tuple]
+    spark: SparkSession,
+    path: str,
+    version: int,
+    rows: list[tuple],
+    table_schema=None,
 ) -> int:
     """Write the manifest to a staged directory, then atomically rename
-    it to v{N} — THE commit point."""
+    it to v{N} — THE commit point. ``table_schema`` (a StructType, when
+    the committer knows it) rides along as an underscore-prefixed JSON
+    sidecar inside the manifest dir — parquet readers ignore it, and it
+    gives later upserts the table's FULL logical schema without a
+    footer sweep over every live file (100 TB tables have millions)."""
     import uuid
 
     jvm, fs, _ = _jfs(spark, path)
     staged = f"{_snap_root(path)}/.tmp-{uuid.uuid4().hex}"
     spark.createDataFrame(rows, _MANIFEST_SCHEMA).coalesce(1).write.parquet(staged)
+    if table_schema is not None:
+        sidecar = jvm.org.apache.hadoop.fs.Path(staged, _SCHEMA_SIDECAR)
+        out = fs.create(sidecar, True)
+        try:
+            out.write(bytearray(table_schema.json().encode("utf-8")))
+        finally:
+            out.close()
     final = jvm.org.apache.hadoop.fs.Path(snapshot_path(path, version))
     fs.mkdirs(final.getParent())
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), final):
@@ -225,6 +240,44 @@ def _commit_manifest(
             "(concurrent writer?)"
         )
     return version
+
+
+_SCHEMA_SIDECAR = "_table_schema.json"
+
+
+def table_schema(spark: SparkSession, path: str, version: int):
+    """The committed logical schema of ``version`` (StructType), or
+    None for manifests written before the sidecar existed."""
+    from pyspark.sql.types import StructType
+
+    jvm, fs, _ = _jfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(snapshot_path(path, version), _SCHEMA_SIDECAR)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+    finally:
+        stream.close()
+    return StructType.fromJson(
+        __import__("json").loads(bytes(data).decode("utf-8"))
+    )
+
+
+def _table_columns(spark: SparkSession, path: str, version: int) -> list[str]:
+    """Column set of the committed version: sidecar when present, else
+    a mergeSchema read across the version's live files (pre-sidecar
+    tables only — pays footer reads once, and the next commit writes
+    the sidecar)."""
+    sch = table_schema(spark, path, version)
+    if sch is not None:
+        return list(sch.names)
+    return read_snapshot(spark, path, version, merge_schema=True).columns
 
 
 def upsert_cow(
@@ -258,6 +311,18 @@ def upsert_cow(
 
     prev = latest_version(spark, path)
     if prev is not None:
+        # A batch MISSING columns the table has must fail loudly — and
+        # against the FULL committed schema, not just the touched
+        # partitions' slice: a batch touching only brand-new partitions
+        # (live_touched empty) used to bypass the guard and commit the
+        # exact heterogeneous table the contract rejects (ADVICE r7 #3).
+        dropped = set(_table_columns(spark, path, prev)) - set(batch.columns)
+        if dropped:
+            raise ValueError(
+                f"batch is missing target columns {sorted(dropped)}; "
+                "add them to the batch (NULLs are fine) or drop them "
+                "from the table explicitly"
+            )
         manifest = read_manifest(spark, path, prev)
         touched_dirs = {
             _partition_dir_name(spark, partition_col, v) for v in touched
@@ -289,18 +354,6 @@ def upsert_cow(
             # old files and evolve lazily on their next touch
             # (read_snapshot(merge_schema=True) reads across both).
             slice_cols = set(slice_df.columns)
-            # ...but the reverse — a batch MISSING columns the target
-            # has — must fail loudly: projecting carried rows onto
-            # batch.columns would silently drop those columns' values
-            # for every rewritten partition while untouched partitions
-            # keep them, leaving the table heterogeneous (ADVICE r6 #2).
-            dropped = slice_cols - set(batch.columns)
-            if dropped:
-                raise ValueError(
-                    f"batch is missing target columns {sorted(dropped)}; "
-                    "add them to the batch (NULLs are fine) or drop them "
-                    "from the table explicitly"
-                )
             bt = dict(batch.dtypes)
             proj = [
                 F.col(f"t.{c}") if c in slice_cols
@@ -342,7 +395,9 @@ def upsert_cow(
     ]
 
     version = (prev if prev is not None else -1) + 1
-    _commit_manifest(spark, path, version, carried_manifest + new_files)
+    _commit_manifest(
+        spark, path, version, carried_manifest + new_files, table_schema=out.schema
+    )
     return version, int(obs.get["rows"])
 
 
@@ -370,7 +425,13 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
         (r["file"], r["partition"], r["row_count"])
         for r in read_manifest(spark, path, to_version).collect()
     ]
-    return _commit_manifest(spark, path, versions[-1] + 1, rows)
+    return _commit_manifest(
+        spark,
+        path,
+        versions[-1] + 1,
+        rows,
+        table_schema=table_schema(spark, path, to_version),
+    )
 
 
 def compact_snapshot(
@@ -434,7 +495,13 @@ def compact_snapshot(
         (f, part, None) for f, (part, _sz) in after.items() if f not in before
     ]
     version = prev + 1
-    _commit_manifest(spark, path, version, untouched + new_files)
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        untouched + new_files,
+        table_schema=table_schema(spark, path, prev),
+    )
     return version, sorted(p for p, _ in frag)
 
 
@@ -613,9 +680,17 @@ class ChangeFeedCursor:
     micro-batch consumer loop for index refresh / replication jobs:
     each ``poll()`` returns (changes DataFrame, latest_version) for
     everything committed since the cursor, and ``commit(version)``
-    durably advances it (write-temp + atomic rename, so a crashed
-    consumer re-reads its last uncommitted batch: at-least-once, and
-    the per-version tags make downstream upserts idempotent)."""
+    durably advances it.
+
+    The checkpoint is a DIRECTORY of monotonically version-named
+    marker files (``v-<020d>``): commit = write-temp + rename to a NEW
+    name, position = max name. Nothing is ever deleted before the new
+    position is durable (ADVICE r7 #2 — the previous delete-then-rename
+    of a single file had a crash window that reset a COMMITTED position
+    to -1 and replayed the feed from v0, double-applying every
+    historical delta into non-idempotent consumers such as the IVM
+    refresher). A crashed consumer re-reads at most its last
+    uncommitted batch: at-least-once, never lost progress."""
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str], checkpoint: str):
         self.spark = spark
@@ -623,24 +698,23 @@ class ChangeFeedCursor:
         self.key_cols = list(key_cols)
         self.checkpoint = checkpoint
 
+    def _markers(self, fs, p) -> list[int]:
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v-"):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    continue  # foreign file; never a committed marker
+        return out
+
     def position(self) -> int:
         jvm, fs, p = _jfs(self.spark, self.checkpoint)
-        if not fs.exists(p):
-            return -1  # fresh consumer: deliver v0's inserts too
-        # byte-at-a-time read() (returns int, -1 at EOF): the payload is
-        # a ≤20-byte ASCII integer, and py4j java arrays passed to
-        # readFully are NOT mutated visibly on the Python side.
-        stream = fs.open(p)
-        try:
-            data = []
-            while len(data) < 64:
-                b = stream.read()
-                if b < 0:
-                    break
-                data.append(b)
-        finally:
-            stream.close()
-        return int(bytes(data).decode("ascii").strip())
+        versions = self._markers(fs, p)
+        return max(versions) if versions else -1  # fresh: deliver v0 too
 
     def poll(self) -> tuple[DataFrame, int]:
         pos = self.position()
@@ -655,24 +729,26 @@ class ChangeFeedCursor:
     def commit(self, version: int) -> None:
         # Same Hadoop FileSystem the table operations use (ADVICE r6
         # #4), so the checkpoint can live beside an s3a:/hdfs: table.
-        # Write-temp + rename; FileSystem.rename won't overwrite, so an
-        # existing checkpoint is deleted first — a crash in that window
-        # resets the cursor to -1, which replays the feed from v0:
-        # at-least-once, never lost progress masquerading as progress.
+        # The marker content is empty — the version lives in the NAME,
+        # committed by a rename to a name that never pre-exists, so no
+        # step can clobber an earlier durable position.
         import uuid
 
         jvm, fs, p = _jfs(self.spark, self.checkpoint)
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            f"{self.checkpoint}.tmp-{uuid.uuid4().hex}"
-        )
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(str(version).encode("ascii")))
-        finally:
-            out.close()
-        if fs.exists(p):
-            fs.delete(p, False)
-        if not fs.rename(tmp, p):
-            raise RuntimeError(
-                f"cursor checkpoint rename failed for {self.checkpoint}"
-            )
+        fs.mkdirs(p)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        tmp = HPath(p, f".tmp-{uuid.uuid4().hex}")
+        fs.create(tmp, True).close()
+        target = HPath(p, f"v-{version:020d}")
+        if not fs.rename(tmp, target):
+            fs.delete(tmp, False)
+            if not fs.exists(target):  # exists => same version already committed
+                raise RuntimeError(
+                    f"cursor checkpoint rename failed for {self.checkpoint}"
+                )
+        # Best-effort GC of superseded markers AFTER the new position
+        # is durable; a crash here only leaves extra markers behind
+        # (position() takes the max, so they are harmless).
+        for v in self._markers(fs, p):
+            if v < version:
+                fs.delete(HPath(p, f"v-{v:020d}"), False)

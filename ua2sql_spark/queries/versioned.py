@@ -29,10 +29,9 @@ reconstruction is this engine's extension (SURVEY §2.11 X12).
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 import tempfile
+import uuid
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,11 +92,24 @@ def x186_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole table built deterministically in-query so DuckDB can
     replay the commits arithmetically."""
     from ua2sql_spark.operators.scd2 import build_scd2
-    from ua2sql_spark.operators.snapshot import upsert_cow
+    from ua2sql_spark.operators.snapshot import _jfs, upsert_cow
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"ua2sql_x186_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    # Unique per (process, invocation): two concurrent runs over the
+    # same sf_dir can never share a table dir (the old md5(sf_dir) key
+    # let one delete the table the other was reading, ADVICE r7 #4).
+    # Cleanup of THIS process's previous invocations goes through the
+    # same Hadoop FileSystem the table ops write with — on a non-local
+    # defaultFS a driver-local shutil.rmtree would miss the real files
+    # and the folded history would accumulate stale versions.
+    prefix = f"ua2sql_x186_{os.getpid()}_"
+    tmp_root = tempfile.gettempdir()
+    jvm, fs, _ = _jfs(spark, tmp_root)
+    root_p = jvm.org.apache.hadoop.fs.Path(tmp_root)
+    if fs.exists(root_p):
+        for st in fs.listStatus(root_p):
+            if st.getPath().getName().startswith(prefix):
+                fs.delete(st.getPath(), True)
+    path = os.path.join(tmp_root, prefix + uuid.uuid4().hex)
 
     base = (
         load_table(spark, sf_dir, "customer")
