@@ -1109,3 +1109,74 @@ def test_exif_never_raises_on_corrupt_segments():
         "datetime_original": None,
     }
     assert parse_exif(b"not a jpeg")["orientation"] is None
+
+
+def test_apply_exif_orientation_all_eight():
+    """Every EXIF orientation against hand-derived expected rasters on
+    an asymmetric 3x2 single-channel image (VERDICT r6 next-round #7).
+    Source (rows top-down):  a b c
+                             d e f"""
+    from ua2sql_spark.functions.media import apply_exif_orientation
+
+    a, b, c, d, e, f = range(10, 16)
+    src = bytes([a, b, c, d, e, f])  # 3 wide, 2 high
+
+    expected = {
+        1: (3, 2, [a, b, c, d, e, f]),
+        2: (3, 2, [c, b, a, f, e, d]),          # flip horizontal
+        3: (3, 2, [f, e, d, c, b, a]),          # rotate 180
+        4: (3, 2, [d, e, f, a, b, c]),          # flip vertical
+        5: (2, 3, [a, d, b, e, c, f]),          # transpose
+        6: (2, 3, [d, a, e, b, f, c]),          # rotate 90 CW
+        7: (2, 3, [f, c, e, b, d, a]),          # transverse
+        8: (2, 3, [c, f, b, e, a, d]),          # rotate 270 CW
+    }
+    for ori, (w, h, flat) in expected.items():
+        got = apply_exif_orientation(3, 2, 1, src, ori)
+        assert got == (w, h, bytes(flat)), f"orientation {ori}"
+    # identity spellings + 3-channel pixels move as units
+    assert apply_exif_orientation(3, 2, 1, src, None) == (3, 2, src)
+    rgb = bytes(v for px in [a, b, c, d, e, f] for v in (px, px + 100, px + 200 & 0xFF))
+    _, _, rot = apply_exif_orientation(3, 2, 3, rgb, 3)
+    assert rot[:3] == bytes([f, (f + 100) & 0xFF, (f + 200) & 0xFF])
+    with pytest.raises(ValueError, match="orientation"):
+        apply_exif_orientation(3, 2, 1, src, 9)
+
+
+def test_thumbnail_applies_orientation_before_downscale():
+    """A 16x8 landscape stored with orientation 6 is VISUALLY an 8x16
+    portrait: the thumbnail must orient first (portrait dims, long side
+    = the visual one), not downscale the stored landscape and rotate a
+    wrong-aspect thumb later."""
+    from ua2sql_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from ua2sql_spark.functions.media import (
+        apply_exif_orientation,
+        encode_exif_app1,
+        thumbnail_real,
+    )
+
+    w, h = 16, 8
+    raster = bytes(((x * 13 + y * 29) % 256) for y in range(h) for x in range(w))
+    base = encode_jpeg(w, h, 1, raster, quality=95)
+    tagged = base[:2] + encode_exif_app1(orientation=6) + base[2:]
+
+    thumb, tw, th = thumbnail_real(tagged, target_long_side=8, quality=95)
+    assert (tw, th) == (4, 8)  # portrait after orienting, THEN halved
+
+    # pixel parity with the reference chain: decode -> orient -> same
+    # nearest-neighbour downscale -> same encoder (bit-identical JPEG)
+    dw, dh, dc, draster = decode_jpeg(base)
+    ow, oh, oriented = apply_exif_orientation(dw, dh, dc, draster, 6)
+    ref = bytearray()
+    for y in range(8):
+        sy = y * oh // 8
+        for x in range(4):
+            sx = x * ow // 4
+            ref += oriented[sy * ow + sx : sy * ow + sx + 1]
+    assert thumb == encode_jpeg(4, 8, 1, bytes(ref), quality=95)
+
+    # orientation off / untagged: stored geometry is respected
+    thumb2, tw2, th2 = thumbnail_real(tagged, 8, 95, apply_orientation=False)
+    assert (tw2, th2) == (8, 4)
+    thumb3, tw3, th3 = thumbnail_real(base, 8, 95)
+    assert (tw3, th3) == (8, 4)

@@ -68,11 +68,11 @@ def test_driver_window_families():
     required = {
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
-        # text, multimodal, Pandas-UDF surface, advanced SQL, TPC-H
-        # archetypes, training-data pipeline ops, versioned tables
-        # (round-7 rotation #5: registry.py's rotation comment records
-        # which rows moved below the fold and which family member
-        # covers each)
+        # text, multimodal, Pandas-UDF surface, TPC-H archetypes,
+        # training-data pipeline ops, versioned tables (round-8
+        # rotation #6: registry.py's rotation comment records which
+        # rows moved below the fold and which family member covers
+        # each; every rotated-out row is driver-green in r6/r7)
         "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
         "q35_asof_join", "q120_variant_json",
         "q114_approx_percentile_contract",
@@ -82,10 +82,9 @@ def test_driver_window_families():
         "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank",
-        "q126_sales_opportunity", "q168_growth_accounting",
-        "x150_epoch_upsample",
-        "x131_temperature_resample", "q144_gap_fill_locf",
-        "x146_record_linkage", "q139_theta_setops_contract",
+        "q126_sales_opportunity",
+        "q144_gap_fill_locf",
+        "q139_theta_setops_contract",
         "q145_ab_welch_ttest",
         "x158_bm25_search",
         "q159_sliding_active_users", "x157_quality_constraints",
@@ -95,17 +94,22 @@ def test_driver_window_families():
         "x181_lsh_recall_contract",
         "x183_bot_cadence",
         "x185_cms_heavy_hitters_contract",
-        # round-7 rotation #5: the never-driver-checked tail + X12
         "x186_scd2_history",
-        "q119_string_agg", "q137_bivariate_stats",
-        "q146_histogram_equi_width", "q151_collation_group",
-        "q152_parameterized_sql",
-        "x155_pr_calibration", "x156_stratified_exact_sample",
-        "x160_url_canonicalize", "x161_source_diversity",
-        "x162_weighted_sample", "x163_lang_source_mi",
-        "x164_dup_size_histogram", "x165_event_cooccurrence",
-        "x166_event_path_trigrams", "x167_value_drift_psi",
-        "x169_jl_projection", "x171_phrase_match", "x172_source_overlap",
+        "x155_pr_calibration",  # r7's red row, re-keyed — stays gated
+        "x162_weighted_sample", "x167_value_drift_psi",
+        # round-8 rotation #6: the never-driver-checked pipeline tail
+        "x49_quality_score",
+        "x68_embedding_neardup", "x69_ngram_jaccard_neardup",
+        "x70_hash_split", "x84_bpe_token_count",
+        "x88_label_centroids", "x89_knn_classify",
+        "x90_stratified_sample", "x91_distinctive_terms",
+        "x98_corpus_clean", "x99_domain_mix",
+        "x106_contamination", "x107_heavy_hitters",
+        "x108_vocab_oov", "x109_train_shuffle",
+        "x110_dup_ngram_fraction", "x113_token_budget_sample",
+        "x134_bpe_merge_pairs",
+        # late-r8: orientation-aware thumbnailing's driver gate
+        "x187_oriented_thumbs",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -295,19 +295,65 @@ def decode_image_real(payload: bytes) -> dict:
     return {"width": width, "height": height, "mean_pixel": mean}
 
 
+def apply_exif_orientation(
+    width: int, height: int, channels: int, raster: bytes, orientation: int | None
+) -> tuple[int, int, bytes]:
+    """Re-map a decoded raster to upright per its EXIF orientation tag
+    (1..8; None/0/1 are identity). Orientations 5-8 swap the output
+    dimensions. Per-output-pixel source lookup — the same access
+    pattern as the nearest-neighbour resample it runs beside."""
+    if orientation in (None, 0, 1):
+        return width, height, raster
+    if orientation not in (2, 3, 4, 5, 6, 7, 8):
+        raise ValueError(f"EXIF orientation out of range: {orientation}")
+    swap = orientation >= 5
+    dw, dh = (height, width) if swap else (width, height)
+    out = bytearray(len(raster))
+    for dy in range(dh):
+        for dx in range(dw):
+            if orientation == 2:      # flip horizontal
+                sx, sy = width - 1 - dx, dy
+            elif orientation == 3:    # rotate 180
+                sx, sy = width - 1 - dx, height - 1 - dy
+            elif orientation == 4:    # flip vertical
+                sx, sy = dx, height - 1 - dy
+            elif orientation == 5:    # transpose (main diagonal)
+                sx, sy = dy, dx
+            elif orientation == 6:    # stored needs 90 deg CW to display
+                sx, sy = dy, height - 1 - dx
+            elif orientation == 7:    # transverse (anti-diagonal)
+                sx, sy = width - 1 - dy, height - 1 - dx
+            else:                     # 8: stored needs 270 deg CW
+                sx, sy = width - 1 - dy, dx
+            so = (sy * width + sx) * channels
+            do = (dy * dw + dx) * channels
+            out[do : do + channels] = raster[so : so + channels]
+    return dw, dh, bytes(out)
+
+
 def thumbnail_real(
-    payload: bytes, target_long_side: int = 256, quality: int = 85
+    payload: bytes,
+    target_long_side: int = 256,
+    quality: int = 85,
+    apply_orientation: bool = True,
 ) -> tuple[bytes, int, int]:
     """The production thumbnail chain, pure stdlib end-to-end: decode
-    any supported format (:func:`decode_raster`), aspect-preserving
-    nearest-neighbour downscale (never upscales), re-encode as baseline
-    JPEG (4:2:0 for color). Grayscale sources stay single-channel.
-    Returns (jpeg_bytes, width, height) — the dimensions are known from
-    the resize itself, so callers never pay a decode of the thumb just
-    to learn its geometry."""
+    any supported format (:func:`decode_raster`), EXIF-orient upright
+    (JPEG sources; BEFORE the downscale, so a rotated portrait is not
+    scaled against the wrong long side — VERDICT r6 next-round #7),
+    aspect-preserving nearest-neighbour downscale (never upscales),
+    re-encode as baseline JPEG (4:2:0 for color). Grayscale sources
+    stay single-channel. Returns (jpeg_bytes, width, height) — the
+    dimensions are known from the resize itself, so callers never pay
+    a decode of the thumb just to learn its geometry."""
     from ua2sql_spark.functions.jpeg import encode_jpeg
 
     width, height, channels, raster = decode_raster(payload)
+    if apply_orientation and payload[:2] == b"\xff\xd8":
+        ori = parse_exif(payload)["orientation"]
+        width, height, raster = apply_exif_orientation(
+            width, height, channels, raster, ori
+        )
     new_w, new_h = resize_dims(width, height, target_long_side)
     if channels not in (1, 3):  # flatten alpha variants to their color channels
         keep = 1 if channels == 2 else 3

@@ -428,3 +428,78 @@ def x180_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rate int, n_samples bigint, duration_s double, rms double"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X6g: EXIF-orientation-aware thumbnailing (VERDICT r6 next-round #7 /
+# r7 carry). Each doc synthesizes a REAL asymmetric grayscale JPEG
+# (pure-stdlib encoder, dims derived from doc_id) tagged with a
+# per-doc APP1/Exif orientation, then runs the PRODUCTION thumbnail
+# chain (functions/media.thumbnail_real): decode -> orient upright
+# BEFORE the downscale -> aspect-preserving resize -> re-encode. The
+# hashed columns are the MEASURED thumb dimensions — integer-exact —
+# and the oracle predicts them arithmetically (orientations 5-8 swap
+# the visual axes; resize is floor integer scaling), so the whole
+# decode/orient/resize geometry is pinned cross-engine without hashing
+# codec bytes. Map-only: one Arrow-batched mapInPandas, no shuffle —
+# the engine's deliberate Python media seam (same as x153/x180).
+# Reference parity: ua2sql.py has no media path; SURVEY §2.11 X6.
+# ---------------------------------------------------------------------------
+_OT_TARGET = 10
+
+
+@query(
+    "x187_oriented_thumbs",
+    oracle=f"""
+    WITH spec AS (
+        SELECT doc_id,
+               CAST(doc_id % 8 + 1 AS INTEGER) AS exif_orientation,
+               CAST(12 + (doc_id % 3) * 4 AS INTEGER) AS src_w,
+               CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS src_h
+        FROM documents
+    ),
+    vis AS (
+        SELECT doc_id, exif_orientation, src_w, src_h,
+               CASE WHEN exif_orientation >= 5 THEN src_h ELSE src_w END AS vw,
+               CASE WHEN exif_orientation >= 5 THEN src_w ELSE src_h END AS vh
+        FROM spec
+    )
+    SELECT doc_id, exif_orientation, src_w, src_h,
+           CAST(vw * {_OT_TARGET} // GREATEST(vw, vh) AS INTEGER) AS thumb_w,
+           CAST(vh * {_OT_TARGET} // GREATEST(vw, vh) AS INTEGER) AS thumb_h
+    FROM vis
+    """,
+)
+def x187_oriented_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.functions.jpeg import encode_jpeg
+    from ua2sql_spark.functions.media import encode_exif_app1, thumbnail_real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 12 + (i % 3) * 4, 8 + (i % 5) * 2
+                raster = bytes(
+                    (x * 13 + y * 29 + i) % 256 for y in range(h) for x in range(w)
+                )
+                base = encode_jpeg(w, h, 1, raster, quality=90)
+                tagged = base[:2] + encode_exif_app1(i % 8 + 1) + base[2:]
+                _, tw, th = thumbnail_real(tagged, _OT_TARGET, quality=85)
+                rows.append((i, i % 8 + 1, w, h, tw, th))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "exif_orientation", "src_w", "src_h",
+                    "thumb_w", "thumb_h",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, exif_orientation int, src_w int, src_h int, "
+            "thumb_w int, thumb_h int"
+        ),
+    )

@@ -199,7 +199,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # keeps x158 BM25 + incoming x49/x84/x91/x98/x108/x134), x165/x166/
 # q168 (events keep q159/q144/x167/x183), x150/x131/x156 (sampling
 # keeps x162 + incoming x90/x109/x113). x155 stays IN per VERDICT r7
-# next-round #1, now hashed transcendental-free.
+# next-round #1, now hashed transcendental-free. Late-r8 swap:
+# q152 -> x187 (parameterized SQL driver-green r7, SQL surface fully
+# driver-proven by q147/q150/q151/q152 across r6-r7; EXIF-orientation-
+# aware thumbnailing is the r6 #7 / r7 #7 carry item and gives the
+# orient-before-downscale geometry its driver gate).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins
     "q01_pricing_summary",
@@ -221,7 +225,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x167_value_drift_psi",
     # SQL surface
     "q120_variant_json",
-    "q152_parameterized_sql",
     # versioned tables — X12's driver row
     "x186_scd2_history",
     # dedup tiers (x68/x69/x110/x106: first driver row)
@@ -246,8 +249,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x91_distinctive_terms",
     "x108_vocab_oov",
     "x134_bpe_merge_pairs",
-    # multimodal + Python-execution surface
+    # multimodal + Python-execution surface (x187: first driver row)
     "x180_audio_features",
+    "x187_oriented_thumbs",
     "x185_cms_heavy_hitters_contract",
     "x149_udtf_polymorphic",
     # layout + iterative graph + TPC-H archetype
