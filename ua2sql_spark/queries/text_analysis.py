@@ -762,3 +762,127 @@ def x171_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3h: Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+# quality-filter family every production corpus build runs alongside
+# x49's ratio gate): per document, the most-frequent word-bigram's
+# share of all bigram slots and the duplicated word-trigram fraction.
+# Pages that fail either are listy/boilerplate/SEO-spun text that the
+# simple length/stopword gate misses.
+#
+# SCALE SHAPE: trigram duplication is PURE EXPRESSION work
+# (size(arr) - size(array_distinct(arr)) — map-only, whole-stage
+# codegen); the bigram mode needs a per-(doc, gram) count, one
+# explode + two doc-keyed shuffles, no joins. DETERMINISM: hashed
+# columns are integer counts and ROUND(ratio-of-integers, 6); the
+# pass/fail gates are INTEGER cross-multiplications (top*5 <= n2,
+# dup*10 <= n3*3), never float compares — the x133/x155 policy.
+# ---------------------------------------------------------------------------
+@query(
+    "x188_repetition_signals",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    expr_side AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(ws) - 1 AS BIGINT) AS n_2grams,
+               CAST(len(ws) - 2 AS BIGINT) AS n_3grams,
+               CAST(len(ws) - 2
+                    - len(list_distinct(list_transform(
+                          range(0, len(ws) - 2),
+                          i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])))
+                    AS BIGINT) AS n_dup_3grams
+        FROM base
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(ws) - 1),
+                      i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+        FROM base
+    ),
+    counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+    ),
+    top2 AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_2gram_n
+        FROM counts GROUP BY doc_id
+    )
+    SELECT e.doc_id, e.n_words, e.n_2grams, t.top_2gram_n,
+           e.n_3grams, e.n_dup_3grams,
+           ROUND(CAST(t.top_2gram_n AS DOUBLE) / e.n_2grams, 6)
+               AS top_2gram_frac,
+           ROUND(CAST(e.n_dup_3grams AS DOUBLE) / e.n_3grams, 6)
+               AS dup_3gram_frac,
+           (t.top_2gram_n * 5 <= e.n_2grams
+            AND e.n_dup_3grams * 10 <= e.n_3grams * 3) AS gopher_pass
+    FROM expr_side e JOIN top2 t USING (doc_id)
+    """,
+)
+def x188_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.get("ws", i), F.get("ws", i + 1)),
+    )
+    g3 = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 3),
+        lambda i: F.concat_ws(
+            " ", F.get("ws", i), F.get("ws", i + 1), F.get("ws", i + 2)
+        ),
+    )
+    # trigram duplication: expression-only (no shuffle); bigram mode:
+    # explode once, two doc-keyed aggregates, expression metrics carried
+    # through with MIN (constant per doc)
+    exploded = base.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        (F.size("ws") - 1).cast("bigint").alias("n_2grams"),
+        (F.size("ws") - 2).cast("bigint").alias("n_3grams"),
+        (F.size(g3) - F.size(F.array_distinct(g3))).cast("bigint").alias(
+            "n_dup_3grams"
+        ),
+        F.explode(g2).alias("gram"),
+    )
+    per_doc = (
+        exploded.groupBy("doc_id", "gram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("n_words").alias("n_words"),
+            F.min("n_2grams").alias("n_2grams"),
+            F.min("n_3grams").alias("n_3grams"),
+            F.min("n_dup_3grams").alias("n_dup_3grams"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_2gram_n"),
+            F.min("n_words").alias("n_words"),
+            F.min("n_2grams").alias("n_2grams"),
+            F.min("n_3grams").alias("n_3grams"),
+            F.min("n_dup_3grams").alias("n_dup_3grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_2grams",
+        "top_2gram_n",
+        "n_3grams",
+        "n_dup_3grams",
+        F.round(F.col("top_2gram_n").cast("double") / F.col("n_2grams"), 6).alias(
+            "top_2gram_frac"
+        ),
+        F.round(F.col("n_dup_3grams").cast("double") / F.col("n_3grams"), 6).alias(
+            "dup_3gram_frac"
+        ),
+        (
+            (F.col("top_2gram_n") * 5 <= F.col("n_2grams"))
+            & (F.col("n_dup_3grams") * 10 <= F.col("n_3grams") * 3)
+        ).alias("gopher_pass"),
+    )
