@@ -92,11 +92,10 @@ def test_driver_window_families():
         "x174_semdedup",
         "x179_prefix_simjoin", "x180_audio_features",
         "x181_lsh_recall_contract",
-        "x183_bot_cadence",
         "x185_cms_heavy_hitters_contract",
         "x186_scd2_history",
         "x155_pr_calibration",  # r7's red row, re-keyed — stays gated
-        "x162_weighted_sample", "x167_value_drift_psi",
+        "x162_weighted_sample",
         # round-8 rotation #6: the never-driver-checked pipeline tail
         "x49_quality_score",
         "x68_embedding_neardup", "x69_ngram_jaccard_neardup",
@@ -108,8 +107,9 @@ def test_driver_window_families():
         "x108_vocab_oov", "x109_train_shuffle",
         "x110_dup_ngram_fraction", "x113_token_budget_sample",
         "x134_bpe_merge_pairs",
-        # late-r8: orientation-aware thumbnailing's driver gate
+        # late-r8: the round's new operators, driver-gated same-round
         "x187_oriented_thumbs",
+        "x188_repetition_signals", "x189_word_rarity",
     }
     assert required <= set(DRIVER_WINDOW)
 

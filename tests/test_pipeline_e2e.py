@@ -44,3 +44,20 @@ def test_pipeline_is_deterministic(spark, tmp_path):
     k1 = sorted((r["shard"], r["n_samples"], r["n_bytes"]) for r in m1["manifest"])
     k2 = sorted((r["shard"], r["n_samples"], r["n_bytes"]) for r in m2["manifest"])
     assert k1 == k2 and m1["n_survivors"] == m2["n_survivors"]
+
+
+def test_pipeline_cli_subcommand(spark, tmp_path, capsys):
+    """`python -m ua2sql_spark pipeline <sf> <out> [shards]` runs the
+    composed build and prints the stage-count record as one JSON line."""
+    import json
+
+    from ua2sql_spark.__main__ import main
+
+    out = str(tmp_path / "cli_wds")
+    rc = main(["pipeline", SF_DIR, out, "4"], spark=spark)
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_exported"] == rec["n_survivors"] > 0
+    assert rec["n_shards"] == 4
+
+    assert main(["pipeline"], spark=spark) == 1  # usage error path

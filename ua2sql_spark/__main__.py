@@ -44,6 +44,28 @@ def _jdbc_sink(cfg: IngestConfig):
     return sink
 
 
+def _pipeline_main(argv: list[str], spark=None) -> int:
+    """``python -m ua2sql_spark pipeline <sf_dir> <out_dir> [n_shards]``
+    — the composed corpus build (read → NFC → quality gate → exact+near
+    dedup → pack → WebDataset export) as a runnable job, printing the
+    stage-count record as one JSON line (the bench/driver convention)."""
+    import json
+
+    from ua2sql_spark.pipeline import corpus_pipeline
+    from ua2sql_spark.session import get_spark
+
+    if len(argv) < 2:
+        print("usage: python -m ua2sql_spark pipeline <sf_dir> <out_dir> [n_shards]")
+        return 1
+    sf_dir, out_dir = argv[0], argv[1]
+    n_shards = int(argv[2]) if len(argv) > 2 else 16
+    spark = spark or get_spark("ua2sql_spark-pipeline")
+    m = corpus_pipeline(spark, sf_dir, out_dir, n_shards=n_shards)
+    m.pop("manifest")
+    print(json.dumps(m))
+    return 0
+
+
 def main(argv: list[str] | None = None, client=None, spark=None) -> int:
     """Returns a process exit code. ``client``/``spark`` are injectable
     for tests; production builds both from the config."""
@@ -52,6 +74,8 @@ def main(argv: list[str] | None = None, client=None, spark=None) -> int:
         # ua2sql.py:18-19
         print("please provide path to configuration file. see README.md for specs.")
         return 1
+    if argv[0] == "pipeline":
+        return _pipeline_main(argv[1:], spark=spark)
     try:
         cfg = load_config(argv[0])
     except ConfigError as exc:

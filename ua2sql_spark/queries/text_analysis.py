@@ -886,3 +886,63 @@ def x188_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_dup_3grams") * 10 <= F.col("n_3grams") * 3)
         ).alias("gopher_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3i: corpus-trained word-rarity scoring — the driver-gateable twin of
+# x125's unigram-LM log-probability. Same plan shape (one vocab shuffle
+# trains the model, a word join scores every doc) and a monotone-
+# equivalent signal, but every hashed column is transcendental-free:
+# the per-word surprisal proxy is the RATIONAL inverse relative
+# frequency total/cnt (ln(total/cnt) is a strictly increasing function
+# of it, so rankings and threshold gates agree), quantized to 4
+# decimals and summed through the decimal interior. x125 keeps the true
+# log-prob semantics for local use; this row carries the family's
+# cross-engine hash gate (the x155 lesson: never hash EXP/LN output —
+# PLANS.md / VERDICT r7 wrong-#1).
+# SCALE SHAPE: vocab is one word shuffle; `total` is a 1-row broadcast;
+# scoring is the word join + one doc-keyed aggregate — no Python.
+# ---------------------------------------------------------------------------
+@query(
+    "x189_word_rarity",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+        SELECT w.doc_id, v.cnt,
+               ROUND(CAST(t.total AS DOUBLE) / v.cnt, 4) AS rarity
+        FROM words w JOIN vocab v USING (word) CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(MIN(cnt) AS BIGINT) AS rarest_cnt,
+           CAST(MAX(rarity) AS DOUBLE) AS max_rarity,
+           CAST(CAST(SUM(CAST(rarity AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+                 / COUNT(*) AS avg_rarity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x189_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    rarity = F.round(F.col("total").cast("double") / F.col("cnt"), 4)
+    scored = (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "cnt", rarity.alias("rarity"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.min("cnt").cast("bigint").alias("rarest_cnt"),
+        F.max("rarity").cast("double").alias("max_rarity"),
+        (
+            F.sum(F.col("rarity").cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_rarity"),
+    )

@@ -203,7 +203,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # q152 -> x187 (parameterized SQL driver-green r7, SQL surface fully
 # driver-proven by q147/q150/q151/q152 across r6-r7; EXIF-orientation-
 # aware thumbnailing is the r6 #7 / r7 #7 carry item and gives the
-# orient-before-downscale geometry its driver gate).
+# orient-before-downscale geometry its driver gate), x183 -> x188
+# (bot-cadence driver-green r7, events keep q159/q144/q35; the
+# Gopher-style repetition filters are a new quality-gate family built
+# this round), x167 -> x189 (PSI drift driver-green r7; word-rarity is
+# the unigram-LM family's transcendental-free driver gate — x125's
+# log-prob twin stays local per the x155 determinism rule).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins
     "q01_pricing_summary",
@@ -219,10 +224,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x107_heavy_hitters",
     # windows + event analytics
     "q159_sliding_active_users",
-    "x183_bot_cadence",
     "q35_asof_join",
     "q144_gap_fill_locf",
-    "x167_value_drift_psi",
     # SQL surface
     "q120_variant_json",
     # versioned tables — X12's driver row
@@ -241,9 +244,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x155_pr_calibration",
     "x88_label_centroids",
     "x89_knn_classify",
-    # text analysis / corpus quality (x49/x84/x91/x108/x134: first
-    # driver row)
+    # text analysis / corpus quality (x49/x84/x91/x108/x134/x188/x189:
+    # first driver row)
     "x158_bm25_search",
+    "x188_repetition_signals",
+    "x189_word_rarity",
     "x49_quality_score",
     "x84_bpe_token_count",
     "x91_distinctive_terms",
