@@ -77,13 +77,11 @@ def test_driver_window_families():
         "q35_asof_join", "q120_variant_json",
         "q114_approx_percentile_contract",
         "q135_bloom_semijoin_reduction",
-        "q140_bitmap_exact_distinct",
         "x115_neardup_clusters_fast",
         "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank",
         "q126_sales_opportunity",
-        "q144_gap_fill_locf",
         "q139_theta_setops_contract",
         "q145_ab_welch_ttest",
         "x158_bm25_search",
@@ -110,6 +108,7 @@ def test_driver_window_families():
         # late-r8: the round's new operators, driver-gated same-round
         "x187_oriented_thumbs",
         "x188_repetition_signals", "x189_word_rarity",
+        "q153_sql_scripting", "q154_sql_udf",
     }
     assert required <= set(DRIVER_WINDOW)
 

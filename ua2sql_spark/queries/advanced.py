@@ -602,3 +602,112 @@ def x157_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             rule("fk(l_orderkey -> orders)", F.col("n"), F.col("n_orphans"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q153: SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE procedural blocks,
+# SQL/PSM) — the control-flow-in-SQL surface a migrating warehouse user
+# reaches for: an iterative threshold search runs AS ONE SCRIPT inside
+# the engine (each loop iteration is a full distributed aggregate;
+# the loop itself is driver-side control flow, exactly how an
+# analyst's stored procedure behaves). Finds the largest power-of-two
+# price cutoff keeping >= 5% of orders. DuckDB has no SQL/PSM — the
+# oracle replays the loop as a RECURSIVE CTE, pinning the scripting
+# engine's arithmetic against a declarative replay.
+# ---------------------------------------------------------------------------
+_SCRIPT_START = 1 << 19  # 524288, far above any o_totalprice
+
+
+@query(
+    "q153_sql_scripting",
+    oracle=f"""
+    WITH RECURSIVE tot AS (SELECT COUNT(*) AS n_orders FROM orders),
+    walk(cutoff, n_kept) AS (
+        SELECT CAST({_SCRIPT_START} AS BIGINT),
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice >= {_SCRIPT_START})
+        UNION ALL
+        SELECT w.cutoff // 2,
+               (SELECT COUNT(*) FROM orders o, tot t
+                WHERE o.o_totalprice >= w.cutoff // 2
+                  AND w.n_kept * 20 < t.n_orders)
+        FROM walk w, tot t WHERE w.n_kept * 20 < t.n_orders
+    )
+    SELECT CAST(cutoff AS BIGINT) AS cutoff,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST((SELECT n_orders FROM tot) AS BIGINT) AS n_orders
+    FROM walk w2, tot t2 WHERE w2.n_kept * 20 >= t2.n_orders
+    """,
+)
+def q153_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_o_script")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(f"""
+        BEGIN
+          DECLARE cutoff BIGINT = {_SCRIPT_START};
+          DECLARE n_kept BIGINT = 0;
+          DECLARE n_orders BIGINT = 0;
+          SET n_orders = (SELECT COUNT(*) FROM v_o_script);
+          SET n_kept = (SELECT COUNT(*) FROM v_o_script
+                        WHERE o_totalprice >= cutoff);
+          WHILE n_kept * 20 < n_orders DO
+            SET cutoff = cutoff DIV 2;
+            SET n_kept = (SELECT COUNT(*) FROM v_o_script
+                          WHERE o_totalprice >= cutoff);
+          END WHILE;
+          SELECT cutoff, n_kept, n_orders;
+        END
+        """)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# q154: SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN <expr>) — reusable
+# business logic declared IN SQL and resolved by the catalog, the
+# migration target for warehouse scalar functions. Unlike Python UDFs
+# these inline into the plan at analysis time (whole-stage codegen,
+# full predicate pushdown through the call — zero serialization), so
+# they are the 100 TB-safe way to share expression logic. The oracle
+# inlines the same expressions by hand, pinning the catalog
+# resolution + inlining path against a literal replay.
+# ---------------------------------------------------------------------------
+@query(
+    "q154_sql_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           CASE WHEN l_extendedprice * (1 - l_discount) < 20000 THEN 'low'
+                WHEN l_extendedprice * (1 - l_discount) < 45000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS net_revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q154_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_udf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x < 20000 THEN 'low' "
+        "WHEN x < 45000 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               price_band(net_price(l_extendedprice, l_discount)) AS band,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(net_price(l_extendedprice, l_discount)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS net_revenue
+        FROM v_li_udf
+        GROUP BY l_returnflag, band
+        """
+    )

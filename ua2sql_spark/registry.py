@@ -208,7 +208,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Gopher-style repetition filters are a new quality-gate family built
 # this round), x167 -> x189 (PSI drift driver-green r7; word-rarity is
 # the unigram-LM family's transcendental-free driver gate — x125's
-# log-prob twin stays local per the x155 determinism rule).
+# log-prob twin stays local per the x155 determinism rule),
+# q140 -> q153 (bitmap exact-distinct driver-green r7, sketch suite
+# keeps q139 theta + q114 GK + x185 CMS; SQL/PSM scripting is a new
+# procedural-SQL family built this round), q144 -> q154 (gap-fill
+# driver-green r7, events keep q159/q35; catalog SQL UDFs are the
+# warehouse-migration scalar surface, inlined at analysis time).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins
     "q01_pricing_summary",
@@ -217,7 +222,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q135_bloom_semijoin_reduction",
     # aggregates + sketches + stats
     "x157_quality_constraints",
-    "q140_bitmap_exact_distinct",
     "q139_theta_setops_contract",
     "q114_approx_percentile_contract",
     "q145_ab_welch_ttest",
@@ -225,9 +229,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # windows + event analytics
     "q159_sliding_active_users",
     "q35_asof_join",
-    "q144_gap_fill_locf",
-    # SQL surface
+    # SQL surface (q153/q154: first driver row)
     "q120_variant_json",
+    "q153_sql_scripting",
+    "q154_sql_udf",
     # versioned tables — X12's driver row
     "x186_scd2_history",
     # dedup tiers (x68/x69/x110/x106: first driver row)
