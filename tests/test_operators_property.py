@@ -727,3 +727,41 @@ def test_prefix_simjoin_is_exact(spark, docs):
         for r in _prefix_sim_pairs(d).collect()
     }
     assert got == truth, (sorted(truth.items()), sorted(got.items()))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    channels=st.sampled_from([1, 3]),
+    ori=st.integers(min_value=1, max_value=8),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_exif_orientation_group_properties(w, h, channels, ori, data):
+    """apply_exif_orientation implements the dihedral-group transforms:
+    every orientation is a bijection (pixel multiset preserved), 2/3/4/
+    5/7 are involutions, 6 and 8 are mutual inverses, and dims swap
+    exactly for 5-8. Pure Python — no Spark."""
+    from ua2sql_spark.functions.media import apply_exif_orientation
+
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    ow, oh, out = apply_exif_orientation(w, h, channels, raster, ori)
+    assert (ow, oh) == ((h, w) if ori >= 5 else (w, h))
+    assert len(out) == len(raster)
+    # bijection: the multiset of PIXELS (channel tuples) is preserved
+    px = lambda b, width, height: sorted(  # noqa: E731
+        b[i * channels : (i + 1) * channels] for i in range(width * height)
+    )
+    assert px(out, ow, oh) == px(raster, w, h)
+    # inverse: applying the inverse orientation restores the original
+    inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}[ori]
+    rw, rh, back = apply_exif_orientation(ow, oh, channels, out, inverse)
+    assert (rw, rh, back) == (w, h, raster)
