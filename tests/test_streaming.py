@@ -991,3 +991,69 @@ def test_tws_state_ttl_ages_out_idle_keys(spark, tmp_path):
             q.stop()
         for k, v in prev.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_dedup_ingest_sink_dedupes_across_batches(spark, tmp_path):
+    """Continuous dedup ingest (streaming/dedup_ingest.py): each batch
+    dedupes within itself AND against the fingerprint index of
+    everything already committed; survivors land as CoW versions; a
+    replayed batch converges (at-least-once, key-idempotent)."""
+    from ua2sql_spark.operators.snapshot import read_snapshot
+    from ua2sql_spark.streaming.dedup_ingest import (
+        dedup_ingest_batch,
+        dedup_ingest_sink,
+    )
+
+    tbl = str(tmp_path / "corpus")
+    idx = str(tmp_path / "fp_index")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+
+    # batch 1: one in-batch duplicate pair (ids 1,2) -> 2 survivors
+    b1 = mk([(1, "d1", "alpha beta"), (2, "d1", "alpha beta"), (3, "d2", "gamma")])
+    m1 = dedup_ingest_batch(b1, tbl, idx, "doc_id", "day")
+    assert (m1["n_in"], m1["n_fresh"], m1["version"]) == (3, 2, 0)
+    got1 = {r["doc_id"]: r["text"] for r in read_snapshot(spark, tbl).collect()}
+    assert got1 == {1: "alpha beta", 3: "gamma"}
+
+    # batch 2: one cross-batch dup (of id 1), one genuinely new doc
+    b2 = mk([(10, "d1", "alpha beta"), (11, "d3", "delta")])
+    m2 = dedup_ingest_batch(b2, tbl, idx, "doc_id", "day")
+    assert (m2["n_fresh"], m2["version"]) == (1, 1)
+    got2 = {r["doc_id"] for r in read_snapshot(spark, tbl).collect()}
+    assert got2 == {1, 3, 11}
+
+    # replay of batch 2 (at-least-once delivery): nothing new, no
+    # version committed, table unchanged
+    m3 = dedup_ingest_batch(b2, tbl, idx, "doc_id", "day")
+    assert m3["n_fresh"] == 0 and m3["version"] is None
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl).collect()} == got2
+
+    # the streaming wiring end-to-end: availableNow file stream through
+    # the foreachBatch sink into fresh table+index paths
+    import json as _json
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    with open(src / "p1.json", "w") as f:
+        for r in [
+            {"doc_id": 1, "day": "d1", "text": "alpha beta"},
+            {"doc_id": 2, "day": "d1", "text": "alpha beta"},
+            {"doc_id": 3, "day": "d2", "text": "gamma"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    tbl2, idx2 = str(tmp_path / "corpus2"), str(tmp_path / "idx2")
+    stream = spark.readStream.schema("doc_id bigint, day string, text string").json(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_ingest_sink(tbl2, idx2, "doc_id", "day")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl2).collect()} == {1, 3}
