@@ -496,7 +496,11 @@ def x187_oriented_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    # small parquet scans land in ONE partition; the per-row Python
+    # encode->orient->resize->encode chain is the expensive part, so
+    # spread it (x180's 6x lesson — the projected column is 8 B/row,
+    # the repartition is near-free)
+    return d.select("doc_id").repartition(32, "doc_id").mapInPandas(
         batches,
         schema=(
             "doc_id bigint, exif_orientation int, src_w int, src_h int, "
