@@ -848,3 +848,77 @@ def test_vacuum_view_survives_path_respelling_and_bigint_groups(spark, tmp_path)
     # the empty view reports the view's own committed group type (an
     # integer width here), never the old hardcoded "grp string"
     assert dict(empty.dtypes)["grp"] == pre_dtype != "string"
+
+
+def test_versioned_data_skipping(spark, tmp_path):
+    """read_snapshot(where=...) prunes files via the version's COMMITTED
+    stats: exact results, strict file subset, per-version independence
+    (time travel prunes with the old version's stats), conservative
+    keep for files never covered by stats, and propagation through
+    compaction and rollback."""
+    from ua2sql_spark.operators.manifest import prune_files
+    from ua2sql_spark.operators.snapshot import (
+        compact_snapshot,
+        read_manifest,
+        read_snapshot,
+        rollback,
+        snapshot_stats,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, val double")
+
+    # v0 committed WITHOUT stats (the pre-stats legacy case)
+    upsert_cow(mk([(i, "d1", float(i)) for i in range(0, 100)]), path, ["id"], "day")
+    assert snapshot_stats(spark, path, 0) is None
+    # where= on a stats-less version: exact, nothing pruned
+    got = read_snapshot(spark, path, 0, where=("id", 10, 19)).count()
+    assert got == 10
+
+    # v1 adds a disjoint id range in a new partition, WITH stats
+    upsert_cow(
+        mk([(i, "d2", float(i)) for i in range(1000, 1100)]),
+        path, ["id"], "day", stats_cols=["id"],
+    )
+    s1 = snapshot_stats(spark, path, 1)
+    assert s1 is not None
+    # only the v1-written file is covered; v0's carried file is absent
+    n_files = read_manifest(spark, path, 1).count()
+    assert s1.select("file").distinct().count() < n_files
+
+    # pruned read: exact rows from the covered range...
+    assert read_snapshot(spark, path, 1, where=("id", 1000, 1009)).count() == 10
+    # ...and the UNCOVERED file is kept conservatively (v0 rows found)
+    assert read_snapshot(spark, path, 1, where=("id", 10, 19)).count() == 10
+
+    # v2 rewrites d1 with stats -> now every file is covered
+    upsert_cow(
+        mk([(i, "d1", float(i)) for i in range(0, 100)]),
+        path, ["id"], "day", stats_cols=["id"],
+    )
+    s2 = snapshot_stats(spark, path, 2)
+    files2 = {r["file"] for r in read_manifest(spark, path, 2).collect()}
+    assert {r["file"] for r in s2.select("file").distinct().collect()} == files2
+    # the prune decision is a strict subset for a range hitting one file
+    kept = prune_files(s2, "id", 1000, 1009)
+    assert kept is not None and 0 < len(kept) < len(files2)
+    assert read_snapshot(spark, path, 2, where=("id", 1000, 1009)).count() == 10
+    # zero-overlap range -> empty, schema intact
+    empty = read_snapshot(spark, path, 2, where=("id", 10**9, 2 * 10**9))
+    assert empty.count() == 0 and set(empty.columns) == {"id", "day", "val"}
+    # time travel still prunes with v1's OWN stats
+    assert read_snapshot(spark, path, 1, where=("id", 1000, 1009)).count() == 10
+
+    # compaction recomputes stats for coalesced files, carries the rest
+    v3, compacted = compact_snapshot(spark, path, "day")
+    if compacted:  # d1 may or may not be fragmented enough
+        s3 = snapshot_stats(spark, path, v3)
+        files3 = {r["file"] for r in read_manifest(spark, path, v3).collect()}
+        assert {r["file"] for r in s3.select("file").distinct().collect()} == files3
+        assert read_snapshot(spark, path, v3, where=("id", 1000, 1009)).count() == 10
+
+    # rollback propagates the restored version's stats
+    v_rb = rollback(spark, path, 2)
+    assert snapshot_stats(spark, path, v_rb) is not None
+    assert read_snapshot(spark, path, v_rb, where=("id", 0, 9)).count() == 10

@@ -53,6 +53,16 @@ def build_file_manifest(
         if name.startswith(("_", ".")) or not name.endswith(".parquet"):
             continue
         files.append(st.getPath().toString())
+    return file_stats(spark, files, columns)
+
+
+def file_stats(
+    spark: SparkSession, files: list[str], columns: list[str] | None = None
+) -> DataFrame:
+    """:func:`build_file_manifest` over an EXPLICIT file list — the
+    incremental path: a committer that just wrote N files stats exactly
+    those N (churn-bounded), never re-listing or re-footer-reading the
+    table."""
     if not files:
         return spark.createDataFrame([], _MANIFEST_SCHEMA)
 

@@ -107,13 +107,23 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    where: tuple | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Reads exactly the
     manifest's files — never lists the table directory, so concurrent
     appends by the single writer are invisible until their commit.
     ``merge_schema=True`` unions file schemas across versions'
     surviving files (older files' missing columns read as NULL) — the
-    schema-evolution read for tables whose upserts added columns."""
+    schema-evolution read for tables whose upserts added columns.
+
+    ``where=(col, lo, hi[, cast])`` is versioned DATA SKIPPING: when the
+    version carries committed file stats (``upsert_cow(stats_cols=...)``)
+    the read opens only files whose [min, max] on ``col`` can overlap —
+    time travel AND pruning from the same commit (Delta/Iceberg keep
+    these stats in the log; here they ride the manifest dir). Files the
+    stats never covered (pre-stats versions' carried files) are KEPT
+    conservatively, and the predicate is always re-applied exactly, so
+    results are identical with and without stats."""
     if version is None:
         version = latest_version(spark, path)
         if version is None:
@@ -123,10 +133,40 @@ def read_snapshot(
     ]
     if not files:
         raise ValueError(f"snapshot v{version} of {path} is empty")
+    pred = None
+    if where is not None:
+        col, lo, hi = where[0], where[1], where[2]
+        cast = where[3] if len(where) > 3 else "bigint"
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        stats = snapshot_stats(spark, path, version)
+        if stats is not None:
+            from ua2sql_spark.operators.manifest import prune_files
+
+            kept = prune_files(stats, col, lo, hi, cast=cast)
+            if kept is not None:
+                covered = {
+                    r["file"] for r in stats.select("file").distinct().collect()
+                }
+                files = sorted(set(kept) | (set(files) - covered))
+                if not files:
+                    # zero overlap: empty frame with the table schema
+                    sch = table_schema(spark, path, version)
+                    if sch is not None:
+                        return spark.createDataFrame([], sch).filter(F.lit(False))
+                    # pre-sidecar table: fall back to one-file read
+                    files = [
+                        read_manifest(spark, path, version)
+                        .select("file").first()["file"]
+                    ]
+                    return (
+                        spark.read.option("basePath", path)
+                        .parquet(*files).filter(F.lit(False))
+                    )
     reader = spark.read.option("basePath", path)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    out = reader.parquet(*files)
+    return out.filter(pred) if pred is not None else out
 
 
 def snapshot_diff(
@@ -213,6 +253,7 @@ def _commit_manifest(
     version: int,
     rows: list[tuple],
     table_schema=None,
+    stats_df: DataFrame | None = None,
 ) -> int:
     """Write the manifest to a staged directory, then atomically rename
     it to v{N} — THE commit point. ``table_schema`` (a StructType, when
@@ -225,6 +266,13 @@ def _commit_manifest(
     jvm, fs, _ = _jfs(spark, path)
     staged = f"{_snap_root(path)}/.tmp-{uuid.uuid4().hex}"
     spark.createDataFrame(rows, _MANIFEST_SCHEMA).coalesce(1).write.parquet(staged)
+    if stats_df is not None:
+        # per-file column stats ride an underscore-prefixed SUBDIR
+        # (ignored by the manifest's parquet read) inside the same
+        # staged dir, so the rename commits manifest + schema + stats
+        # as one atom; written distributed — |files|x|cols| rows never
+        # pass through the driver
+        stats_df.write.parquet(f"{staged}/{_STATS_DIR}")
     if table_schema is not None:
         sidecar = jvm.org.apache.hadoop.fs.Path(staged, _SCHEMA_SIDECAR)
         out = fs.create(sidecar, True)
@@ -243,6 +291,18 @@ def _commit_manifest(
 
 
 _SCHEMA_SIDECAR = "_table_schema.json"
+_STATS_DIR = "_stats"
+
+
+def snapshot_stats(spark: SparkSession, path: str, version: int) -> DataFrame | None:
+    """The committed per-file column stats of ``version`` (schema =
+    ``operators/manifest._MANIFEST_SCHEMA``), or None when the version
+    was committed without ``stats_cols``."""
+    jvm, fs, _ = _jfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(snapshot_path(path, version), _STATS_DIR)
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(p.toString())
 
 
 def table_schema(spark: SparkSession, path: str, version: int):
@@ -286,6 +346,7 @@ def upsert_cow(
     key_cols: list[str],
     partition_col: str,
     max_touched_partitions: int = 10_000,
+    stats_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Copy-on-write MERGE: same semantics and partition-stability
     precondition as ``merge.upsert_parquet`` (key-matched target rows
@@ -395,8 +456,28 @@ def upsert_cow(
     ]
 
     version = (prev if prev is not None else -1) + 1
+    stats_df = None
+    if stats_cols:
+        # churn-bounded: footer-read ONLY the files this commit wrote;
+        # carried files keep their previous version's stats rows (files
+        # never covered by stats stay prunable-never, read-always)
+        from ua2sql_spark.operators.manifest import file_stats
+
+        stats_df = file_stats(spark, [f for f, _p, _rc in new_files], stats_cols)
+        if prev is not None:
+            prev_stats = snapshot_stats(spark, path, prev)
+            if prev_stats is not None and carried_manifest:
+                carried_set = {f for f, _p, _rc in carried_manifest}
+                stats_df = stats_df.unionByName(
+                    prev_stats.filter(F.col("file").isin(list(carried_set)))
+                )
     _commit_manifest(
-        spark, path, version, carried_manifest + new_files, table_schema=out.schema
+        spark,
+        path,
+        version,
+        carried_manifest + new_files,
+        table_schema=out.schema,
+        stats_df=stats_df,
     )
     return version, int(obs.get["rows"])
 
@@ -431,6 +512,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
         versions[-1] + 1,
         rows,
         table_schema=table_schema(spark, path, to_version),
+        stats_df=snapshot_stats(spark, path, to_version),
     )
 
 
@@ -495,12 +577,25 @@ def compact_snapshot(
         (f, part, None) for f, (part, _sz) in after.items() if f not in before
     ]
     version = prev + 1
+    stats_df = None
+    prev_stats = snapshot_stats(spark, path, prev)
+    if prev_stats is not None:
+        # same columns as the previous version's stats, computed only
+        # for the freshly-coalesced files; untouched files carry over
+        from ua2sql_spark.operators.manifest import file_stats
+
+        cols = [r["col"] for r in prev_stats.select("col").distinct().collect()]
+        untouched_set = [f for f, _p, _rc in untouched]
+        stats_df = file_stats(
+            spark, [f for f, _p, _rc in new_files], cols
+        ).unionByName(prev_stats.filter(F.col("file").isin(untouched_set)))
     _commit_manifest(
         spark,
         path,
         version,
         untouched + new_files,
         table_schema=table_schema(spark, path, prev),
+        stats_df=stats_df,
     )
     return version, sorted(p for p, _ in frag)
 
