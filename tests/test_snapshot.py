@@ -922,3 +922,74 @@ def test_versioned_data_skipping(spark, tmp_path):
     v_rb = rollback(spark, path, 2)
     assert snapshot_stats(spark, path, v_rb) is not None
     assert read_snapshot(spark, path, v_rb, where=("id", 0, 9)).count() == 10
+
+
+def test_delete_cow_compliance_path(spark, tmp_path):
+    """Row-level CoW DELETE: matching rows gone from the new version,
+    prior versions intact (time travel), fully-emptied partitions
+    vanish by manifest absence, the change feed emits the erasure as
+    delete events (so IVM applies it), NULL predicate rows are KEPT
+    (SQL DELETE semantics), stats propagate, and vacuum afterwards
+    hard-erases the pre-delete files."""
+    from ua2sql_spark.operators.ivm import build_view, read_view, refresh_from_feed
+    from ua2sql_spark.operators.layout import vacuum_orphans
+    from ua2sql_spark.operators.snapshot import (
+        changes_since,
+        delete_cow,
+        delete_versions_before,
+        read_manifest,
+        read_snapshot,
+        snapshot_stats,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id bigint, day string, user string, val double"
+    )
+    upsert_cow(
+        mk([
+            (1, "d1", "alice", 1.0), (2, "d1", "bob", 2.0),
+            (3, "d2", "alice", 3.0), (4, "d3", None, 4.0),
+        ]),
+        path, ["id"], "day", stats_cols=["id"],
+    )                                                                     # v0
+    build_view(read_snapshot(spark, path, 0), "day", "val", view)
+
+    # forget alice: rows 1 and 3 go; d2 empties entirely; NULL user kept
+    v, n = delete_cow(spark, path, F.col("user") == "alice", "day")
+    assert (v, n) == (1, 2)
+    left = {r["id"] for r in read_snapshot(spark, path).collect()}
+    assert left == {2, 4}
+    # time travel: v0 still has alice (until vacuumed)
+    assert {r["id"] for r in read_snapshot(spark, path, 0).collect()} == {1, 2, 3, 4}
+    # the emptied partition has no manifest entry at v1
+    parts = {r["partition"] for r in read_manifest(spark, path, 1).collect()}
+    assert "day=d2" not in parts and "day=d1" in parts and "day=d3" in parts
+    # stats propagated and cover exactly v1's files
+    s1 = snapshot_stats(spark, path, 1)
+    files1 = {r["file"] for r in read_manifest(spark, path, 1).collect()}
+    assert {r["file"] for r in s1.select("file").distinct().collect()} == files1
+    # the change feed carries the erasure...
+    feed = changes_since(spark, path, 0, ["id"], 1)
+    deletes = {r["id"] for r in feed.filter(F.col("_change_type") == "delete").collect()}
+    assert deletes == {1, 3}
+    # ...and IVM applies it
+    refresh_from_feed(spark, view, feed, "day", "val")
+    got = {r["grp"]: r["n"] for r in read_view(spark, view).collect()}
+    assert got == {"d1": 1, "d3": 1}
+
+    # matching nothing commits nothing
+    v2, n2 = delete_cow(spark, path, F.col("user") == "nobody", "day")
+    assert (v2, n2) == (1, 0)
+
+    # hard erasure: drop pre-delete manifests, vacuum orphans
+    from ua2sql_spark.operators.snapshot import live_files_union
+
+    delete_versions_before(spark, path, 1)
+    gone = vacuum_orphans(
+        spark, path, live_files_union(spark, path), max_age_hours=0.0, dry_run=False
+    )
+    assert gone, "pre-delete files should be vacuumable"
+    assert {r["id"] for r in read_snapshot(spark, path).collect()} == {2, 4}

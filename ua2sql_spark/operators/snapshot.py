@@ -180,6 +180,30 @@ def snapshot_diff(
     return {"added": sorted(new - old), "removed": sorted(old - new)}
 
 
+def delete_versions_before(spark: SparkSession, path: str, keep_from: int) -> list[int]:
+    """Retention shortening: drop the manifest dirs of every version
+    below ``keep_from`` (time travel to them ends), so a following
+    ``vacuum_orphans(live_files_union(...))`` reclaims the files only
+    they referenced — the Delta ``logRetentionDuration`` + VACUUM
+    sequence, and the hard-erasure tail of a compliance
+    :func:`delete_cow`. Returns the versions removed."""
+    versions = list_versions(spark, path)
+    if not versions or keep_from > versions[-1]:
+        raise ValueError(
+            f"keep_from={keep_from} would drop every version of {path} "
+            f"(latest is {versions[-1] if versions else None})"
+        )
+    jvm, fs, _ = _jfs(spark, path)
+    dropped = []
+    for v in versions:
+        if v < keep_from:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(snapshot_path(path, v)), True
+            )
+            dropped.append(v)
+    return dropped
+
+
 def live_files_union(spark: SparkSession, path: str) -> DataFrame:
     """Union of every retained snapshot's file list — pass as the
     ``manifest`` to ``layout.vacuum_orphans`` to sweep only files no
@@ -480,6 +504,101 @@ def upsert_cow(
         stats_df=stats_df,
     )
     return version, int(obs.get["rows"])
+
+
+def delete_cow(
+    spark: SparkSession,
+    path: str,
+    condition,
+    partition_col: str,
+    max_touched_partitions: int = 10_000,
+) -> tuple[int, int]:
+    """Row-level copy-on-write DELETE — the compliance path
+    (right-to-be-forgotten) an upsert-only store cannot express.
+    ``condition`` is a Column predicate over the table's columns; rows
+    where it is TRUE are deleted (NULL keeps, per SQL DELETE).
+
+    Same partition-granular CoW discipline as :func:`upsert_cow`: only
+    partitions CONTAINING matches are rewritten (minus the matching
+    rows), everything else is carried by manifest reference, the new
+    manifest rename is the commit point, and a partition whose every
+    row matched simply writes no file — its deletion is the absence of
+    a manifest entry. ``snapshot_changes`` across the commit yields
+    the deleted rows as ``delete`` change events, so SCD2 folds, IVM
+    refreshes, and cursor consumers all observe the erasure.
+
+    COMPLIANCE NOTE: prior versions still reference the old files —
+    time travel is the POINT of the store. Hard erasure = this commit
+    followed by dropping the pre-delete manifests and vacuuming
+    (``live_files_union`` + ``layout.vacuum_orphans``), exactly Delta's
+    DELETE-then-VACUUM sequence.
+
+    Returns (new_version, rows_deleted); no version commits when
+    nothing matches. Stats/schema sidecars propagate: rewritten files
+    get fresh stats, carried files keep theirs."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        raise ValueError(f"no snapshots under {path}")
+    snap = read_snapshot(spark, path, prev)
+    hit = F.coalesce(condition, F.lit(False))
+    touched = [
+        r[0]
+        for r in snap.filter(hit)
+        .select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    ]
+    if not touched:
+        return prev, 0
+    if len(touched) > max_touched_partitions:
+        raise ValueError(
+            f"delete touches more than {max_touched_partitions} partitions; "
+            "split the predicate or raise the bound"
+        )
+    manifest = read_manifest(spark, path, prev)
+    touched_dirs = {_partition_dir_name(spark, partition_col, v) for v in touched}
+    live_touched = [
+        r["file"]
+        for r in manifest.filter(F.col("partition").isin(list(touched_dirs)))
+        .select("file")
+        .collect()
+    ]
+    carried_manifest = [
+        (r["file"], r["partition"], r["row_count"])
+        for r in manifest.filter(~F.col("partition").isin(list(touched_dirs))).collect()
+    ]
+    slice_df = spark.read.option("basePath", path).parquet(*live_touched)
+    n_deleted = slice_df.filter(hit).count()  # churn-bounded second pass
+    keep = slice_df.filter(~hit)
+
+    before = _list_partition_files(spark, path, list(touched_dirs))
+    keep.write.mode("append").partitionBy(partition_col).parquet(path)
+    after = _list_partition_files(spark, path, list(touched_dirs))
+    new_files = [
+        (f, part, None) for f, (part, _sz) in after.items() if f not in before
+    ]
+
+    version = prev + 1
+    stats_df = None
+    prev_stats = snapshot_stats(spark, path, prev)
+    if prev_stats is not None:
+        from ua2sql_spark.operators.manifest import file_stats
+
+        cols = [r["col"] for r in prev_stats.select("col").distinct().collect()]
+        carried_set = [f for f, _p, _rc in carried_manifest]
+        stats_df = file_stats(
+            spark, [f for f, _p, _rc in new_files], cols
+        ).unionByName(prev_stats.filter(F.col("file").isin(carried_set)))
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        carried_manifest + new_files,
+        table_schema=table_schema(spark, path, prev),
+        stats_df=stats_df,
+    )
+    return version, n_deleted
 
 
 def snapshot_upsert_sink(path: str, key_cols: list[str], partition_col: str):
