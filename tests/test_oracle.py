@@ -85,7 +85,7 @@ def test_driver_window_families():
         "q139_theta_setops_contract",
         "q145_ab_welch_ttest",
         "x158_bm25_search",
-        "q159_sliding_active_users", "x157_quality_constraints",
+        "q159_sliding_active_users",
         "x173_ks_two_sample",
         "x174_semdedup",
         "x179_prefix_simjoin", "x180_audio_features",
@@ -109,6 +109,7 @@ def test_driver_window_families():
         "x187_oriented_thumbs",
         "x188_repetition_signals", "x189_word_rarity",
         "q153_sql_scripting", "q154_sql_udf",
+        "x190_delete_erasure",
     }
     assert required <= set(DRIVER_WINDOW)
 

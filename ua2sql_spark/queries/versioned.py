@@ -157,3 +157,83 @@ def x186_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x190: row-level CoW DELETE + its change feed under the hard gate
+# (round 8; completes X12's driver coverage: x186 pins snapshots/CDF/
+# SCD2, this pins the erasure path). Same deterministic-injection
+# trick: build the table in-query from `customer`, erase every 5th key
+# with delete_cow, and emit BOTH the surviving state and the change
+# feed's delete events — each a pure function of `customer`, so DuckDB
+# replays the commit arithmetically. The hashed columns exercise the
+# whole chain: partition-sliced delete rewrite, manifest-absence
+# semantics for emptied slices, and churn-proportional delete-event
+# synthesis between versions.
+# ---------------------------------------------------------------------------
+@query(
+    "x190_delete_erasure",
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey AS custkey,
+               CAST(c_nationkey % 4 AS VARCHAR) AS grp,
+               CAST(CAST(c_acctbal AS DECIMAL(28,8)) AS VARCHAR) AS bal_s
+        FROM customer WHERE c_custkey <= 300
+    )
+    SELECT custkey, grp, CAST(bal_s AS DOUBLE) AS bal,
+           'live' AS row_kind
+    FROM v WHERE custkey % 5 <> 0
+    UNION ALL
+    SELECT custkey, grp, CAST(bal_s AS DOUBLE) AS bal,
+           'delete' AS row_kind
+    FROM v WHERE custkey % 5 = 0
+    """,
+)
+def x190_delete_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.snapshot import (
+        _jfs,
+        changes_since,
+        delete_cow,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    prefix = f"ua2sql_x190_{os.getpid()}_"
+    tmp_root = tempfile.gettempdir()
+    jvm, fs, _ = _jfs(spark, tmp_root)
+    root_p = jvm.org.apache.hadoop.fs.Path(tmp_root)
+    if fs.exists(root_p):
+        for st in fs.listStatus(root_p):
+            if st.getPath().getName().startswith(prefix):
+                fs.delete(st.getPath(), True)
+    path = os.path.join(tmp_root, prefix + uuid.uuid4().hex)
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            (F.col("c_nationkey") % 4).cast("string").alias("grp"),
+            F.col("c_acctbal").cast(DEC).alias("bal"),
+        )
+    )
+    upsert_cow(base, path, ["custkey"], "grp")          # v0: opening state
+    delete_cow(spark, path, F.col("custkey") % 5 == 0, "grp")  # v1: erasure
+
+    live = read_snapshot(spark, path, 1).select(
+        "custkey",
+        F.col("grp").cast("string").alias("grp"),
+        F.col("bal").cast("double").alias("bal"),
+        F.lit("live").alias("row_kind"),
+    )
+    erased = (
+        changes_since(spark, path, 0, ["custkey"], 1)
+        .filter(F.col("_change_type") == "delete")
+        .select(
+            "custkey",
+            F.col("grp").cast("string").alias("grp"),
+            F.col("bal").cast("double").alias("bal"),
+            F.lit("delete").alias("row_kind"),
+        )
+    )
+    return live.unionByName(erased)

@@ -213,7 +213,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # keeps q139 theta + q114 GK + x185 CMS; SQL/PSM scripting is a new
 # procedural-SQL family built this round), q144 -> q154 (gap-fill
 # driver-green r7, events keep q159/q35; catalog SQL UDFs are the
-# warehouse-migration scalar surface, inlined at analysis time).
+# warehouse-migration scalar surface, inlined at analysis time), x157 -> x190
+# (declarative quality constraints driver-green r7, the audit shape
+# stays via x188's integer-gated gopher_pass; x190 drives the round's
+# new row-level CoW DELETE + its change feed through the hard gate,
+# completing X12's driver coverage alongside x186).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins
     "q01_pricing_summary",
@@ -221,7 +225,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q116_join_full_outer",
     "q135_bloom_semijoin_reduction",
     # aggregates + sketches + stats
-    "x157_quality_constraints",
     "q139_theta_setops_contract",
     "q114_approx_percentile_contract",
     "q145_ab_welch_ttest",
@@ -233,8 +236,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q120_variant_json",
     "q153_sql_scripting",
     "q154_sql_udf",
-    # versioned tables — X12's driver row
+    # versioned tables — X12's driver rows (x190: first driver row,
+    # the round-8 delete/erasure path)
     "x186_scd2_history",
+    "x190_delete_erasure",
     # dedup tiers (x68/x69/x110/x106: first driver row)
     "x115_neardup_clusters_fast",
     "x179_prefix_simjoin",
