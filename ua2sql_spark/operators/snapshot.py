@@ -719,6 +719,66 @@ def compact_snapshot(
     return version, sorted(p for p, _ in frag)
 
 
+def cluster_snapshot(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    zorder_cols: list[str],
+    total_files: int = 32,
+) -> int:
+    """OPTIMIZE ZORDER for the snapshot store: rewrite the LATEST
+    version's rows clustered on the Morton code of ``zorder_cols``
+    (``layout.zorder_column``), committed as a new version with fresh
+    per-file stats — the pairing that makes ``read_snapshot(where=...)``
+    skip files for predicates on ANY interleaved column.
+
+    One range exchange on (partition, z) + local sort, one partitioned
+    write job, one manifest commit; no global sort. Copy-on-write like
+    everything here: prior versions stay readable until vacuumed.
+    Returns the new version."""
+    from ua2sql_spark.operators.layout import zorder_column
+    from ua2sql_spark.operators.manifest import file_stats
+
+    prev = latest_version(spark, path)
+    if prev is None:
+        raise ValueError(f"no snapshots under {path}")
+    manifest = read_manifest(spark, path, prev)
+    part_dirs = [r["partition"] for r in manifest.select("partition").distinct().collect()]
+    df = read_snapshot(spark, path, prev)
+    out = (
+        df.withColumn("__z", zorder_column(*zorder_cols))
+        .repartitionByRange(total_files, F.col(partition_col), F.col("__z"))
+        .sortWithinPartitions(partition_col, "__z")
+        .drop("__z")
+    )
+    before = _list_partition_files(spark, path, part_dirs)
+    out.write.mode("append").partitionBy(partition_col).parquet(path)
+    after = _list_partition_files(spark, path, part_dirs)
+    new_files = [
+        (f, part, None) for f, (part, _sz) in after.items() if f not in before
+    ]
+    version = prev + 1
+    # stats over the zorder columns are the entire point of the rewrite;
+    # keep any previously-stats'd columns too
+    prev_stats = snapshot_stats(spark, path, prev)
+    cols = list(zorder_cols)
+    if prev_stats is not None:
+        cols = sorted(
+            set(cols)
+            | {r["col"] for r in prev_stats.select("col").distinct().collect()}
+        )
+    stats_df = file_stats(spark, [f for f, _p, _rc in new_files], cols)
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        new_files,
+        table_schema=table_schema(spark, path, prev),
+        stats_df=stats_df,
+    )
+    return version
+
+
 def snapshot_changes(
     spark: SparkSession,
     path: str,
