@@ -1057,3 +1057,54 @@ def test_dedup_ingest_sink_dedupes_across_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r["doc_id"] for r in read_snapshot(spark, tbl2).collect()} == {1, 3}
+
+
+def test_tombstone_sink_erases_streamed_keys(spark, tmp_path):
+    """Streaming compliance path: a tombstone stream drains into
+    delete_cow commits; replayed tombstones are no-ops."""
+    import json as _json
+
+    from ua2sql_spark.operators.snapshot import (
+        latest_version,
+        read_snapshot,
+        upsert_cow,
+    )
+    from ua2sql_spark.streaming.dedup_ingest import tombstone_sink
+
+    tbl = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame(
+            [(i, f"d{i % 3}", float(i)) for i in range(20)],
+            "id bigint, day string, val double",
+        ),
+        tbl, ["id"], "day",
+    )
+    src = tmp_path / "tombstones"
+    src.mkdir()
+    with open(src / "t1.json", "w") as f:
+        for k in (3, 7, 11):
+            f.write(_json.dumps({"id": k}) + "\n")
+    stream = spark.readStream.schema("id bigint").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(tombstone_sink(tbl, "id", "day"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    left = {r["id"] for r in read_snapshot(spark, tbl).collect()}
+    assert left == set(range(20)) - {3, 7, 11}
+    v_after = latest_version(spark, tbl)
+
+    # replaying the same tombstones (fresh checkpoint, same file)
+    # matches nothing: no new version
+    q2 = (
+        spark.readStream.schema("id bigint").json(str(src))
+        .writeStream.foreachBatch(tombstone_sink(tbl, "id", "day"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert latest_version(spark, tbl) == v_after
+    assert {r["id"] for r in read_snapshot(spark, tbl).collect()} == left

@@ -103,3 +103,27 @@ def dedup_ingest_sink(
         )
 
     return _sink
+
+
+def tombstone_sink(table_path: str, key_col: str, partition_col: str):
+    """``foreachBatch`` closure turning a stream of tombstones (rows
+    carrying ``key_col`` values to forget) into :func:`delete_cow`
+    commits — the streaming half of the compliance path: a deletion-
+    request topic drains continuously into versioned erasure commits,
+    and every downstream CDF consumer (SCD2, IVM, cursors) observes
+    them as delete events. Replay-safe: deleting an already-deleted
+    key matches nothing and commits nothing."""
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        from ua2sql_spark.operators.snapshot import delete_cow
+
+        keys = [r[0] for r in df.select(key_col).distinct().collect()]
+        if keys:
+            delete_cow(
+                df.sparkSession,
+                table_path,
+                F.col(key_col).isin(keys),
+                partition_col,
+            )
+
+    return _sink
