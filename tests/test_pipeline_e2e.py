@@ -61,3 +61,25 @@ def test_pipeline_cli_subcommand(spark, tmp_path, capsys):
     assert rec["n_shards"] == 4
 
     assert main(["pipeline"], spark=spark) == 1  # usage error path
+
+
+def test_pipeline_empty_after_gate(spark, tmp_path):
+    """A corpus whose every document fails the quality gate exports
+    zero samples without erroring — the shard writer and the packing
+    prefix-sum both tolerate empty input."""
+    from ua2sql_spark.pipeline import corpus_pipeline
+
+    # build a tiny sf-dir clone whose documents are all too short
+    import os
+
+    clone = tmp_path / "sfx"
+    clone.mkdir()
+    spark.createDataFrame(
+        [(1, "a b", "en", "s"), (2, "c", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    ).write.parquet(str(clone / "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        os.symlink(f"{SF_DIR}/{t}.parquet", clone / f"{t}.parquet")
+    m = corpus_pipeline(spark, str(clone), str(tmp_path / "out"), n_shards=2)
+    assert m["n_gated"] == m["n_survivors"] == m["n_exported"] == 0

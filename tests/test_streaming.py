@@ -1108,3 +1108,17 @@ def test_tombstone_sink_erases_streamed_keys(spark, tmp_path):
     q2.awaitTermination(120)
     assert latest_version(spark, tbl) == v_after
     assert {r["id"] for r in read_snapshot(spark, tbl).collect()} == left
+
+
+def test_dedup_ingest_empty_batch_is_noop(spark, tmp_path):
+    """foreachBatch delivers empty frames on idle triggers — the sink
+    must not commit versions or create the index for them."""
+    from ua2sql_spark.streaming.dedup_ingest import dedup_ingest_batch
+
+    tbl, idx = str(tmp_path / "t"), str(tmp_path / "i")
+    empty = spark.createDataFrame([], "doc_id bigint, day string, text string")
+    m = dedup_ingest_batch(empty, tbl, idx, "doc_id", "day")
+    assert m == {"n_in": 0, "n_fresh": 0, "version": None}
+    import os
+
+    assert not os.path.exists(tbl) and not os.path.exists(idx)

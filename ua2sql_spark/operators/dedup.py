@@ -129,7 +129,10 @@ def minhash_lsh_pairs(
             r["__tok"]
             for r in tokens.distinct().limit(bitmask_max_vocab + 1).collect()
         ]
-    use_bitmask = len(vocab) <= bitmask_max_vocab
+    # empty vocab (empty or all-null corpus) must take the generic
+    # branch: F.create_map() with zero args types as map<void,void> and
+    # fails analysis — and there is nothing to bitmask anyway
+    use_bitmask = 0 < len(vocab) <= bitmask_max_vocab
 
     # Signatures as a pure projection: one md5 per distinct token
     # (CollapseProject keeps the 16-reference __th alias un-inlined

@@ -77,11 +77,16 @@ def distributed_cumsum(
     for r in sorted(totals, key=lambda r: r["__bkt"]):
         offsets[r["__bkt"]] = acc
         acc += r["__t"] or 0
-    off = F.create_map(
-        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
-    )
+    if offsets:
+        off = F.create_map(
+            *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+        )[F.col("__bkt")]
+    else:
+        # empty input: F.create_map() with zero args types as
+        # map<void,void> and fails analysis; the offset of nothing is 0
+        off = F.lit(0).cast("bigint")
     return local.withColumn(
-        out_col, (F.col("__local") + off[F.col("__bkt")]).cast("bigint")
+        out_col, (F.col("__local") + off).cast("bigint")
     ).drop("__bkt", "__local")
 
 
