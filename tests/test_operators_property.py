@@ -765,3 +765,44 @@ def test_exif_orientation_group_properties(w, h, channels, ori, data):
     inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}[ori]
     rw, rh, back = apply_exif_orientation(ow, oh, channels, out, inverse)
     assert (rw, rh, back) == (w, h, raster)
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Empty-DataFrame smoke across the operator library: every
+    operator must ANALYZE and EXECUTE on zero rows (foreachBatch idle
+    triggers, fully-filtered inputs, empty partitions of a backfill all
+    produce them). Two real bugs hid here (F.create_map() with zero
+    args in minhash's bitmask and cumsum's offset map) — this pins the
+    whole library."""
+    from ua2sql_spark.operators.asof import asof_join
+    from ua2sql_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        neardup_dedup,
+    )
+    from ua2sql_spark.operators.ordering import hash_ordered
+    from ua2sql_spark.operators.pack import distributed_cumsum, pack_sequences
+    from ua2sql_spark.operators.salt import salted_agg
+    from ua2sql_spark.operators.sessionize import sessionize
+    from ua2sql_spark.operators.split import hash_split
+    from ua2sql_spark.operators.topk import top_k_per_group
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    events = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    toks = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
+
+    assert exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert minhash_lsh_pairs(docs, id_col="doc_id", text_col="text").count() == 0
+    assert neardup_dedup(docs, id_col="doc_id", text_col="text").count() == 0
+    assert distributed_cumsum(toks, "doc_id", "n_tokens").count() == 0
+    assert pack_sequences(toks, "doc_id", "n_tokens", 128).count() == 0
+    assert top_k_per_group(events, ["user_id"], [F.desc("value")], 3).count() == 0
+    assert sessionize(events).count() == 0
+    assert hash_ordered(docs, "doc_id").count() == 0
+    assert hash_split(docs, "doc_id").count() == 0
+    assert (
+        salted_agg(events, ["user_id"], {"n": ("count", F.lit(1))}).count() == 0
+    )
+    assert asof_join(events, events, on="user_id").count() == 0
