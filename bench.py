@@ -118,6 +118,12 @@ HEADLINE = [
     # trip per row through Arrow-batched mapInPandas) — the engine's
     # deliberate Python hot path now watched with real codec work
     "x180_audio_features",
+    # r8 additions: the Gopher-style repetition filters (expression-side
+    # trigram dedup + one bigram explode) and the transcendental-free
+    # word-rarity scorer (vocab shuffle + score join, x125's shape) —
+    # the round's new corpus-quality paths, watched from birth
+    "x188_repetition_signals",
+    "x189_word_rarity",
 ]
 
 
