@@ -1040,3 +1040,125 @@ def test_cluster_snapshot_zorder_enables_pruned_reads(spark, tmp_path):
             for r in read_snapshot(spark, path, 1, where=(col, 0, 49)).collect()
         }
         assert got == exact, col
+
+
+def test_stats_coverage_is_judged_per_column(spark, tmp_path):
+    """ADVICE r8 high: a file whose stats rows cover only OTHER columns
+    must be conservatively KEPT when pruning on a column it has no
+    [min,max] for — the old whole-file "covered" set silently dropped
+    its rows. Repro: v0 commits stats on 'a' only, v1 commits a second
+    partition with stats on 'b' only; where=('a',...) must equal the
+    exact filter."""
+    from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, a bigint, b bigint")
+    upsert_cow(
+        mk([(i, "d1", i, 1000 - i) for i in range(0, 20)]),
+        path, ["id"], "day", stats_cols=["a"],
+    )
+    upsert_cow(
+        mk([(i, "d2", i, 1000 - i) for i in range(100, 120)]),
+        path, ["id"], "day", stats_cols=["b"],
+    )
+    # the v0 file has stats rows (for 'a') but NONE for 'b': pruning on
+    # 'b' must keep it
+    exact_b = read_snapshot(spark, path, 1).filter(F.col("b").between(981, 1000)).count()
+    assert exact_b == 20
+    assert read_snapshot(spark, path, 1, where=("b", 981, 1000)).count() == exact_b
+    # and pruning on 'a' keeps the v1 file (stats only for 'b')
+    exact_a = read_snapshot(spark, path, 1).filter(F.col("a").between(0, 119)).count()
+    assert exact_a == 40
+    assert read_snapshot(spark, path, 1, where=("a", 0, 119)).count() == exact_a
+
+
+def test_cursor_migrates_legacy_file_checkpoint(spark, tmp_path):
+    """ADVICE r8 medium: a pre-r8 single-FILE checkpoint (content = the
+    integer position) must be read and converted, not silently treated
+    as position -1 (whole-feed replay) and then crash commit()'s
+    mkdirs."""
+    from ua2sql_spark.operators.snapshot import ChangeFeedCursor, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "d1", 1.0)], "id bigint, day string, v double")
+    upsert_cow(df, path, ["id"], "day")
+    upsert_cow(
+        spark.createDataFrame([(2, "d1", 2.0)], "id bigint, day string, v double"),
+        path, ["id"], "day",
+    )
+
+    ck = str(tmp_path / "ck")
+    with open(ck, "w") as f:
+        f.write("0\n")
+    cur = ChangeFeedCursor(spark, path, ["id"], ck)
+    # position comes from the legacy file, not -1
+    assert cur.position() == 0
+    import os
+    assert os.path.isdir(ck)  # migrated to a marker directory
+    changes, latest = cur.poll()
+    # only v1's delta (id=2 insert), never a replay from v0
+    assert {r["id"] for r in changes.collect()} == {2}
+    cur.commit(latest)
+    assert ChangeFeedCursor(spark, path, ["id"], ck).position() == latest
+
+    # a checkpoint file that is NOT a legacy integer is refused loudly
+    ck2 = str(tmp_path / "ck2")
+    with open(ck2, "w") as f:
+        f.write("not-a-position")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="legacy"):
+        ChangeFeedCursor(spark, path, ["id"], ck2).position()
+
+
+def test_delete_cow_accepts_keys_dataframe(spark, tmp_path):
+    """ADVICE r8 low: delete_cow(condition=<keys DataFrame>) deletes by
+    semi-join — same result as the predicate form, no driver-side isin
+    literal — and an empty/no-match keys frame commits nothing."""
+    from ua2sql_spark.operators.snapshot import (
+        delete_cow,
+        latest_version,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    rows = [(i, "d1" if i % 2 == 0 else "d2", float(i)) for i in range(40)]
+    upsert_cow(
+        spark.createDataFrame(rows, "id bigint, day string, v double"),
+        path, ["id"], "day",
+    )
+    keys = spark.createDataFrame([(i,) for i in range(0, 40, 5)], "id bigint")
+    v, n = delete_cow(spark, path, keys, "day", key_cols=["id"])
+    assert n == 8 and v == 1
+    left = {r["id"] for r in read_snapshot(spark, path).collect()}
+    assert left == {i for i in range(40) if i % 5 != 0}
+    # replay the same tombstones: nothing matches, nothing commits
+    v2, n2 = delete_cow(spark, path, keys, "day", key_cols=["id"])
+    assert n2 == 0 and latest_version(spark, path) == 1
+    # missing key_cols is a loud error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key_cols"):
+        delete_cow(spark, path, keys, "day")
+
+
+def test_view_survives_integer_width_drift(spark, tmp_path):
+    """ADVICE r8 medium: bucket files must stay readable when the
+    caller's group column width drifts between refreshes (int feed vs
+    bigint base) — write-time canonicalization widens integral grp to
+    bigint, so mergeSchema never sees int-vs-bigint."""
+    from ua2sql_spark.operators.ivm import build_view, read_view, refresh_from_feed
+
+    view = str(tmp_path / "view")
+    base = spark.createDataFrame(
+        [(1, 10, 4.0), (2, 10, 6.0)], "id int, grp int, amount double"
+    )
+    build_view(base, "grp", "amount", view)
+    assert dict(read_view(spark, view).dtypes)["grp"] == "bigint"
+
+    feed = spark.createDataFrame(
+        [(3, 20, 8.0, "insert")],
+        "id bigint, grp bigint, amount double, _change_type string",
+    )
+    refresh_from_feed(spark, view, feed, "grp", "amount")
+    got = {(r["grp"], r["n"]) for r in read_view(spark, view).collect()}
+    assert got == {(10, 2), (20, 1)}

@@ -135,7 +135,24 @@ def _write_buckets(df: DataFrame, view_path: str) -> list[tuple]:
     task whole buckets (one file per bucket dir), so a billion-group
     bootstrap is not funneled through a single write task (the old
     coalesce(1), VERDICT r7) while churn-bounded refreshes pay only a
-    tiny delta shuffle."""
+    tiny delta shuffle.
+
+    The schema is CANONICALIZED at write time (integral grp widened to
+    bigint, n bigint, sum_value DEC): parquet mergeSchema does NOT
+    widen int vs bigint — it throws CANNOT_MERGE_SCHEMAS — so a view
+    whose refreshes ever mixed widths became unreadable (ADVICE r8
+    medium). Normalizing here keeps every bucket file identically
+    typed no matter what the caller's feed column width is."""
+    from pyspark.sql.types import ByteType, FloatType, IntegerType, ShortType
+
+    gt = df.schema["grp"].dataType
+    if isinstance(gt, (ByteType, ShortType, IntegerType)):
+        df = df.withColumn("grp", F.col("grp").cast("bigint"))
+    elif isinstance(gt, FloatType):
+        df = df.withColumn("grp", F.col("grp").cast("double"))
+    df = df.withColumn("n", F.col("n").cast("bigint")).withColumn(
+        "sum_value", F.col("sum_value").cast(DEC)
+    )
     data_dir = f"{view_path}/d-{uuid.uuid4().hex}"
     df.repartition(F.col("bucket")).write.partitionBy("bucket").parquet(data_dir)
     spark = df.sparkSession
@@ -282,9 +299,32 @@ def read_view(spark: SparkSession, view_path: str, version: int | None = None) -
             F.col("sum_value").cast("double").alias("sum_value"),
             (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
         )
-    # integer-width drift across refreshes (int vs bigint group files)
-    # merges to the widest type instead of sampling one file's schema
-    v = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    # Integer-width drift across refreshes: _write_buckets now
+    # canonicalizes widths at write time (parquet mergeSchema does NOT
+    # widen int vs bigint — it throws CANNOT_MERGE_SCHEMAS, ADVICE r8
+    # medium), so the plain merged read succeeds for every post-fix
+    # view. Views that already contain pre-fix mixed-width files fall
+    # back to a per-dir read with explicit widening casts — bounded by
+    # ≤64 bucket dirs, taken only when the fast path throws.
+    try:
+        v = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    except Exception:
+        from functools import reduce
+
+        parts = []
+        for d in dirs:
+            p = spark.read.parquet(d).select("grp", "n", "sum_value")
+            gt = p.schema["grp"].dataType.simpleString()
+            if gt in ("tinyint", "smallint", "int"):
+                p = p.withColumn("grp", F.col("grp").cast("bigint"))
+            elif gt == "float":
+                p = p.withColumn("grp", F.col("grp").cast("double"))
+            parts.append(
+                p.withColumn("n", F.col("n").cast("bigint")).withColumn(
+                    "sum_value", F.col("sum_value").cast(DEC)
+                )
+            )
+        v = reduce(lambda a, b: a.unionByName(b), parts)
     return v.select(
         "grp",
         "n",

@@ -144,24 +144,39 @@ def read_snapshot(
 
             kept = prune_files(stats, col, lo, hi, cast=cast)
             if kept is not None:
+                # "covered" must be judged PER COLUMN: a file whose
+                # stats rows describe only OTHER columns (stats_cols
+                # varied across the versions that wrote it) has no
+                # [min,max] for `col` and must be conservatively kept —
+                # the whole-file set would silently drop its rows
+                # (ADVICE r8 high).
                 covered = {
-                    r["file"] for r in stats.select("file").distinct().collect()
+                    r["file"]
+                    for r in stats.filter(F.col("col") == col)
+                    .select("file")
+                    .distinct()
+                    .collect()
                 }
                 files = sorted(set(kept) | (set(files) - covered))
                 if not files:
-                    # zero overlap: empty frame with the table schema
-                    sch = table_schema(spark, path, version)
-                    if sch is not None:
-                        return spark.createDataFrame([], sch).filter(F.lit(False))
-                    # pre-sidecar table: fall back to one-file read
+                    # Zero overlap: derive the empty frame from the SAME
+                    # reader path as a non-empty read (basePath +
+                    # mergeSchema honored, over the version's FULL file
+                    # list) so partition-column type inference and the
+                    # merged schema match the non-empty result exactly
+                    # (ADVICE r8 low — the sidecar StructType can
+                    # disagree with directory-name inference). The
+                    # filter(false) collapses to an empty LocalRelation
+                    # at optimization time, so no data file is scanned.
                     files = [
-                        read_manifest(spark, path, version)
-                        .select("file").first()["file"]
+                        r["file"]
+                        for r in read_manifest(spark, path, version)
+                        .select("file").collect()
                     ]
-                    return (
-                        spark.read.option("basePath", path)
-                        .parquet(*files).filter(F.lit(False))
-                    )
+                    reader = spark.read.option("basePath", path)
+                    if merge_schema:
+                        reader = reader.option("mergeSchema", "true")
+                    return reader.parquet(*files).filter(F.lit(False))
     reader = spark.read.option("basePath", path)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -512,11 +527,19 @@ def delete_cow(
     condition,
     partition_col: str,
     max_touched_partitions: int = 10_000,
+    key_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Row-level copy-on-write DELETE — the compliance path
     (right-to-be-forgotten) an upsert-only store cannot express.
     ``condition`` is a Column predicate over the table's columns; rows
     where it is TRUE are deleted (NULL keeps, per SQL DELETE).
+
+    ``condition`` may instead be a DataFrame of keys (with ``key_cols``
+    naming the join columns): matching rows are found by semi-join and
+    survivors by anti-join, so an arbitrarily large deletion batch (a
+    backfilled tombstone topic) never round-trips through the driver as
+    an ``isin`` literal (ADVICE r8 low). The keys are deduplicated and
+    localCheckpoint-ed once — they are consumed by three passes.
 
     Same partition-granular CoW discipline as :func:`upsert_cow`: only
     partitions CONTAINING matches are rewritten (minus the matching
@@ -540,10 +563,29 @@ def delete_cow(
     if prev is None:
         raise ValueError(f"no snapshots under {path}")
     snap = read_snapshot(spark, path, prev)
-    hit = F.coalesce(condition, F.lit(False))
+    if isinstance(condition, DataFrame):
+        if not key_cols:
+            raise ValueError("key_cols is required when condition is a DataFrame")
+        keys = condition.select(*key_cols).distinct().localCheckpoint(eager=True)
+
+        def _matches(df: DataFrame) -> DataFrame:
+            return df.join(keys, on=key_cols, how="left_semi")
+
+        def _survivors(df: DataFrame) -> DataFrame:
+            return df.join(keys, on=key_cols, how="left_anti")
+
+    else:
+        hit = F.coalesce(condition, F.lit(False))
+
+        def _matches(df: DataFrame) -> DataFrame:
+            return df.filter(hit)
+
+        def _survivors(df: DataFrame) -> DataFrame:
+            return df.filter(~hit)
+
     touched = [
         r[0]
-        for r in snap.filter(hit)
+        for r in _matches(snap)
         .select(partition_col)
         .distinct()
         .limit(max_touched_partitions + 1)
@@ -569,8 +611,8 @@ def delete_cow(
         for r in manifest.filter(~F.col("partition").isin(list(touched_dirs))).collect()
     ]
     slice_df = spark.read.option("basePath", path).parquet(*live_touched)
-    n_deleted = slice_df.filter(hit).count()  # churn-bounded second pass
-    keep = slice_df.filter(~hit)
+    n_deleted = _matches(slice_df).count()  # churn-bounded second pass
+    keep = _survivors(slice_df)
 
     before = _list_partition_files(spark, path, list(touched_dirs))
     keep.write.mode("append").partitionBy(partition_col).parquet(path)
@@ -972,6 +1014,58 @@ class ChangeFeedCursor:
         self.key_cols = list(key_cols)
         self.checkpoint = checkpoint
 
+    def _migrate_legacy(self, jvm, fs, p) -> None:
+        """Pre-r8 checkpoints were a single FILE whose content is the
+        integer position. Without migration, listStatus of that file
+        finds no ``v-`` markers, so ``position()`` silently returns -1
+        and the consumer replays the WHOLE feed from v0 into
+        non-idempotent consumers — and ``commit()``'s mkdirs over the
+        file then fails (ADVICE r8 medium). Detect the legacy file,
+        read its position, and convert it to a marker directory before
+        any read or commit proceeds."""
+        if not (fs.exists(p) and fs.getFileStatus(p).isFile()):
+            return
+        stream = fs.open(p)
+        try:
+            data = []
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+        finally:
+            stream.close()
+        try:
+            pos = int(bytes(data).decode("utf-8").strip())
+        except ValueError as exc:
+            raise RuntimeError(
+                f"cursor checkpoint {self.checkpoint} is a file but not a "
+                "legacy integer checkpoint — refusing to overwrite"
+            ) from exc
+        import uuid
+
+        HPath = jvm.org.apache.hadoop.fs.Path
+        tmp = HPath(p.getParent(), f".tmp-migrate-{uuid.uuid4().hex}")
+        fs.mkdirs(tmp)
+        fs.create(HPath(tmp, f"v-{pos:020d}"), True).close()
+        # Swap: the legacy file stays in place until the marker dir is
+        # fully staged; a crash between delete and rename re-runs the
+        # migration finding no file (position -1) ONLY if the rename
+        # also failed — so delete last is not safe; rename cannot
+        # overwrite a file on all FS, so delete-then-rename with the
+        # staged dir already durable is the narrowest window, and the
+        # staged dir is recoverable by hand.
+        if not fs.delete(p, False):
+            fs.delete(tmp, True)
+            raise RuntimeError(
+                f"could not remove legacy cursor file {self.checkpoint}"
+            )
+        if not fs.rename(tmp, p):
+            raise RuntimeError(
+                f"legacy cursor migration rename failed for {self.checkpoint}; "
+                f"staged markers left at {tmp.toString()}"
+            )
+
     def _markers(self, fs, p) -> list[int]:
         if not fs.exists(p):
             return []
@@ -987,6 +1081,7 @@ class ChangeFeedCursor:
 
     def position(self) -> int:
         jvm, fs, p = _jfs(self.spark, self.checkpoint)
+        self._migrate_legacy(jvm, fs, p)
         versions = self._markers(fs, p)
         return max(versions) if versions else -1  # fresh: deliver v0 too
 
@@ -1009,6 +1104,7 @@ class ChangeFeedCursor:
         import uuid
 
         jvm, fs, p = _jfs(self.spark, self.checkpoint)
+        self._migrate_legacy(jvm, fs, p)
         fs.mkdirs(p)
         HPath = jvm.org.apache.hadoop.fs.Path
         tmp = HPath(p, f".tmp-{uuid.uuid4().hex}")

@@ -646,66 +646,89 @@ def x131_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ground truth here is lang='en' (a deterministic, engine-independent
 # label); the score is x127's logistic computed IN-PLAN (no Python).
 #
-# DETERMINISM (r7 driver red, VERDICT r7 wrong-#1): the bin key used to
-# be FLOOR(ROUND(sigmoid(z), 4)*B) — sigmoid runs through EXP, a
-# transcendental whose rounding is NOT identical across libm/engine
-# builds, and the r7 driver's DuckDB disagreed with ours on the hash
-# while the full local emulation (186/186, atol=0, same parquet) was
-# green. Per the engine's determinism policy (decimal interiors,
-# integer gates — the x133/x154/x181 pattern) the hashed key is now
-# computed WITHOUT any transcendental: the probability-threshold bin
-# edges sigmoid(z) >= k/B are inverted ONCE driver-side to logit
-# boundaries ln(k/(B-k)) and embedded as identical shortest-roundtrip
-# double literals in BOTH the Spark plan and the oracle SQL; bin =
-# #edges <= z. z itself is pure rational IEEE arithmetic (mul/div/
-# add — each correctly rounded, bit-identical in every engine), and a
-# comparison of identical doubles against identical literals cannot
-# wobble. Same curve, same thresholds, no EXP near the hash.
+# DETERMINISM (driver-red r7 AND r8 — the family's hard-won rule): NO
+# derived float may appear in a hash-checked column, and no expensive
+# expression may sit where a HOF lambda can inline it. r7's red was the
+# EXP transcendental in the bin key; r8 removed it and was STILL red —
+# localizing the divergence to the hashed ROUND(double,6) ratio columns
+# (Spark BigDecimal-HALF_UP vs the driver DuckDB build's float-multiply
+# round) and/or FMA contraction of the 7-op float chain z. r8 also
+# shipped a 25x perf bomb: the 99-edge HOF lambda referenced z, so
+# Catalyst inlined split/array_distinct into the lambda and re-ran them
+# per edge per row, interpreted.
+#
+# The v3 contract is ALL-INTEGER end to end (VERDICT r8 #1):
+#   z >= edge_k  <=>  100*nw*z >= 100*nw*edge_k   (nw >= 1)
+#   with Z := 100*nw*z = 2*nw^2 + 150*uq - 80*st - 50*nw  (exact BIGINT)
+#   and edge_k frozen at micro precision E_k := round(logit(k/B)*1e6),
+#   giving the engine-free boundary   Z*1000000 >= E_k*100*nw.
+# E_k IS the definition of the bin boundary (not an approximation of
+# one): both engines compare the same integers, so ties are impossible
+# to disagree on. Outputs are integers only — threshold_pct is the bin
+# index itself, precision/recall are ppm via integer division (DuckDB
+# `//`, Spark `DIV`), bit-identical everywhere.
+#
+# PLAN SHAPE (kills the HOF re-evaluation class structurally): the
+# corpus projection computes ONLY the integer features (nw, uq, st,
+# pos) and immediately aggregates on them — split()/array_distinct()
+# run exactly once per row, below an Aggregate barrier that no lambda
+# can inline through. The 99-edge HOF then runs on the feature
+# histogram (distinct (nw,uq,st) combos, << corpus), where the lambda
+# can only capture three integer attribute refs. Max integer magnitude:
+# Z*1e6 ~ 2e6*nw^2 -> safe to nw ~ 2e6 words/doc.
 # ---------------------------------------------------------------------------
 _PRC_BINS = 100
-# logit(k/B) = ln(k/(B-k)) for k=1..B-1: Python-side constants; repr()
-# is shortest-roundtrip so both engines parse back the exact same bits.
-_PRC_EDGES: tuple[float, ...] = tuple(
-    math.log(k / (_PRC_BINS - k)) for k in range(1, _PRC_BINS)
+# E_k = round(logit(k/B) * 1e6): integer micro-logit bin edges, the
+# frozen cross-engine boundary constants (ascending in k).
+_PRC_EDGES_INT: tuple[int, ...] = tuple(
+    round(math.log(k / (_PRC_BINS - k)) * 1_000_000)
+    for k in range(1, _PRC_BINS)
 )
-_PRC_EDGES_SQL = ", ".join(repr(e) for e in _PRC_EDGES)
+_PRC_EDGES_INT_SQL = ", ".join(str(e) for e in _PRC_EDGES_INT)
 
 
 @query(
     "x155_pr_calibration",
     oracle=f"""
     WITH feats AS (
-        SELECT doc_id,
-               CAST(lang = 'en' AS INTEGER) AS pos,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uq,
+        SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uq,
                CAST(len(list_filter(string_split(text, ' '),
-                                    w -> w IN ('the', 'a'))) AS DOUBLE) AS st
+                                    w -> w IN ('the', 'a'))) AS BIGINT) AS st
         FROM documents
     ),
+    fh AS (
+        SELECT nw, uq, st,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(pos) AS BIGINT) AS pos_n
+        FROM feats GROUP BY nw, uq, st
+    ),
     scored AS (
-        SELECT pos,
-               CAST(len(list_filter(
-                   [{_PRC_EDGES_SQL}],
-                   e -> (0.02 * nw + 1.5 * (uq / nw)
-                         - 0.8 * (st / nw) - 0.5) >= e)) AS INTEGER) AS bin
-        FROM feats
+        SELECT CAST(len(list_filter(
+                   [{_PRC_EDGES_INT_SQL}],
+                   e -> (2*nw*nw + 150*uq - 80*st - 50*nw) * 1000000
+                        >= e * 100 * nw)) AS INTEGER) AS bin,
+               cnt, pos_n
+        FROM fh
     ),
     hist AS (
         SELECT bin,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(pos) AS BIGINT) AS n_pos
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(pos_n) AS BIGINT) AS n_pos
         FROM scored GROUP BY bin
     )
     SELECT bin,
-           ROUND(bin / {_PRC_BINS}.0, 2) AS threshold,
+           CAST(bin AS BIGINT) AS threshold_pct,
            n, n_pos,
-           SUM(n) OVER w AS cum_n,
-           SUM(n_pos) OVER w AS cum_pos,
-           ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE) / SUM(n) OVER w, 6)
-               AS precision_at,
-           ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE)
-                 / SUM(n_pos) OVER (), 6) AS recall_at
+           CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+           CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+           CAST((1000000 * CAST(SUM(n_pos) OVER w AS BIGINT))
+                // CAST(SUM(n) OVER w AS BIGINT) AS BIGINT)
+               AS precision_ppm,
+           CAST((1000000 * CAST(SUM(n_pos) OVER w AS BIGINT))
+                // CAST(SUM(n_pos) OVER () AS BIGINT) AS BIGINT)
+               AS recall_ppm
     FROM hist
     WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW)
@@ -716,42 +739,56 @@ def x155_pr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
-    nw = F.size(ws).cast("double")
-    uq = F.size(F.array_distinct(ws)).cast("double")
-    st = F.size(F.filter(ws, lambda w: w.isin("the", "a"))).cast("double")
-    z = 0.02 * nw + 1.5 * (uq / nw) - 0.8 * (st / nw) - 0.5
-    # sigmoid(z) >= k/B  <=>  z >= logit(k/B): count crossed edges. The
-    # edge list is a broadcast literal array; the HOF filter references
-    # the outer rational column z — no EXP in-plan, no Python.
-    edges = F.array(*[F.lit(e) for e in _PRC_EDGES])
-    binc = F.size(F.filter(edges, lambda e: z >= e)).cast("int")
+    # Integer features only below the aggregation barrier: the expensive
+    # text expressions run exactly once per corpus row and can never be
+    # inlined into the edge lambda (an Aggregate is project-opaque).
+    feats = d.select(
+        F.size(ws).cast("long").alias("nw"),
+        F.size(F.array_distinct(ws)).cast("long").alias("uq"),
+        F.size(F.filter(ws, lambda w: w.isin("the", "a")))
+        .cast("long")
+        .alias("st"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    fh = feats.groupBy("nw", "uq", "st").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos_n"),
+    )
+    nw, uq, st = F.col("nw"), F.col("uq"), F.col("st")
+    zs = (2 * nw * nw + 150 * uq - 80 * st - 50 * nw) * 1_000_000
+    edges = F.array(*[F.lit(e) for e in _PRC_EDGES_INT])
+    binc = F.size(F.filter(edges, lambda e: zs >= e * 100 * nw)).cast("int")
     hist = (
-        d.select(
-            binc.alias("bin"),
-            (F.col("lang") == "en").cast("int").alias("pos"),
-        )
+        fh.select(binc.alias("bin"), "cnt", "pos_n")
         .groupBy("bin")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pos_n").cast("long").alias("n_pos"),
         )
     )
     # ≤ B rows past this point: the windows run on a bounded frame
     w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
-    return hist.select(
-        "bin",
-        F.round(F.col("bin") / float(_PRC_BINS), 2).alias("threshold"),
-        "n",
-        "n_pos",
-        F.sum("n").over(w).alias("cum_n"),
-        F.sum("n_pos").over(w).alias("cum_pos"),
-        F.round(
-            F.sum("n_pos").over(w).cast("double") / F.sum("n").over(w), 6
-        ).alias("precision_at"),
-        F.round(
-            F.sum("n_pos").over(w).cast("double") / F.sum("n_pos").over(wall), 6
-        ).alias("recall_at"),
+    return (
+        hist.select(
+            "bin",
+            F.col("bin").cast("long").alias("threshold_pct"),
+            "n",
+            "n_pos",
+            F.sum("n").over(w).alias("cum_n"),
+            F.sum("n_pos").over(w).alias("cum_pos"),
+            F.sum("n_pos").over(wall).alias("_total_pos"),
+        )
+        .select(
+            "bin",
+            "threshold_pct",
+            "n",
+            "n_pos",
+            "cum_n",
+            "cum_pos",
+            F.expr("(1000000 * cum_pos) DIV cum_n").alias("precision_ppm"),
+            F.expr("(1000000 * cum_pos) DIV _total_pos").alias("recall_ppm"),
+        )
     )
 
 

@@ -112,18 +112,24 @@ def tombstone_sink(table_path: str, key_col: str, partition_col: str):
     request topic drains continuously into versioned erasure commits,
     and every downstream CDF consumer (SCD2, IVM, cursors) observes
     them as delete events. Replay-safe: deleting an already-deleted
-    key matches nothing and commits nothing."""
+    key matches nothing and commits nothing.
+
+    The tombstone keys flow into :func:`delete_cow` as a DataFrame
+    (semi-join deletion), never as a driver-collected ``isin`` literal:
+    a backfilled deletion topic delivering millions of keys in one
+    micro-batch stays executor-side (ADVICE r8 low)."""
 
     def _sink(df: DataFrame, epoch_id: int) -> None:
         from ua2sql_spark.operators.snapshot import delete_cow
 
-        keys = [r[0] for r in df.select(key_col).distinct().collect()]
-        if keys:
+        keys = df.select(key_col).distinct()
+        if keys.limit(1).count() > 0:
             delete_cow(
                 df.sparkSession,
                 table_path,
-                F.col(key_col).isin(keys),
+                keys,
                 partition_col,
+                key_cols=[key_col],
             )
 
     return _sink
