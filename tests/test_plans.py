@@ -612,3 +612,94 @@ def test_semdedup_cell_join_is_equi_over_checkpointed_assignment(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_reeval_tripwire_catches_both_regression_shapes(spark):
+    """VERDICT r8 #2: the sweep must be RED on the two shipped defect
+    shapes — (a) the r8 x155 form, a HOF lambda over a literal edge
+    array referencing an expensive outer expression (Catalyst inlines
+    split/array_distinct into the lambda: 99x per-element, interpreted;
+    bench went 0.44s -> 11.13s), and (b) the pre-d6e803c x188 form, an
+    explode sharing its projection with non-cheap array expressions
+    (codegen re-evaluates them per generated row: measured 10x) — and
+    GREEN on the legitimate explode-then-process-the-element pattern."""
+    import math
+
+    from ua2sql_spark.plans.explain import reeval_hazards
+
+    d = load_table(spark, SF_DIR, "documents")
+    ws = F.split(F.col("text"), " ")
+
+    # (a) r8 x155 regression fixture
+    edges = F.array(*[F.lit(math.log(k / (100 - k))) for k in range(1, 100)])
+    nw = F.size(ws).cast("double")
+    uq = F.size(F.array_distinct(ws)).cast("double")
+    z = 0.02 * nw + 1.5 * (uq / nw) - 0.5
+    fix_a = d.select(
+        F.size(F.filter(edges, lambda e: z >= e)).alias("bin")
+    ).groupBy("bin").count()
+    assert any("lambda body" in f for f in reeval_hazards(fix_a))
+
+    # (b) pre-fix x188 regression fixture
+    base = d.select("doc_id", ws.alias("ws"))
+    g2 = F.transform(
+        F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", F.get("ws", i), F.get("ws", i + 1)),
+    )
+    g3 = F.transform(
+        F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 2, F.lit(0))),
+        lambda w, i: F.concat_ws(
+            " ", F.get("ws", i), F.get("ws", i + 1), F.get("ws", i + 2)
+        ),
+    )
+    fix_b = (
+        base.select(
+            "doc_id",
+            (F.size(g3) - F.size(F.array_distinct(g3))).alias("nd3"),
+            F.explode(g2).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("nd3").alias("nd"))
+    )
+    assert any("Project above Generate" in f for f in reeval_hazards(fix_b))
+
+    # legitimate: heavy work on the GENERATED element is per-element by
+    # intent, not a re-evaluation
+    legit = d.select(F.explode(ws).alias("w")).select(
+        F.split(F.col("w"), "a").alias("parts")
+    )
+    assert reeval_hazards(legit) == []
+
+    # the let-binding neutralizes shape (a): same feature math, bound
+    # variable instead of an inlined expression
+    from ua2sql_spark.functions.arrays import let
+
+    bound = let(
+        ws,
+        lambda w: F.size(
+            F.filter(edges, lambda e: 0.02 * F.size(w).cast("double") >= e)
+        ),
+    )
+    assert reeval_hazards(d.select(bound.alias("bin"))) == []
+
+
+def test_no_query_reevaluates_expensive_exprs(spark):
+    """Sweep every registered query's optimized plan for the
+    re-evaluation defect class (VERDICT r8 #2): no expensive call
+    inlined into a lambda body, no heavy expression in a Project
+    directly above a Generate. Exception, documented: x154's query-side
+    norm is recomputed per PQ subspace (8x) — on the NQ-bounded query
+    rows only, never the corpus side (which is localCheckpoint-
+    barriered); restructuring would change FP summation order in a
+    hash-checked query."""
+    from ua2sql_spark.plans.explain import reeval_hazards
+
+    allowed = {"x154_pq_recall_contract"}
+    bad = {}
+    for name, spec in all_queries().items():
+        if name in allowed:
+            continue
+        finds = reeval_hazards(spec.fn(spark, SF_DIR))
+        if finds:
+            bad[name] = sorted(set(finds))
+    assert not bad, bad

@@ -57,3 +57,25 @@ def sign_bucket(e: Column, n_dims: int = 8) -> Column:
         t = F.when(F.element_at(e, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         terms = t if terms is None else terms + t
     return terms.cast("long")
+
+
+def let(bound: Column, body) -> Column:
+    """Single-evaluation let-binding for an expensive expression.
+
+    The Column DSL builds expression TREES: referencing a Python
+    variable holding ``split(text)`` inside a higher-order-function
+    lambda embeds the whole split expression in the lambda body, so it
+    re-executes once PER ARRAY ELEMENT, interpreted — the engine's
+    most-repeated defect class (VERDICT r8 #2: x155 went 0.44s->11.1s
+    from a 99-edge filter re-running split/array_distinct per edge;
+    pre-fix x188 paid 10x the same way). ``let`` binds the value to a
+    real lambda VARIABLE — ``transform(array(x), v -> body(v))[1]`` —
+    which no optimizer rewrite can inline, so ``x`` evaluates exactly
+    once per row no matter how many times ``body`` references it.
+
+    ``body`` receives the bound Column and may return any expression
+    over it (including nested HOFs). Works for scalars and arrays
+    alike; a NULL bound value flows through ``body`` exactly as the
+    raw expression would.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)

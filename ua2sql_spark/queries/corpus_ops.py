@@ -49,14 +49,23 @@ def word_ngrams(text: Column, n: int) -> Column:
     space-joined strings. Pure projection: ``transform`` over
     ``sequence`` + ``slice`` — no explode, no shuffle. Short documents
     (< n words) yield an empty array (``sequence`` would otherwise
-    descend for negative bounds)."""
-    words = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    descend for negative bounds).
+
+    The word array is ``let``-bound: the per-position lambda references
+    a lambda VARIABLE, never the ``split`` expression itself — the
+    naive form re-ran split once per n-gram position per row, O(W^2)
+    per document (the r9 tripwire's lambda-inlining class)."""
+    from ua2sql_spark.functions.arrays import let
+
+    return let(
+        F.split(text, " "),
+        lambda words: F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
@@ -254,17 +263,26 @@ def x109_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x110_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.functions.arrays import let
+
     d = load_table(spark, sf_dir, "documents")
-    grams = word_ngrams(F.col("text"), 2)
-    total = F.size(grams)
-    dups = (total - F.size(F.array_distinct(grams))).cast("double")
-    frac = F.when(total == 0, F.lit(0.0)).otherwise(dups / total)
+
+    def metrics(grams):
+        total = F.size(grams)
+        dups = (total - F.size(F.array_distinct(grams))).cast("double")
+        frac = F.when(total == 0, F.lit(0.0)).otherwise(dups / total)
+        return F.struct(
+            total.cast("long").alias("n_2grams"),
+            F.round(frac, 6).alias("dup_2gram_frac"),
+            ((total > 0) & (frac > 0.2)).alias("flagged_repetitive"),
+        )
+
+    # let-bound: the gram array builds ONCE per row; the multi-field
+    # struct is a single child-projection column (multi-referenced, so
+    # CollapseProject keeps it), not three re-evaluations
     return d.select(
-        "doc_id",
-        total.cast("long").alias("n_2grams"),
-        F.round(frac, 6).alias("dup_2gram_frac"),
-        ((total > 0) & (frac > 0.2)).alias("flagged_repetitive"),
-    )
+        "doc_id", let(word_ngrams(F.col("text"), 2), metrics).alias("__m")
+    ).select("doc_id", "__m.*")
 
 
 # ---------------------------------------------------------------------------

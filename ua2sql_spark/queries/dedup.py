@@ -547,22 +547,30 @@ _SPAN_WORDS = 10
 def x141_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ua2sql_spark.functions.arrays import let
+
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     n_blocks = F.ceil(F.size(w) / float(_SPAN_WORDS)).cast("bigint")
+    # let-bound: the per-block lambda slices the BOUND word array — the
+    # naive form re-ran split once per block per row
+    block_structs = let(
+        w,
+        lambda ws: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(ws) / float(_SPAN_WORDS)).cast("bigint") - 1
+            ),
+            lambda b: F.struct(
+                b.alias("b"),
+                F.array_join(
+                    F.slice(ws, b * _SPAN_WORDS + 1, _SPAN_WORDS), " "
+                ).alias("span"),
+            ),
+        ),
+    )
     blocks = d.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_blocks - 1),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    F.array_join(
-                        F.slice(w, b * _SPAN_WORDS + 1, _SPAN_WORDS), " "
-                    ).alias("span"),
-                ),
-            )
-        ).alias("blk"),
+        F.explode(block_structs).alias("blk"),
     ).select("doc_id", F.col("blk.b").alias("b"), F.col("blk.span").alias("span"))
     first = Window.partitionBy("span").orderBy("doc_id", "b")
     kept = (

@@ -185,12 +185,22 @@ def x50_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x51_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.functions.arrays import let
+
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+    # let-bound: the per-position lambda touches only the bound word
+    # array, never the split expression (which would re-run per shingle)
+    shingles = let(
+        w,
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
         ),
     )
     return (
