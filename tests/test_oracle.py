@@ -69,47 +69,50 @@ def test_driver_window_families():
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
         # text, multimodal, Pandas-UDF surface, TPC-H archetypes,
-        # training-data pipeline ops, versioned tables (round-8
-        # rotation #6: registry.py's rotation comment records which
+        # training-data pipeline ops, versioned tables (round-9
+        # rotation #7: registry.py's rotation comment records which
         # rows moved below the fold and which family member covers
-        # each; every rotated-out row is driver-green in r6/r7)
+        # each; every rotated-out row is driver-green in r8)
         "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
-        "q35_asof_join", "q120_variant_json",
+        "q35_asof_join",
         "q114_approx_percentile_contract",
         "q135_bloom_semijoin_reduction",
-        "x115_neardup_clusters_fast",
         "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank",
         "q126_sales_opportunity",
-        "q139_theta_setops_contract",
         "q145_ab_welch_ttest",
         "x158_bm25_search",
         "q159_sliding_active_users",
         "x173_ks_two_sample",
         "x174_semdedup",
-        "x179_prefix_simjoin", "x180_audio_features",
+        "x179_prefix_simjoin",
         "x181_lsh_recall_contract",
         "x185_cms_heavy_hitters_contract",
         "x186_scd2_history",
-        "x155_pr_calibration",  # r7's red row, re-keyed — stays gated
+        "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
         "x162_weighted_sample",
-        # round-8 rotation #6: the never-driver-checked pipeline tail
-        "x49_quality_score",
-        "x68_embedding_neardup", "x69_ngram_jaccard_neardup",
-        "x70_hash_split", "x84_bpe_token_count",
-        "x88_label_centroids", "x89_knn_classify",
-        "x90_stratified_sample", "x91_distinctive_terms",
-        "x98_corpus_clean", "x99_domain_mix",
-        "x106_contamination", "x107_heavy_hitters",
-        "x108_vocab_oov", "x109_train_shuffle",
+        "x98_corpus_clean",
+        "x106_contamination",
         "x110_dup_ngram_fraction", "x113_token_budget_sample",
         "x134_bpe_merge_pairs",
-        # late-r8: the round's new operators, driver-gated same-round
         "x187_oriented_thumbs",
         "x188_repetition_signals", "x189_word_rarity",
         "q153_sql_scripting", "q154_sql_udf",
         "x190_delete_erasure",
+        # round-9 rotation #7: the never-driver-checked tail + the
+        # round's new trainer, gated same-round
+        "x122_skew_join_zipf",
+        "x132_embedding_outliers",
+        "x51_shingle_fingerprint",
+        "x83_frame_sample",
+        "x72_doc_chunks", "x74_mad_grouped_agg",
+        "x75_arrow_bytestats", "x76_udtf_sentences",
+        "q118_ntile_deciles", "q66_salted_agg",
+        "x128_length_bucket_batching", "x129_domain_cap",
+        "q68_grouping_sets", "q55_unpivot",
+        "q63_posexplode", "q67_to_json",
+        "x191_bpe_trainer",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -218,71 +218,96 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # stays via x188's integer-gated gopher_pass; x190 drives the round's
 # new row-level CoW DELETE + its change feed through the hard gate,
 # completing X12's driver coverage alongside x186).
+# Round-9 rotation #7 (VERDICT r8 #3): retire 16 of the 31 rows that
+# have never held a driver check, plus gate the round's new x191 BPE
+# trainer same-round. In: x122 skew join (AQE skew handling under the
+# hard gate), x132 embedding outliers, x51 shingle fingerprint (now
+# let-bound, tripwire-clean), x83 frame sample, the remaining
+# Python-surface rows x72/x74/x75/x76 (doc chunking UDTF shape, pandas
+# grouped-agg MAD, mapInArrow bytestats, UDTF sentences), q118 NTILE
+# deciles, q66 salted agg, x128 length-bucket batching, x129 domain
+# cap, q68 explicit GROUPING SETS, q55 unpivot, q63 posexplode, q67
+# to_json, and x191 (first driver row, built this round). Out, every
+# one driver-green in r8 and each leaving an in-window family
+# representative: q120 (JSON parse driver-proven q28/q29 r1-r5; q67
+# carries serialization), q139 (sketches keep q114 GK + x185 CMS),
+# x115 (dedup keeps x179/x181/x110/x106 + incoming x51), x68/x69
+# (near-dup keeps x174/x179/x181/x110), x88/x89 (embedding math keeps
+# x133 + incoming x132), x49 (text quality keeps x188/x189/x98), x84
+# (BPE keeps x134 + incoming x191 trainer), x91 (lexical stats keep
+# x158), x108 (vocab keeps x134/x191), x180 (multimodal keeps x187 +
+# incoming x83), x107 (heavy hitters keep x185's CMS contract),
+# x70/x90/x99/x109 (pipeline sampling/mix keeps x113/x162 + incoming
+# x128/x129). x125 unigram-logprob REMAINS local-only: its hashed
+# columns derive from ROUND(LN(p),4) — multi-op transcendental chains
+# are exactly what made x155 red in r7/r8 (x189 carries the unigram-LM
+# family's driver gate with integer-exact rarity instead). All
+# rotated-out rows remain local-oracle green in tests/test_oracle.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core + joins
+    # relational core + joins (x122: first driver row — skewed-key
+    # join under AQE skew handling)
     "q01_pricing_summary",
     "q09_join_theta",
     "q116_join_full_outer",
     "q135_bloom_semijoin_reduction",
-    # aggregates + sketches + stats
-    "q139_theta_setops_contract",
+    "x122_skew_join_zipf",
+    # aggregates + sketches + stats (q66/q68/q118: first driver row)
     "q114_approx_percentile_contract",
     "q145_ab_welch_ttest",
-    "x107_heavy_hitters",
+    "q66_salted_agg",
+    "q68_grouping_sets",
+    "q118_ntile_deciles",
     # windows + event analytics
     "q159_sliding_active_users",
     "q35_asof_join",
-    # SQL surface (q153/q154: first driver row)
-    "q120_variant_json",
+    # SQL surface (q55/q63/q67: first driver row)
     "q153_sql_scripting",
     "q154_sql_udf",
-    # versioned tables — X12's driver rows (x190: first driver row,
-    # the round-8 delete/erasure path)
+    "q55_unpivot",
+    "q63_posexplode",
+    "q67_to_json",
+    # versioned tables — X12's driver rows
     "x186_scd2_history",
     "x190_delete_erasure",
-    # dedup tiers (x68/x69/x110/x106: first driver row)
-    "x115_neardup_clusters_fast",
+    # dedup tiers (x51: first driver row)
     "x179_prefix_simjoin",
     "x181_lsh_recall_contract",
-    "x68_embedding_neardup",
-    "x69_ngram_jaccard_neardup",
     "x110_dup_ngram_fraction",
     "x106_contamination",
-    # similarity / embedding math (x88/x89: first driver row)
+    "x51_shingle_fingerprint",
+    # similarity / embedding math (x132: first driver row)
     "x133_quantized_recall_contract",
     "x173_ks_two_sample",
     "x155_pr_calibration",
-    "x88_label_centroids",
-    "x89_knn_classify",
-    # text analysis / corpus quality (x49/x84/x91/x108/x134/x188/x189:
-    # first driver row)
+    "x132_embedding_outliers",
+    # text analysis / corpus quality (x191: first driver row — the
+    # iterative BPE trainer built this round)
     "x158_bm25_search",
     "x188_repetition_signals",
     "x189_word_rarity",
-    "x49_quality_score",
-    "x84_bpe_token_count",
-    "x91_distinctive_terms",
-    "x108_vocab_oov",
+    "x98_corpus_clean",
     "x134_bpe_merge_pairs",
-    # multimodal + Python-execution surface (x187: first driver row)
-    "x180_audio_features",
+    "x191_bpe_trainer",
+    # multimodal + Python-execution surface (x72/x74/x75/x76/x83:
+    # first driver row — the remaining Python-surface tail)
     "x187_oriented_thumbs",
     "x185_cms_heavy_hitters_contract",
     "x149_udtf_polymorphic",
+    "x83_frame_sample",
+    "x72_doc_chunks",
+    "x74_mad_grouped_agg",
+    "x75_arrow_bytestats",
+    "x76_udtf_sentences",
     # layout + iterative graph + TPC-H archetype
     "x124_zorder_layout",
     "x138_domain_pagerank",
     "q126_sales_opportunity",
-    # training-data pipeline (x70/x90/x98/x99/x109/x113: first driver
-    # row)
+    # training-data pipeline (x128/x129: first driver row)
     "x162_weighted_sample",
     "x174_semdedup",
-    "x70_hash_split",
-    "x90_stratified_sample",
-    "x98_corpus_clean",
-    "x99_domain_mix",
-    "x109_train_shuffle",
     "x113_token_budget_sample",
+    "x128_length_bucket_batching",
+    "x129_domain_cap",
 )
 
 
