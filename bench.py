@@ -126,6 +126,15 @@ HEADLINE = [
     "x189_word_rarity",
 ]
 
+# VERDICT r8 #4: every driver-gated row must carry a bench number —
+# x155's 25x regression was visible ONLY because x155 happened to be in
+# the headline; an equivalent blowup in x187/x190 would have shipped
+# silently. Every DRIVER_WINDOW row not already in HEADLINE is timed
+# with one warm-up + one measured run (enough to catch order-of-
+# magnitude regressions at a fraction of the 4-execution headline
+# cost) and reported under extras.gated_queries with its own total.
+# Computed dynamically so window rotations are benched from birth.
+
 
 def _median_of(fn, n: int = 3) -> float:
     runs = []
@@ -303,7 +312,21 @@ def main() -> None:
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 4)
 
+    # Driver-gated rows outside the headline: 1 warm-up + 1 timed run.
+    from ua2sql_spark.registry import DRIVER_WINDOW
+
+    gated: dict[str, float] = {}
+    for name in DRIVER_WINDOW:
+        if name in names or name not in specs:
+            continue
+        execute(name)
+        t0 = time.perf_counter()
+        execute(name)
+        gated[name] = round(time.perf_counter() - t0, 4)
+
     extras = measure_extras(spark)
+    extras["gated_queries"] = gated
+    extras["gated_window_total_sec"] = round(sum(gated.values()), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1,0 +1,139 @@
+"""Scale-slope smoke (VERDICT r8 #5): measure the wall-time slope of
+the most expensive queries from sf0.1 to a locally-tiled ~4x corpus and
+assert near-linearity. This converts SCALE.md's partition-arithmetic
+arguments into a measured number: a quadratic term or a data-dependent
+constant-factor bomb shows up as a slope, not a story.
+
+Opt-in (SPARK_GRAFT_SLOPE=1): the 4x build + 2x5 timed runs take
+minutes and belong in a bench-adjacent lane, not the per-commit suite.
+
+Tiling construction — the 4x corpus must scale SIZE without inventing
+cross-copy structure the original didn't have:
+
+* documents: copy k suffixes EVERY word with the copy index — a
+  vocabulary bijection, so every within-copy similarity relation
+  (shingles, minhash, word sets) is preserved exactly while copies
+  share zero vocabulary (no artificial cross-copy near-dup pairs that
+  would quadratically inflate LSH buckets and masquerade as engine
+  superlinearity). doc_id offsets by a stride divisible by every
+  modulus the queries use (eval splits, centroid strides), so the
+  modular structure of each copy matches the original.
+* embeddings: copy k circularly shifts the vector by 16k dims —
+  same-copy dot products are rotation-invariant (within-copy geometry
+  identical), cross-copy cosines fall back to the random baseline.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ua2sql_spark.catalog import load_table
+from ua2sql_spark.registry import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 4
+STRIDE = 100_000_000  # divisible by every doc_id/vec_id modulus in use
+SLOPE_QUERIES = [
+    "x174_semdedup",
+    "x178_kmeans_lloyd",
+    "x96_neardup_clusters",
+    "x138_domain_pagerank",
+    "x155_pr_calibration",
+]
+# near-linear gate: 4x data may cost at most ~1.6x-per-doubling beyond
+# linear (VERDICT r8 #5 asks <= ~1.5x super-linearity; the margin above
+# covers this box's measured +-15-45% sub-2s noise band)
+MAX_SLOPE = 4 * 1.6
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOPE") != "1",
+    reason="slope smoke is opt-in: SPARK_GRAFT_SLOPE=1 (minutes of bench-class runtime)",
+)
+
+
+def _build_4x(spark, src_dir: str, dst_dir: str) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        link = os.path.join(dst_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(src_dir, f"{t}.parquet"), link)
+
+    docs = load_table(spark, src_dir, "documents")
+    doc_copies = []
+    for k in range(COPIES):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(k * STRIDE)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit(str(k))),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        doc_copies.append(c)
+    out = doc_copies[0]
+    for c in doc_copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, "documents.parquet")
+    )
+
+    emb = load_table(spark, src_dir, "embeddings")
+    dims = len(emb.select("embedding").first()["embedding"])
+    emb_copies = []
+    for k in range(COPIES):
+        shift = (16 * k) % dims
+        shifted = F.concat(
+            F.slice(F.col("embedding"), shift + 1, dims - shift),
+            F.slice(F.col("embedding"), 1, shift),
+        )
+        emb_copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * STRIDE)).alias("vec_id"),
+                (shifted if shift else F.col("embedding")).alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    out = emb_copies[0]
+    for c in emb_copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, "embeddings.parquet")
+    )
+
+
+def _timed(fn, n: int = 2) -> float:
+    fn()  # warm-up: plan + codegen
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def test_expensive_queries_scale_near_linearly(spark, tmp_path_factory):
+    big = str(tmp_path_factory.mktemp("sf4x"))
+    _build_4x(spark, SF_DIR, big)
+    specs = all_queries()
+    slopes = {}
+    for name in SLOPE_QUERIES:
+        run = lambda d: specs[name].fn(spark, d).write.format("noop").mode(  # noqa: E731
+            "overwrite"
+        ).save()
+        t1 = _timed(lambda: run(SF_DIR))
+        t4 = _timed(lambda: run(big))
+        slopes[name] = round(t4 / t1, 2)
+        print(f"SLOPE {name}: {t1:.2f}s -> {t4:.2f}s  ratio {slopes[name]}")
+    bad = {n: s for n, s in slopes.items() if s > MAX_SLOPE}
+    assert not bad, f"superlinear slopes (>{MAX_SLOPE}x for 4x data): {bad} | all: {slopes}"
