@@ -1360,7 +1360,16 @@ def x178_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def update(assign_df):
         # the one per-dim explode: |V|·d member rows -> |K|·d means ->
-        # deterministic array rebuild (sort by dim index)
+        # deterministic array rebuild (sort by dim index).
+        # MEASURED (r9, VERDICT r8 optional #7): replacing this with a
+        # d-wide decimal-sum aggregate (64 SUM(element_at(emb,i)) in
+        # one groupBy(cell)) to "cut shuffled rows by the dimension
+        # factor" ran 2.6x SLOWER at sf0.1 (9-11s vs 3.9s): the
+        # exploded rows never hit the wire — map-side partial
+        # aggregation already collapses them to |K|·d per partition —
+        # while the wide-buffer decimal agg pays 64 imperative buffer
+        # updates per row. The explode stays; the shuffle is
+        # |K|·d·partitions either way.
         member_dims = (
             pts.join(assign_df.select("vec_id", "cell"), "vec_id")
             .select("cell", F.posexplode("emb").alias("i", "x"))
