@@ -92,7 +92,6 @@ def test_driver_window_families():
         "x186_scd2_history",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
         "x162_weighted_sample",
-        "x98_corpus_clean",
         "x106_contamination",
         "x110_dup_ngram_fraction", "x113_token_budget_sample",
         "x134_bpe_merge_pairs",
@@ -112,7 +111,7 @@ def test_driver_window_families():
         "x128_length_bucket_batching", "x129_domain_cap",
         "q68_grouping_sets", "q55_unpivot",
         "q63_posexplode", "q67_to_json",
-        "x191_bpe_trainer",
+        "x191_bpe_trainer", "x192_bpe_encode",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -1017,8 +1017,34 @@ def _bpe_trainer_oracle(k: int) -> str:
     return "".join(parts)
 
 
-@query("x191_bpe_trainer", oracle=_bpe_trainer_oracle(_BPE_TRAIN_ROUNDS))
-def x191_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_merge_fold(left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of (left, right) as a
+    pure fold over a symbol array — the lambda touches only its own
+    accumulator/element variables (tripwire-clean by construction)."""
+
+    def rewrite(syms_col):
+        return F.aggregate(
+            syms_col,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    return rewrite
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int):
+    """Run the BPE merge loop; returns (merge_rows, encoded_vocab)
+    where merge_rows = [(rank, left, right, merged, n), ...] and
+    encoded_vocab carries (word, freq, syms) with ALL ``rounds`` merges
+    applied — the trained tokenizer's vocabulary mapping."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -1030,9 +1056,11 @@ def x191_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    cur = vocab.select(chars.alias("syms"), "freq").localCheckpoint(eager=True)
+    cur = vocab.select("word", chars.alias("syms"), "freq").localCheckpoint(
+        eager=True
+    )
     merges = []
-    for rank in range(1, _BPE_TRAIN_ROUNDS + 1):
+    for rank in range(1, rounds + 1):
         pairs = cur.select(
             F.explode(
                 F.zip_with(
@@ -1051,26 +1079,116 @@ def x191_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         left, right, n = best["l"], best["r"], best["n"]
         merges.append((rank, left, right, left + right, n))
-        if rank == _BPE_TRAIN_ROUNDS:
-            break
-        rewrite = F.aggregate(
-            F.col("syms"),
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(left + right)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        cur = cur.select(rewrite.alias("syms"), "freq").localCheckpoint(
-            eager=True
-        )
+        rewrite = _bpe_merge_fold(left, right)
+        cur = cur.select(
+            "word", rewrite(F.col("syms")).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges, cur
+
+
+@query("x191_bpe_trainer", oracle=_bpe_trainer_oracle(_BPE_TRAIN_ROUNDS))
+def x191_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _vocab = _train_bpe(spark, sf_dir, _BPE_TRAIN_ROUNDS)
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, n bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x192: BPE ENCODER — the composition x191 trains for: apply the
+# learned merge table (all K merges, in rank order) to tokenize the
+# corpus, reporting per-language encoded-token statistics and the
+# compression each language actually achieves (tokens-per-char, ppm).
+# This is the trainer→encoder round trip a tokenizer pipeline ships:
+# x134 counts candidate pairs, x191 learns the merges, x192 measures
+# what they buy — the per-language twin of x151's fertility metric,
+# but against the engine's OWN trained subwords instead of a fixed
+# regex. Scale shape: encoding runs over the distinct-word VOCABULARY
+# (K sequential fold rewrites, each localCheckpoint-materialized);
+# the corpus pays one word explode + a word-keyed join against the
+# encoded vocab (broadcast-eligible: |vocab| ≪ corpus) + one lang
+# aggregate. Stats are restricted to the trained domain (words of
+# length ≥ 2, the trainer's own filter) in BOTH engines. Output is
+# exact integers only — compression is ppm via integer division.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    parts = [
+        """
+    WITH vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) >= 2
+        GROUP BY word
+    ),
+    v0 AS (
+        SELECT word, list_transform(range(1, len(word) + 1),
+                                    i -> substring(word, i, 1)) AS syms, freq
+        FROM vocab
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+        FROM v{i - 1}, unnest(range(1, len(syms))) AS t(i)
+        GROUP BY l, r
+    ),
+    b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+    v{i} AS (
+        SELECT word, list_reduce(list_transform(syms, s -> [s]),
+            (acc, x) -> CASE WHEN acc[-1] = b{i}.l AND x[1] = b{i}.r
+                             THEN array_slice(acc, 1, len(acc) - 1)
+                                  || [b{i}.l || b{i}.r]
+                             ELSE acc || x END) AS syms, freq
+        FROM v{i - 1} CROSS JOIN b{i}
+    )""")
+    parts.append(f""",
+    enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_toks FROM v{k}),
+    occ AS (
+        SELECT lang, word FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE len(word) >= 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(e.n_toks) AS BIGINT) AS n_tokens,
+           CAST((1000000 * CAST(SUM(e.n_toks) AS BIGINT))
+                // CAST(SUM(len(word)) AS BIGINT) AS BIGINT)
+               AS compression_ppm
+    FROM occ JOIN enc e USING (word)
+    GROUP BY lang""")
+    return "".join(parts)
+
+
+@query("x192_bpe_encode", oracle=_bpe_encode_oracle(_BPE_TRAIN_ROUNDS))
+def x192_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, vocab = _train_bpe(spark, sf_dir, _BPE_TRAIN_ROUNDS)
+    enc = vocab.select("word", F.size("syms").cast("long").alias("n_toks"))
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    return (
+        occ.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) DIV n_chars").alias(
+                "compression_ppm"
+            ),
+        )
     )

@@ -285,9 +285,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x158_bm25_search",
     "x188_repetition_signals",
     "x189_word_rarity",
-    "x98_corpus_clean",
     "x134_bpe_merge_pairs",
     "x191_bpe_trainer",
+    "x192_bpe_encode",
     # multimodal + Python-execution surface (x72/x74/x75/x76/x83:
     # first driver row — the remaining Python-surface tail)
     "x187_oriented_thumbs",
