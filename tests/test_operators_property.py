@@ -806,3 +806,36 @@ def test_operators_tolerate_empty_input(spark):
         salted_agg(events, ["user_id"], {"n": ("count", F.lit(1))}).count() == 0
     )
     assert asof_join(events, events, on="user_id").count() == 0
+
+
+def test_bpe_trainer_tolerates_empty_and_degenerate_corpus(spark, tmp_path):
+    """x191/x192 drive a driver-side merge-argmax loop; an empty corpus
+    (or one with no mergeable pair) must yield an empty merge table and
+    empty encode stats, not a None-subscript crash."""
+    from ua2sql_spark.queries.text_analysis import (
+        x191_bpe_trainer,
+        x192_bpe_encode,
+    )
+
+    sf = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    assert x191_bpe_trainer(spark, sf).count() == 0
+    assert x192_bpe_encode(spark, sf).count() == 0
+
+    # degenerate: single repeated 2-char word -> exactly one merge
+    # possible; later rounds find no pair and stop early
+    sf2 = str(tmp_path / "sf_tiny")
+    os.makedirs(sf2)
+    spark.createDataFrame(
+        [(1, "ab ab", "en", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(os.path.join(sf2, "documents.parquet"))
+    merges = x191_bpe_trainer(spark, sf2).collect()
+    assert [(m["merge_rank"], m["merged"], m["n"]) for m in merges] == [(1, "ab", 2)]
+    enc = x192_bpe_encode(spark, sf2).collect()
+    assert len(enc) == 1 and enc[0]["n_tokens"] == 2 and enc[0]["n_chars"] == 4

@@ -1077,6 +1077,8 @@ def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int):
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
             .first()
         )
+        if best is None:  # corpus exhausted (empty input / all 1-symbol)
+            break
         left, right, n = best["l"], best["r"], best["n"]
         merges.append((rank, left, right, left + right, n))
         rewrite = _bpe_merge_fold(left, right)
