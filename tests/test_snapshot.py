@@ -1162,3 +1162,65 @@ def test_view_survives_integer_width_drift(spark, tmp_path):
     refresh_from_feed(spark, view, feed, "grp", "amount")
     got = {(r["grp"], r["n"]) for r in read_view(spark, view).collect()}
     assert got == {(10, 2), (20, 1)}
+
+
+def test_check_constraints_enforced_persisted_and_dropped(spark, tmp_path):
+    """Delta-style CHECK constraints: violations abort the commit
+    before anything lands; the set persists in the manifest sidecar and
+    is enforced on LATER upserts that never mention it; NULL passes
+    (SQL CHECK semantics); metadata-oblivious commits (delete) carry
+    the set; drop_constraint removes one via a metadata-only version."""
+    import pytest as _pytest
+
+    from ua2sql_spark.operators.snapshot import (
+        ConstraintViolation,
+        delete_cow,
+        drop_constraint,
+        latest_version,
+        read_snapshot,
+        table_constraints,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, bal double")
+    upsert_cow(
+        mk([(1, "d1", 10.0), (2, "d2", 20.0)]),
+        path, ["id"], "day",
+        constraints={"bal_nonneg": "bal >= 0", "id_pos": "id > 0"},
+    )
+    assert table_constraints(spark, path) == {
+        "bal_nonneg": "bal >= 0", "id_pos": "id > 0",
+    }
+
+    # a later upsert that never mentions constraints is still checked
+    with _pytest.raises(ConstraintViolation, match="bal_nonneg"):
+        upsert_cow(mk([(3, "d1", -5.0)]), path, ["id"], "day")
+    # nothing committed by the failed upsert
+    assert latest_version(spark, path) == 0
+    assert read_snapshot(spark, path).count() == 2
+
+    # NULL passes (SQL CHECK: only FALSE violates)
+    upsert_cow(
+        spark.createDataFrame([(4, "d1", None)], "id bigint, day string, bal double"),
+        path, ["id"], "day",
+    )
+    assert read_snapshot(spark, path).count() == 3
+
+    # delete commits carry the constraint sidecar forward
+    delete_cow(spark, path, F.col("id") == 4, "day")
+    assert latest_version(spark, path) == 2
+    assert set(table_constraints(spark, path)) == {"bal_nonneg", "id_pos"}
+
+    # drop one: metadata-only commit, data unchanged, other kept
+    v = drop_constraint(spark, path, "bal_nonneg")
+    assert v == 3
+    assert table_constraints(spark, path) == {"id_pos": "id > 0"}
+    assert read_snapshot(spark, path).count() == 2
+    upsert_cow(mk([(5, "d2", -1.0)]), path, ["id"], "day")  # now allowed
+    with _pytest.raises(ConstraintViolation, match="id_pos"):
+        upsert_cow(mk([(-6, "d2", 1.0)]), path, ["id"], "day")
+    with _pytest.raises(KeyError):
+        drop_constraint(spark, path, "nope")
+    # time travel still sees both constraints on the old version
+    assert set(table_constraints(spark, path, 0)) == {"bal_nonneg", "id_pos"}

@@ -293,16 +293,29 @@ def _commit_manifest(
     rows: list[tuple],
     table_schema=None,
     stats_df: DataFrame | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Write the manifest to a staged directory, then atomically rename
     it to v{N} — THE commit point. ``table_schema`` (a StructType, when
     the committer knows it) rides along as an underscore-prefixed JSON
     sidecar inside the manifest dir — parquet readers ignore it, and it
     gives later upserts the table's FULL logical schema without a
-    footer sweep over every live file (100 TB tables have millions)."""
+    footer sweep over every live file (100 TB tables have millions).
+
+    ``constraints`` (name -> SQL predicate) persists the table's CHECK
+    invariants as another sidecar. ``None`` means "carry the previous
+    latest version's constraints unchanged" — so metadata-oblivious
+    commits (delete, compact, rollback, cluster) can never silently
+    drop the table's invariants; pass a dict (possibly empty) to set
+    the constraint set explicitly."""
+    import json as _json
     import uuid
 
     jvm, fs, _ = _jfs(spark, path)
+    if constraints is None and version > 0:
+        prev = latest_version(spark, path)
+        if prev is not None:
+            constraints = table_constraints(spark, path, prev)
     staged = f"{_snap_root(path)}/.tmp-{uuid.uuid4().hex}"
     spark.createDataFrame(rows, _MANIFEST_SCHEMA).coalesce(1).write.parquet(staged)
     if stats_df is not None:
@@ -319,6 +332,17 @@ def _commit_manifest(
             out.write(bytearray(table_schema.json().encode("utf-8")))
         finally:
             out.close()
+    if constraints:
+        csc = jvm.org.apache.hadoop.fs.Path(staged, _CONSTRAINTS_SIDECAR)
+        out = fs.create(csc, True)
+        try:
+            out.write(
+                bytearray(
+                    _json.dumps(constraints, sort_keys=True).encode("utf-8")
+                )
+            )
+        finally:
+            out.close()
     final = jvm.org.apache.hadoop.fs.Path(snapshot_path(path, version))
     fs.mkdirs(final.getParent())
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), final):
@@ -331,6 +355,110 @@ def _commit_manifest(
 
 _SCHEMA_SIDECAR = "_table_schema.json"
 _STATS_DIR = "_stats"
+_CONSTRAINTS_SIDECAR = "_constraints.json"
+
+
+class ConstraintViolation(ValueError):
+    """A batch violated the table's CHECK constraints; nothing committed."""
+
+    def __init__(self, path: str, violations: dict[str, tuple[int, str]]):
+        self.violations = violations
+        detail = "; ".join(
+            f"{name}: {n} row(s) violate `{sql}`"
+            for name, (n, sql) in sorted(violations.items())
+        )
+        super().__init__(f"CHECK constraint violation on {path}: {detail}")
+
+
+def _read_sidecar_text(jvm, fs, dir_path: str, name: str) -> str | None:
+    p = jvm.org.apache.hadoop.fs.Path(dir_path, name)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def table_constraints(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """The CHECK constraints (name -> SQL predicate) committed with
+    ``version`` (default: latest). Empty dict for tables/versions
+    without constraints."""
+    import json as _json
+
+    if version is None:
+        version = latest_version(spark, path)
+        if version is None:
+            return {}
+    jvm, fs, _ = _jfs(spark, path)
+    raw = _read_sidecar_text(
+        jvm, fs, snapshot_path(path, version), _CONSTRAINTS_SIDECAR
+    )
+    return _json.loads(raw) if raw else {}
+
+
+def _enforce_constraints(
+    batch: DataFrame, path: str, constraints: dict[str, str]
+) -> None:
+    """One aggregate job counting violations of every constraint over
+    the incoming batch; raises :class:`ConstraintViolation` listing
+    each violated constraint with its row count. SQL CHECK semantics:
+    a row violates only when the predicate evaluates FALSE — NULL
+    (unknown) passes, exactly like the standard and Delta."""
+    names = sorted(constraints)
+    aggs = [
+        F.sum(
+            F.when(~F.expr(constraints[name]), 1).otherwise(0)
+        ).alias(f"__c{i}")
+        for i, name in enumerate(names)
+    ]
+    row = batch.agg(*aggs).first()
+    violations = {
+        name: (int(row[f"__c{i}"]), constraints[name])
+        for i, name in enumerate(names)
+        if row[f"__c{i}"]
+    }
+    if violations:
+        raise ConstraintViolation(path, violations)
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """Remove one CHECK constraint via a metadata-only commit: a new
+    version with the SAME file manifest (zero data movement, rollback's
+    shape) whose constraint sidecar omits ``name``. Raises KeyError if
+    the constraint doesn't exist on the latest version."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        raise ValueError(f"no snapshots under {path}")
+    cons = table_constraints(spark, path, prev)
+    if name not in cons:
+        raise KeyError(
+            f"constraint {name!r} not on {path} (has {sorted(cons)})"
+        )
+    del cons[name]
+    rows = [
+        (r["file"], r["partition"], r["row_count"])
+        for r in read_manifest(spark, path, prev).collect()
+    ]
+    prev_stats = snapshot_stats(spark, path, prev)
+    return _commit_manifest(
+        spark,
+        path,
+        prev + 1,
+        rows,
+        table_schema=table_schema(spark, path, prev),
+        stats_df=prev_stats,
+        constraints=cons,
+    )
 
 
 def snapshot_stats(spark: SparkSession, path: str, version: int) -> DataFrame | None:
@@ -386,15 +514,35 @@ def upsert_cow(
     partition_col: str,
     max_touched_partitions: int = 10_000,
     stats_cols: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> tuple[int, int]:
     """Copy-on-write MERGE: same semantics and partition-stability
     precondition as ``merge.upsert_parquet`` (key-matched target rows
     replaced, others carried, only touched partitions rewritten), but
     non-destructive — rewritten partitions land as NEW files, the new
     manifest version points at them, and every prior version stays
-    readable until vacuumed. Returns (new_version, rows_written)."""
+    readable until vacuumed. Returns (new_version, rows_written).
+
+    ``constraints`` adds Delta-style CHECK invariants (name -> SQL
+    predicate over the table's columns). The commit's EFFECTIVE set is
+    the table's persisted constraints updated with this dict; every
+    incoming batch row must satisfy all of them (FALSE = violation,
+    NULL passes, per SQL CHECK) or the whole commit aborts with
+    :class:`ConstraintViolation` before anything is written. The set
+    persists in the manifest sidecar and is enforced on every later
+    upsert automatically; ``drop_constraint`` removes one."""
     spark = batch.sparkSession
     batch = batch.dropDuplicates(key_cols)
+
+    prev_for_cons = latest_version(spark, path)
+    effective_cons = (
+        table_constraints(spark, path, prev_for_cons)
+        if prev_for_cons is not None
+        else {}
+    )
+    effective_cons.update(constraints or {})
+    if effective_cons:
+        _enforce_constraints(batch, path, effective_cons)
 
     touched = [
         r[0]
@@ -517,6 +665,7 @@ def upsert_cow(
         carried_manifest + new_files,
         table_schema=out.schema,
         stats_df=stats_df,
+        constraints=effective_cons,
     )
     return version, int(obs.get["rows"])
 
