@@ -1224,3 +1224,43 @@ def test_check_constraints_enforced_persisted_and_dropped(spark, tmp_path):
         drop_constraint(spark, path, "nope")
     # time travel still sees both constraints on the old version
     assert set(table_constraints(spark, path, 0)) == {"bal_nonneg", "id_pos"}
+
+
+def test_describe_history_tags_every_operation(spark, tmp_path):
+    """Every commit path stamps a _commit_info sidecar: DESCRIBE
+    HISTORY reports version/operation/metrics newest-first, including
+    metadata-only commits; pre-tagging versions degrade to UNKNOWN."""
+    from ua2sql_spark.operators.snapshot import (
+        delete_cow,
+        describe_history,
+        drop_constraint,
+        rollback,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, v double")
+    upsert_cow(
+        mk([(i, "d1", float(i)) for i in range(10)]),
+        path, ["id"], "day", constraints={"vpos": "v >= 0"},
+    )
+    upsert_cow(mk([(10, "d2", 10.0)]), path, ["id"], "day")
+    delete_cow(spark, path, F.col("id") == 3, "day")
+    rollback(spark, path, 1)
+    drop_constraint(spark, path, "vpos")
+
+    hist = describe_history(spark, path)
+    ops = [(h["version"], h["operation"]) for h in hist]
+    assert ops == [
+        (4, "DROP_CONSTRAINT"),
+        (3, "RESTORE"),
+        (2, "DELETE"),
+        (1, "UPSERT"),
+        (0, "UPSERT"),
+    ]
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[0]["metrics"]["rows_written"] == "10"
+    assert by_v[2]["metrics"]["rows_deleted"] == "1"
+    assert by_v[3]["metrics"]["to_version"] == "1"
+    assert by_v[4]["metrics"]["constraint"] == "vpos"
+    assert all(h["timestamp"] for h in hist)

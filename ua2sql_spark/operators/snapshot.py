@@ -283,7 +283,10 @@ def bootstrap_snapshot(
         # readable on non-default filesystems (s3a:// at 100 TB), and
         # vacuum_orphans normalizes both forms identically
         rows.append((p.toString(), part, None))
-    return _commit_manifest(spark, path, 0, rows)
+    return _commit_manifest(
+        spark, path, 0, rows, operation="BOOTSTRAP",
+        op_metrics={"n_adopted_files": len(rows)},
+    )
 
 
 def _commit_manifest(
@@ -294,6 +297,8 @@ def _commit_manifest(
     table_schema=None,
     stats_df: DataFrame | None = None,
     constraints: dict[str, str] | None = None,
+    operation: str | None = None,
+    op_metrics: dict | None = None,
 ) -> int:
     """Write the manifest to a staged directory, then atomically rename
     it to v{N} — THE commit point. ``table_schema`` (a StructType, when
@@ -343,6 +348,23 @@ def _commit_manifest(
             )
         finally:
             out.close()
+    if operation is not None:
+        import datetime as _dt
+
+        info = {
+            "operation": operation,
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "n_files": len(rows),
+            "metrics": {k: str(v) for k, v in (op_metrics or {}).items()},
+        }
+        isc = jvm.org.apache.hadoop.fs.Path(staged, _COMMIT_INFO_SIDECAR)
+        out = fs.create(isc, True)
+        try:
+            out.write(
+                bytearray(_json.dumps(info, sort_keys=True).encode("utf-8"))
+            )
+        finally:
+            out.close()
     final = jvm.org.apache.hadoop.fs.Path(snapshot_path(path, version))
     fs.mkdirs(final.getParent())
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), final):
@@ -356,6 +378,32 @@ def _commit_manifest(
 _SCHEMA_SIDECAR = "_table_schema.json"
 _STATS_DIR = "_stats"
 _CONSTRAINTS_SIDECAR = "_constraints.json"
+_COMMIT_INFO_SIDECAR = "_commit_info.json"
+
+
+def describe_history(spark: SparkSession, path: str) -> list[dict]:
+    """Delta's DESCRIBE HISTORY: one dict per retained version,
+    newest first — version, operation, UTC timestamp, file count, and
+    the committing operation's metrics (rows upserted/deleted, restore
+    target, ...). Versions committed before operation tagging existed
+    report operation 'UNKNOWN'. Driver-side but bounded by the retained
+    version count (manifest dirs, not data files)."""
+    import json as _json
+
+    jvm, fs, _ = _jfs(spark, path)
+    out = []
+    for v in reversed(list_versions(spark, path)):
+        raw = _read_sidecar_text(
+            jvm, fs, snapshot_path(path, v), _COMMIT_INFO_SIDECAR
+        )
+        if raw:
+            info = _json.loads(raw)
+        else:
+            info = {"operation": "UNKNOWN", "timestamp": None,
+                    "n_files": None, "metrics": {}}
+        info["version"] = v
+        out.append(info)
+    return out
 
 
 class ConstraintViolation(ValueError):
@@ -458,6 +506,8 @@ def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
         table_schema=table_schema(spark, path, prev),
         stats_df=prev_stats,
         constraints=cons,
+        operation="DROP_CONSTRAINT",
+        op_metrics={"constraint": name},
     )
 
 
@@ -658,6 +708,7 @@ def upsert_cow(
                 stats_df = stats_df.unionByName(
                     prev_stats.filter(F.col("file").isin(list(carried_set)))
                 )
+    rows_written = int(obs.get["rows"])
     _commit_manifest(
         spark,
         path,
@@ -666,8 +717,11 @@ def upsert_cow(
         table_schema=out.schema,
         stats_df=stats_df,
         constraints=effective_cons,
+        operation="UPSERT",
+        op_metrics={"rows_written": rows_written,
+                    "files_added": len(new_files)},
     )
-    return version, int(obs.get["rows"])
+    return version, rows_written
 
 
 def delete_cow(
@@ -788,6 +842,8 @@ def delete_cow(
         carried_manifest + new_files,
         table_schema=table_schema(spark, path, prev),
         stats_df=stats_df,
+        operation="DELETE",
+        op_metrics={"rows_deleted": n_deleted},
     )
     return version, n_deleted
 
@@ -823,6 +879,8 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
         rows,
         table_schema=table_schema(spark, path, to_version),
         stats_df=snapshot_stats(spark, path, to_version),
+        operation="RESTORE",
+        op_metrics={"to_version": to_version},
     )
 
 
@@ -904,6 +962,8 @@ def compact_snapshot(
         path,
         version,
         untouched + new_files,
+        operation="OPTIMIZE_COMPACT",
+        op_metrics={"files_written": len(new_files)},
         table_schema=table_schema(spark, path, prev),
         stats_df=stats_df,
     )
@@ -964,6 +1024,8 @@ def cluster_snapshot(
         path,
         version,
         new_files,
+        operation="OPTIMIZE_ZORDER",
+        op_metrics={"files_written": len(new_files)},
         table_schema=table_schema(spark, path, prev),
         stats_df=stats_df,
     )
