@@ -1159,3 +1159,85 @@ def x175_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# x193: GROUP-coherent split with leakage audit — the split a real
+# pretraining pipeline needs: x70 assigns per-DOCUMENT, which lets
+# near-identical pages from one domain straddle train and eval
+# (contamination by construction). Keying the same md5 bucket on the
+# GROUP (source domain) puts every document of a domain in exactly one
+# split — the grouped split of scikit's GroupShuffleSplit / the
+# "split by URL host" rule in C4/RefinedWeb — and the audit aggregate
+# PROVES the property as data: leaked_domains counts domains seen in
+# more than one split and hashes as the constant 0 in both engines.
+# Scale shape: assignment is a map-side md5 on a low-cardinality
+# column; the audit is one domain-keyed aggregate; per-split stats one
+# more. Integer/string outputs only (share as ppm integer division).
+# ---------------------------------------------------------------------------
+@query(
+    "x193_group_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CASE WHEN b < 10 THEN 'val'
+                    WHEN b < 20 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id, source,
+                   (('0x' || substring(md5(source), 1, 15))::BIGINT % 100)
+                       AS b
+            FROM documents
+        )
+    ),
+    leak AS (
+        SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS leaked_domains
+        FROM (
+            SELECT source, COUNT(DISTINCT split) AS ns
+            FROM assigned GROUP BY source
+        )
+    ),
+    per AS (
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_domains
+        FROM assigned GROUP BY split
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per)
+    SELECT split, n_docs, n_domains,
+           CAST((1000000 * n_docs) // total AS BIGINT) AS share_ppm,
+           leaked_domains
+    FROM per CROSS JOIN tot CROSS JOIN leak
+    """,
+)
+def x193_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.split import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(d, key_col="source", val_pct=10, test_pct=10)
+    leak = (
+        assigned.groupBy("source")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaked_domains")
+        )
+    )
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_domains"),
+    )
+    tot = per.agg(F.sum("n_docs").cast("long").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_domains",
+            F.expr("(1000000 * n_docs) DIV total").alias("share_ppm"),
+            "leaked_domains",
+        )
+    )
