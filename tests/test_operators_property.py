@@ -839,3 +839,39 @@ def test_bpe_trainer_tolerates_empty_and_degenerate_corpus(spark, tmp_path):
     assert [(m["merge_rank"], m["merged"], m["n"]) for m in merges] == [(1, "ab", 2)]
     enc = x192_bpe_encode(spark, sf2).collect()
     assert len(enc) == 1 and enc[0]["n_tokens"] == 2 and enc[0]["n_chars"] == 4
+
+
+def test_let_binding_semantics(spark):
+    """functions.arrays.let must be value-transparent: same results as
+    the inlined expression for arrays, scalars, multi-reference bodies,
+    and NULL inputs — the plan-shape guarantee (single evaluation) is
+    pinned separately by the reeval tripwire tests."""
+    from ua2sql_spark.functions.arrays import let
+
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, ""), (3, None)], "id bigint, text string"
+    )
+    ws = F.split(F.col("text"), " ")
+    direct = df.select(
+        "id",
+        F.size(ws).alias("n"),
+        F.size(F.array_distinct(ws)).alias("u"),
+    )
+    bound = df.select(
+        "id",
+        let(ws, lambda w: F.size(w)).alias("n"),
+        let(ws, lambda w: F.size(F.array_distinct(w))).alias("u"),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, bound.collect())
+    )
+    # multi-reference body evaluates the SAME bound value everywhere
+    m = df.select(
+        let(ws, lambda w: F.size(w) - F.size(w)).alias("z")
+    ).collect()
+    assert {r["z"] for r in m} == {0, None}
+    # scalar binding
+    s = df.select(
+        let(F.length("text"), lambda n: n * 2 + n).alias("t")
+    ).collect()
+    assert {r["t"] for r in s} == {21, 0, None}

@@ -1122,3 +1122,49 @@ def test_dedup_ingest_empty_batch_is_noop(spark, tmp_path):
     import os
 
     assert not os.path.exists(tbl) and not os.path.exists(idx)
+
+
+def test_snapshot_upsert_sink_enforces_table_constraints(spark, tmp_path):
+    """CHECK constraints persist on the table, so a STREAMING upsert
+    sink enforces them automatically: a violating micro-batch fails the
+    query and commits nothing; the table's last good version stands."""
+    import pyspark.sql.utils  # noqa: F401
+    import pytest as _pytest
+
+    from ua2sql_spark.operators.snapshot import (
+        latest_version,
+        read_snapshot,
+        snapshot_upsert_sink,
+        upsert_cow,
+    )
+
+    table = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", 5.0)], "id bigint, day string, v double"),
+        table, ["id"], "day", constraints={"v_nonneg": "v >= 0"},
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(2, "d1", -1.0)], "id bigint, day string, v double"
+    ).coalesce(1).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema("id bigint, day string, v double").json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            snapshot_upsert_sink(table, key_cols=["id"], partition_col="day")
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="v_nonneg"):
+        q.awaitTermination()
+    assert latest_version(spark, table) == 0
+    assert read_snapshot(spark, table).count() == 1
