@@ -703,3 +703,14 @@ def test_no_query_reevaluates_expensive_exprs(spark):
         if finds:
             bad[name] = sorted(set(finds))
     assert not bad, bad
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """q155: the correlated LATERAL subquery with ORDER BY + LIMIT must
+    decorrelate into a hash join + WindowGroupLimit (per-partition
+    top-k BEFORE the shuffle) — never a per-outer-row nested loop."""
+    from ua2sql_spark.plans.explain import simple_plan
+
+    plan = simple_plan(all_queries()["q155_lateral_topk"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan

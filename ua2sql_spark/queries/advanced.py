@@ -711,3 +711,129 @@ def q154_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, band
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# F12g: LATERAL correlated subquery — per-customer top-2 orders via a
+# dependent subquery with ORDER BY + LIMIT, the SQL-surface twin of
+# q25's DataFrame top-k. Distinct from the UDTF LATERAL rows (x76/
+# x149): here the lateral relation is a correlated SUBQUERY that
+# Catalyst must decorrelate (DecorrelateInnerQuery rewrites the
+# per-row limit into a rank over the join), so the plan never executes
+# one subquery per outer row — the 100 TB shape is one join + one
+# bounded window, not N nested loops. Total (price DESC, orderkey)
+# tiebreak keeps the row choice engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q155_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 200
+    """,
+)
+def q155_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS totalprice
+        FROM v_cust_lat c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM v_ord_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 200
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12h: GROUP BY ALL + ORDER BY + LIMIT/OFFSET — the modern-SQL
+# ergonomics both engines added (Spark 3.4 / DuckDB): grouping keys
+# inferred from the non-aggregate select list, pagination via OFFSET.
+# Deterministic: the total (priority, status) order makes the OFFSET
+# window exact. Plan note: LIMIT+OFFSET plans as a single
+# CollectLimit/GlobalLimit with offset — no full sort materialization
+# beyond the TakeOrdered of limit+offset rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q156_group_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderpriority, o_orderstatus
+    LIMIT 6 OFFSET 2
+    """,
+)
+def q156_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_gba")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM v_ord_gba
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus
+        LIMIT 6 OFFSET 2
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12i: INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving set
+# ops q12's DISTINCT variants don't cover (bag semantics: a key open
+# three times and filled twice survives EXCEPT ALL once). Spark plans
+# these as joins over counted groups (no row-at-a-time dedup); the
+# oracle replays the same bag algebra.
+# ---------------------------------------------------------------------------
+@query(
+    "q157_setop_all_variants",
+    oracle="""
+    SELECT custkey, 'both_bag' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY custkey
+    UNION ALL
+    SELECT custkey, 'open_surplus' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY custkey
+    """,
+)
+def q157_setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    done_k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = (
+        open_k.intersectAll(done_k)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("custkey", F.lit("both_bag").alias("bucket"), "n")
+    )
+    surplus = (
+        open_k.exceptAll(done_k)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("custkey", F.lit("open_surplus").alias("bucket"), "n")
+    )
+    return both.unionByName(surplus)
