@@ -837,3 +837,59 @@ def q157_setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", F.lit("open_surplus").alias("bucket"), "n")
     )
     return both.unionByName(surplus)
+
+
+# ---------------------------------------------------------------------------
+# W3b: value-based RANGE frame — the 90-day rolling revenue per
+# customer: RANGE BETWEEN 90 PRECEDING AND CURRENT ROW over an integer
+# day index. A distinct execution path from every ROWS frame in the
+# suite (frame membership is decided by ORDER-BY VALUE distance, so
+# tied days share one frame and gaps shrink it — WindowExec's range
+# bound evaluator, not the row counter). Determinism: RANGE permits
+# exactly one order expression (no tiebreak column), so tied-day rows
+# enter the frame as a SET and the in-frame sum MUST be order-free —
+# the DECIMAL(28,8) interior makes it exact in both engines; the day
+# index itself is exact integer date arithmetic from a fixed epoch.
+# ---------------------------------------------------------------------------
+@query(
+    "q158_range_frame_rolling",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               datediff('day', DATE '1990-01-01',
+                        CAST(o_orderdate AS DATE)) AS day_no,
+               CAST(o_totalprice AS DECIMAL(28,8)) AS p
+        FROM orders WHERE o_custkey <= 300
+    )
+    SELECT custkey, orderkey, CAST(day_no AS BIGINT) AS day_no,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+           CAST(CAST(SUM(p) OVER w AS VARCHAR) AS DOUBLE) AS sum_90d
+    FROM o
+    WINDOW w AS (PARTITION BY custkey ORDER BY day_no
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q158_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    base = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("day_no"),
+        F.col("o_totalprice").cast("decimal(28,8)").alias("p"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("day_no")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return base.select(
+        "custkey",
+        "orderkey",
+        "day_no",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+        F.sum("p").over(w).cast("string").cast("double").alias("sum_90d"),
+    )
