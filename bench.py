@@ -349,19 +349,42 @@ def main() -> None:
         json.dump(detail, fh)
     print("BENCH_RUNS_DETAIL " + json.dumps(detail))
     spark.stop()
-    # Compact record LAST: per-query medians only, no runs arrays. This is
-    # the line the driver parses — keep it small (VERDICT r5 #1).
+    # Compact record LAST: this is the line the driver parses, and the
+    # driver keeps only the LAST 2000 chars of stdout (VERDICT r9 #1:
+    # r9's line grew to 4897 chars via extras.gated_queries and was
+    # clipped mid-JSON -> BENCH_r09.json "parsed": null). Rules:
+    #   - headline per-query medians stay (driver contract: "queries"),
+    #   - extras carries SCALARS ONLY — every per-query map lives in
+    #     bench_runs.json and the BENCH_RUNS_DETAIL line above,
+    #   - hard assert < 1800 chars (10% margin) so this class of
+    #     regression can never ship again.
+    line = compact_line(total, timings, extras, N_RUNS, sf_val)
+    sys.stdout.flush()
+    print(line)
+
+
+def compact_line(total, timings, extras, n_runs, sf_val) -> str:
+    """Serialize the driver-facing final stdout line, enforcing the size
+    contract (unit-tested in tests/test_plans.py so a growing headline
+    set or a new extras map fails in CI, not in the driver's record)."""
+    scalar_extras = {
+        k: v for k, v in extras.items() if isinstance(v, (int, float, str))
+    }
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "extras": extras,
-        "n_runs": N_RUNS,
+        "extras": scalar_extras,
+        "n_runs": n_runs,
         "sf": sf_val,
     }
-    sys.stdout.flush()
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    assert len(line) < 1800, (
+        f"compact bench line is {len(line)} chars (driver captures 2000); "
+        "move any new per-query data to bench_runs.json, not the final line"
+    )
+    return line
 
 
 if __name__ == "__main__":

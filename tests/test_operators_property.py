@@ -875,3 +875,59 @@ def test_let_binding_semantics(spark):
         let(F.length("text"), lambda n: n * 2 + n).alias("t")
     ).collect()
     assert {r["t"] for r in s} == {21, 0, None}
+
+
+def test_lsh_index_probe_matches_inline_pairs(spark, tmp_path_factory):
+    """The persisted band index is a LAYOUT, not a different algorithm:
+    probing a saved index with a batch must surface exactly the cross
+    (history x batch) candidate pairs the inline banded tier computes
+    over the union — bucket partitioning may drop nothing."""
+    from ua2sql_spark.operators.dedup import (
+        lsh_band_rows,
+        probe_lsh_index,
+        save_lsh_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    words = base.split()
+    texts = [" ".join(words[i:] + words[:i]) for i in range(8)]  # rotations: J=1 sets
+    texts += [" ".join(w.upper() for w in words[: 4 + i]) for i in range(8)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    history = df.filter(F.col("doc_id") % 2 == 0)
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path_factory.mktemp("lshidx"))
+    save_lsh_index(history, path, num_hashes=8, band_size=4, num_buckets=7)
+    got = {
+        (r["index_id"], r["batch_id"])
+        for r in probe_lsh_index(spark, path, batch).collect()
+    }
+
+    hb = lsh_band_rows(history, "doc_id", "text", 8, 4)
+    bb = lsh_band_rows(batch, "doc_id", "text", 8, 4)
+    expected = {
+        (r["index_id"], r["batch_id"])
+        for r in hb.select(
+            F.col("doc_id").alias("index_id"), "band_no", "band_hash"
+        )
+        .join(
+            bb.select(F.col("doc_id").alias("batch_id"), "band_no", "band_hash"),
+            ["band_no", "band_hash"],
+        )
+        .select("index_id", "batch_id")
+        .distinct()
+        .collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_lsh_index_probe_rejects_tokenizer_mismatch(spark, tmp_path_factory):
+    from ua2sql_spark.functions.text import char_shingles
+    from ua2sql_spark.operators.dedup import probe_lsh_index, save_lsh_index
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id bigint, text string")
+    path = str(tmp_path_factory.mktemp("lshidx2"))
+    save_lsh_index(df, path, num_hashes=8, band_size=4)
+    with pytest.raises(ValueError, match="tokenizer"):
+        probe_lsh_index(spark, path, df, tokenizer=char_shingles)

@@ -69,10 +69,10 @@ def test_driver_window_families():
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
         # text, multimodal, Pandas-UDF surface, TPC-H archetypes,
-        # training-data pipeline ops, versioned tables (round-9
-        # rotation #7: registry.py's rotation comment records which
+        # training-data pipeline ops, versioned tables (round-10
+        # rotation #8: registry.py's rotation comment records which
         # rows moved below the fold and which family member covers
-        # each; every rotated-out row is driver-green in r8)
+        # each; every rotated-out row is driver-green in r9)
         "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
         "q35_asof_join",
         "q114_approx_percentile_contract",
@@ -85,13 +85,11 @@ def test_driver_window_families():
         "x158_bm25_search",
         "q159_sliding_active_users",
         "x173_ks_two_sample",
-        "x174_semdedup",
         "x179_prefix_simjoin",
         "x181_lsh_recall_contract",
         "x185_cms_heavy_hitters_contract",
         "x186_scd2_history",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
-        "x162_weighted_sample",
         "x106_contamination",
         "x110_dup_ngram_fraction", "x113_token_budget_sample",
         "x134_bpe_merge_pairs",
@@ -99,21 +97,51 @@ def test_driver_window_families():
         "x188_repetition_signals", "x189_word_rarity",
         "q153_sql_scripting", "q154_sql_udf",
         "x190_delete_erasure",
-        # round-9 rotation #7: the never-driver-checked tail + the
-        # round's new trainer, gated same-round
-        "x122_skew_join_zipf",
-        "x132_embedding_outliers",
-        "x51_shingle_fingerprint",
-        "x83_frame_sample",
-        "x72_doc_chunks", "x74_mad_grouped_agg",
-        "x75_arrow_bytestats", "x76_udtf_sentences",
-        "q118_ntile_deciles", "q66_salted_agg",
-        "x128_length_bucket_batching", "x129_domain_cap",
-        "q68_grouping_sets", "q55_unpivot",
-        "q63_posexplode", "q67_to_json",
-        "x191_bpe_trainer", "x192_bpe_encode",
+        # round-10 rotation #8: the entire never-driver-checked tail
+        # (bar x125, documented local-only) + the round's new persisted
+        # LSH-index probe, gated same-round
+        "q155_lateral_topk", "q156_group_by_all",
+        "q157_setop_all_variants", "q158_range_frame_rolling",
+        "x193_group_split", "x194_lsh_index_probe",
+        "q57_correlated_scalar", "q58_scalar_subquery",
+        "q59_session_window_batch", "q60_window_analytics",
+        "q61_date_arithmetic", "q62_string_advanced",
+        "q64_regional_revenue", "q65_shipping_priority",
+        "q78_returned_items", "q80_large_volume_customers",
+        "q87_min_cost_supplier", "q92_promo_revenue",
+        "q93_disjunctive_bands", "q94_priority_exists",
     }
     assert required <= set(DRIVER_WINDOW)
+
+
+def test_never_driver_checked_ledger_is_computed():
+    """VERDICT r9 #7: the rotation ledger drifted twice when hand-counted
+    (18 -> 19 vs the true 20). Derive never-driver-checked = registry −
+    ∪CORRECTNESS_r*.json and pin the EXPECTED set: after this round's
+    rotation #8 every row except x125 (documented local-only: its hashed
+    columns derive from ROUND(LN(p),4), the x155 determinism rule) is
+    either already driver-checked or inside the current DRIVER_WINDOW.
+    A new query that is neither checked nor windowed must be added to
+    the expected set here CONSCIOUSLY (it is the driver-gate contract)."""
+    import glob
+    import json
+    import os
+
+    from ua2sql_spark.registry import DRIVER_WINDOW, all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            checked |= set(json.load(fh))
+    never = set(all_queries()) - checked
+    # Every never-checked row must be in the CURRENT window (scheduled
+    # for its first check next driver run) — except the documented
+    # local-only exception.
+    unscheduled = never - set(DRIVER_WINDOW) - {"x125_unigram_logprob"}
+    assert not unscheduled, (
+        f"never-driver-checked rows not in DRIVER_WINDOW: {sorted(unscheduled)}"
+    )
 
 
 def test_no_oracle_is_empty_at_driver_sf():

@@ -714,3 +714,55 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     plan = simple_plan(all_queries()["q155_lateral_topk"].fn(spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_bench_compact_line_survives_driver_tail_capture():
+    """VERDICT r9 #1: the driver parses only the LAST 2000 chars of bench
+    stdout; r9's final line grew to 4897 chars (extras.gated_queries) and
+    BENCH_r09.json landed parsed:null. compact_line() must (a) strip every
+    non-scalar extras entry and (b) stay under 1800 chars at worst-case
+    per-query widths for the CURRENT headline set — so a growing headline
+    or a new extras map fails here, not in the driver's record."""
+    import json
+
+    import bench
+
+    # Worst-case widths: 4dp medians up to 999.9999s, 7 scalar extras plus
+    # headroom for two more, and a per-query map that MUST be dropped.
+    timings = {name: 999.9999 for name in bench.HEADLINE}
+    extras = {
+        "pipeline_e2e_sec": 9999.9999,
+        "join_shuffle_sec": 9999.9999,
+        "join_bucketed_sec": 9999.9999,
+        "scan_prune_decision_sec": 9999.9999,
+        "scan_full_sec": 9999.9999,
+        "scan_manifest_pruned_sec": 9999.9999,
+        "gated_window_total_sec": 9999.9999,
+        "future_scalar_a_sec": 9999.9999,
+        "future_scalar_b_sec": 9999.9999,
+        "gated_queries": {f"x{i}_per_query_map_entry": 999.9999 for i in range(60)},
+    }
+    line = bench.compact_line(
+        sum(timings.values()), timings, extras, n_runs=3, sf_val=0.1
+    )
+    assert len(line) < 1800, len(line)
+    parsed = json.loads(line)
+    assert "gated_queries" not in parsed["extras"]
+    assert parsed["extras"]["gated_window_total_sec"] == 9999.9999
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_lsh_index_probe_prunes_band_partitions(spark, tmp_path):
+    """x194 / VERDICT r9 #6: probing the persisted LSH band index must
+    push (band_no, band_bucket) as PartitionFilters on the lists scan —
+    the probe's read cost is the batch's buckets, never the corpus."""
+    from ua2sql_spark.operators.dedup import probe_lsh_index, save_lsh_index
+    from ua2sql_spark.plans.explain import formatted_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "lsh_index")
+    save_lsh_index(docs.filter(F.col("doc_id") % 4 != 0), path)
+    cand = probe_lsh_index(spark, path, docs.filter(F.col("doc_id") % 4 == 0))
+    plan = formatted_plan(cand)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and any("band_no" in ln and "band_bucket" in ln for ln in m), plan

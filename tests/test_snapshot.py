@@ -1226,6 +1226,104 @@ def test_check_constraints_enforced_persisted_and_dropped(spark, tmp_path):
     assert set(table_constraints(spark, path, 0)) == {"bal_nonneg", "id_pos"}
 
 
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    """ADVICE r9 #1 (Delta ADD CONSTRAINT semantics): adding a NEW
+    constraint via upsert_cow(constraints=...) on a non-empty table must
+    scan the stored rows too — otherwise table_constraints() advertises
+    an invariant the data already violates. Re-sending the identical
+    persisted set stays cheap (no existing-data job needed), and a
+    constraint on a column the batch INTRODUCES sees stored rows as
+    NULL (which passes CHECK)."""
+    import pytest as _pytest
+
+    from ua2sql_spark.operators.snapshot import (
+        ConstraintViolation,
+        latest_version,
+        table_constraints,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, bal double")
+    upsert_cow(mk([(1, "d1", -10.0), (2, "d2", 20.0)]), path, ["id"], "day")
+
+    # stored row id=1 violates the incoming constraint -> whole commit
+    # aborts, nothing written, constraint NOT persisted
+    with _pytest.raises(ConstraintViolation, match="bal_nonneg"):
+        upsert_cow(
+            mk([(3, "d1", 5.0)]), path, ["id"], "day",
+            constraints={"bal_nonneg": "bal >= 0"},
+        )
+    assert latest_version(spark, path) == 0
+    assert table_constraints(spark, path) == {}
+
+    # fix the stored violation, then the same ADD succeeds
+    upsert_cow(mk([(1, "d1", 10.0)]), path, ["id"], "day")
+    upsert_cow(
+        mk([(3, "d1", 5.0)]), path, ["id"], "day",
+        constraints={"bal_nonneg": "bal >= 0"},
+    )
+    assert table_constraints(spark, path) == {"bal_nonneg": "bal >= 0"}
+
+    # re-sending the identical persisted set is not an ADD; and a
+    # CHANGED predicate under the same name re-validates stored rows
+    upsert_cow(
+        mk([(4, "d2", 1.0)]), path, ["id"], "day",
+        constraints={"bal_nonneg": "bal >= 0"},
+    )
+    with _pytest.raises(ConstraintViolation, match="bal_nonneg"):
+        upsert_cow(
+            mk([(5, "d2", 100.0)]), path, ["id"], "day",
+            constraints={"bal_nonneg": "bal >= 50"},
+        )
+
+    # constraint on a batch-introduced column: stored rows lack it ->
+    # NULL -> passes; the batch's own rows are still checked
+    wide = spark.createDataFrame(
+        [(6, "d1", 1.0, "ok")], "id bigint, day string, bal double, tag string"
+    )
+    upsert_cow(
+        wide, path, ["id"], "day",
+        constraints={"tag_ok": "tag IN ('ok', 'meh')"},
+    )
+    assert "tag_ok" in table_constraints(spark, path)
+
+
+def test_cursor_recovers_interrupted_legacy_migration(spark, tmp_path):
+    """ADVICE r9 #2: a crash between delete(legacy file) and
+    rename(staged, checkpoint) leaves no checkpoint but a durable
+    ``.tmp-migrate-<name>-*`` dir. position() must adopt it instead of
+    silently returning -1 and replaying the whole feed. A sibling
+    cursor's stage (different checkpoint name) is never adopted."""
+    import os
+
+    from ua2sql_spark.operators.snapshot import ChangeFeedCursor, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", 1.0)], "id bigint, day string, v double"),
+        path, ["id"], "day",
+    )
+    parent = tmp_path / "cks"
+    parent.mkdir()
+    # simulate the post-crash state: staged marker dir, no checkpoint
+    staged = parent / ".tmp-migrate-cur-deadbeef"
+    staged.mkdir()
+    (staged / f"v-{7:020d}").touch()
+    # an unrelated cursor's orphan must not be adopted
+    other = parent / ".tmp-migrate-other-cafe"
+    other.mkdir()
+    (other / f"v-{99:020d}").touch()
+
+    cur = ChangeFeedCursor(spark, path, ["id"], str(parent / "cur"))
+    assert cur.position() == 7
+    assert os.path.isdir(parent / "cur")
+    assert not (parent / ".tmp-migrate-cur-deadbeef").exists()
+    assert (parent / ".tmp-migrate-other-cafe").exists()
+    # idempotent afterwards
+    assert cur.position() == 7
+
+
 def test_describe_history_tags_every_operation(spark, tmp_path):
     """Every commit path stamps a _commit_info sidecar: DESCRIBE
     HISTORY reports version/operation/metrics newest-first, including

@@ -308,7 +308,26 @@ def read_view(spark: SparkSession, view_path: str, version: int | None = None) -
     # ≤64 bucket dirs, taken only when the fast path throws.
     try:
         v = spark.read.option("mergeSchema", "true").parquet(*dirs)
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — re-raised unless width-drift
+        # Only the width-drift failure may detour into the per-dir
+        # union (ADVICE r9 #4): a bare catch sent every unrelated read
+        # failure — missing dir, permissions, corrupt footer — down the
+        # fallback, to resurface as a confusing secondary error instead
+        # of the real one. Spark surfaces the drift as AnalysisException
+        # CANNOT_MERGE_SCHEMAS / "Failed to merge incompatible data
+        # types"; match that and re-raise everything else.
+        from pyspark.errors import AnalysisException
+
+        msg = str(exc)
+        if not (
+            isinstance(exc, AnalysisException)
+            and (
+                "CANNOT_MERGE_SCHEMAS" in msg
+                or "Failed to merge incompatible data types" in msg
+                or "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE" in msg
+            )
+        ):
+            raise
         from functools import reduce
 
         parts = []

@@ -161,18 +161,33 @@ def read_snapshot(
                 if not files:
                     # Zero overlap: derive the empty frame from the SAME
                     # reader path as a non-empty read (basePath +
-                    # mergeSchema honored, over the version's FULL file
-                    # list) so partition-column type inference and the
-                    # merged schema match the non-empty result exactly
-                    # (ADVICE r8 low — the sidecar StructType can
-                    # disagree with directory-name inference). The
-                    # filter(false) collapses to an empty LocalRelation
-                    # at optimization time, so no data file is scanned.
-                    files = [
-                        r["file"]
+                    # mergeSchema honored) so partition-column type
+                    # inference and the merged schema match the
+                    # non-empty result exactly (ADVICE r8 low — the
+                    # sidecar StructType can disagree with
+                    # directory-name inference). But NOT over the full
+                    # file list: with mergeSchema that is a footer
+                    # sweep over every live file (millions at 100 TB)
+                    # just to return a guaranteed-empty frame (ADVICE
+                    # r9 #3). ONE file per partition dir suffices
+                    # exactly: a partition's live files are always
+                    # written by the single commit that last rewrote it
+                    # (CoW rewrites whole partitions), so per-partition
+                    # representatives cover every schema generation AND
+                    # every partition-dir value the type inference
+                    # unions over. Sorted min-per-partition also keeps
+                    # the first file identical to the sorted full list,
+                    # so the mergeSchema=False branch reads the same
+                    # footer it would have. The filter(false) collapses
+                    # to an empty LocalRelation at optimization time,
+                    # so no data file is scanned.
+                    files = sorted(
+                        r["f"]
                         for r in read_manifest(spark, path, version)
-                        .select("file").collect()
-                    ]
+                        .groupBy("partition")
+                        .agg(F.min("file").alias("f"))
+                        .collect()
+                    )
                     reader = spark.read.option("basePath", path)
                     if merge_schema:
                         reader = reader.option("mergeSchema", "true")
@@ -585,11 +600,37 @@ def upsert_cow(
     batch = batch.dropDuplicates(key_cols)
 
     prev_for_cons = latest_version(spark, path)
-    effective_cons = (
+    persisted_cons = (
         table_constraints(spark, path, prev_for_cons)
         if prev_for_cons is not None
         else {}
     )
+    # ADD CONSTRAINT semantics (ADVICE r9 #1): a constraint that is new
+    # (or whose predicate changed) on a NON-EMPTY table must hold for
+    # the rows already stored, not just the incoming batch — otherwise
+    # table_constraints() advertises an invariant the data violates.
+    # Delta scans existing data before accepting ADD CONSTRAINT; so do
+    # we: one aggregate job over the latest snapshot, checking ONLY the
+    # added/changed constraints (existing rows satisfy the persisted
+    # set by induction — every prior commit enforced it).
+    added_cons = {
+        n: p
+        for n, p in (constraints or {}).items()
+        if persisted_cons.get(n) != p
+    }
+    if added_cons and prev_for_cons is not None:
+        existing = read_snapshot(spark, path, prev_for_cons, merge_schema=True)
+        # A constraint may reference a column this batch INTRODUCES —
+        # stored rows don't have it in any file, so surface it as NULL
+        # (NULL passes CHECK, per SQL) instead of failing analysis.
+        missing = [c for c in batch.columns if c not in existing.columns]
+        if missing:
+            bt = dict(batch.dtypes)
+            existing = existing.select(
+                "*", *[F.lit(None).cast(bt[c]).alias(c) for c in missing]
+            )
+        _enforce_constraints(existing, path, added_cons)
+    effective_cons = dict(persisted_cons)
     effective_cons.update(constraints or {})
     if effective_cons:
         _enforce_constraints(batch, path, effective_cons)
@@ -1233,8 +1274,47 @@ class ChangeFeedCursor:
         non-idempotent consumers — and ``commit()``'s mkdirs over the
         file then fails (ADVICE r8 medium). Detect the legacy file,
         read its position, and convert it to a marker directory before
-        any read or commit proceeds."""
-        if not (fs.exists(p) and fs.getFileStatus(p).isFile()):
+        any read or commit proceeds.
+
+        Crash recovery (ADVICE r9 #2): the swap below is
+        stage-marker-dir -> delete(legacy file) -> rename(staged, p).
+        A crash between the delete and the rename leaves NO checkpoint
+        at p but a fully-staged ``.tmp-migrate-<name>-*`` dir beside it
+        — previously nothing ever looked for it, so the next
+        ``position()`` silently returned -1 and replayed the whole feed
+        into non-idempotent consumers (the exact failure migration
+        exists to prevent). The staged dir is durable by construction,
+        so completing the rename here is always safe; the dir name
+        embeds the checkpoint's own name so cursors sharing a parent
+        directory can never adopt each other's stage."""
+        HPath = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(p):
+            parent = p.getParent()
+            if parent is not None and fs.exists(parent):
+                orphans = [
+                    st.getPath()
+                    for st in fs.listStatus(parent)
+                    if st.getPath()
+                    .getName()
+                    .startswith(f".tmp-migrate-{p.getName()}-")
+                ]
+                if orphans:
+                    # Any staged dir carries the same legacy position
+                    # (all staged from the one legacy file); adopt the
+                    # lexicographically last for determinism, drop the
+                    # rest.
+                    chosen = max(orphans, key=lambda q: q.getName())
+                    if not fs.rename(chosen, p):
+                        raise RuntimeError(
+                            "could not complete interrupted legacy-cursor "
+                            f"migration {chosen.toString()} -> "
+                            f"{self.checkpoint}"
+                        )
+                    for o in orphans:
+                        if o.getName() != chosen.getName() and fs.exists(o):
+                            fs.delete(o, True)
+            return
+        if not fs.getFileStatus(p).isFile():
             return
         stream = fs.open(p)
         try:
@@ -1255,8 +1335,9 @@ class ChangeFeedCursor:
             ) from exc
         import uuid
 
-        HPath = jvm.org.apache.hadoop.fs.Path
-        tmp = HPath(p.getParent(), f".tmp-migrate-{uuid.uuid4().hex}")
+        tmp = HPath(
+            p.getParent(), f".tmp-migrate-{p.getName()}-{uuid.uuid4().hex}"
+        )
         fs.mkdirs(tmp)
         fs.create(HPath(tmp, f"v-{pos:020d}"), True).close()
         # Swap: the legacy file stays in place until the marker dir is

@@ -996,3 +996,144 @@ def x181_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("meets_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2j: persisted-LSH-index probe (VERDICT r9 #6) — the daily-ingest
+# near-dup shape at 100 TB. x117 dedups a new batch against a
+# fingerprint index but only EXACT duplicates; near-dup against history
+# previously re-minted signatures for the whole corpus every run. Here
+# the history's band rows are materialized ONCE
+# (operators/dedup.save_lsh_index: hive-partitioned by (band_no,
+# band_bucket)), the batch probes only its own buckets
+# (partition-pruned scan, plan-pinned in tests/test_plans.py), and the
+# candidates go through the exact-Jaccard verify tier. The driver gate
+# mirrors x181's recall-contract pattern: truth = the lossless
+# prefix-filter tier restricted to cross (history x batch) pairs;
+# hits = verified probe candidates (verified => hits ⊆ truth, so the
+# count needs no float-boundary argument); all-integer bound
+# 10·hits ≥ 7·truth. History = doc_id % 4 != 0, batch = doc_id % 4 == 0.
+# md5 family so DuckDB replays the identical band digests.
+# ---------------------------------------------------------------------------
+@query(
+    "x194_lsh_index_probe",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, {', '.join(_SQL_MINHASH)} FROM w GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {no} AS band_no,"
+            f" md5(concat_ws('|', {', '.join(f'h{j}' for j in js)})) AS band_hash FROM mh"
+            for no, js in _band_ranges()
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS batch_id
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+        WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+    ),
+    sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ),
+    truth AS (
+        SELECT a.doc_id AS index_id, b.doc_id AS batch_id
+        FROM sets a JOIN sets b
+          ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+         AND {_PSJ_DEN} * len(list_intersect(a.ws, b.ws))
+             >= {_PSJ_NUM} * len(list_distinct(list_concat(a.ws, b.ws)))
+    ),
+    hit AS (SELECT * FROM truth SEMI JOIN cand USING (index_id, batch_id)),
+    n AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM hit) AS n_hits
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_hits AS BIGINT) AS n_index_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall,
+           CAST(CASE WHEN 10 * n_hits >= 7 * n_true THEN 1 ELSE 0 END AS INT)
+               AS meets_bound
+    FROM n
+    """,
+)
+def x194_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ua2sql_spark.operators.dedup import probe_lsh_index, save_lsh_index
+    from ua2sql_spark.operators.snapshot import _jfs
+
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+
+    # Per-invocation index dir + cleanup of this process's previous
+    # invocations, through the table-side Hadoop FS (the x186 pattern).
+    prefix = f"ua2sql_x194_{os.getpid()}_"
+    tmp_root = tempfile.gettempdir()
+    jvm, fs, _ = _jfs(spark, tmp_root)
+    root_p = jvm.org.apache.hadoop.fs.Path(tmp_root)
+    if fs.exists(root_p):
+        for st in fs.listStatus(root_p):
+            if st.getPath().getName().startswith(prefix):
+                fs.delete(st.getPath(), True)
+    path = os.path.join(tmp_root, prefix + uuid.uuid4().hex)
+
+    save_lsh_index(
+        history,
+        path,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        hash_family="md5",  # pinned: the oracle replays these digests
+    )
+    cand = probe_lsh_index(spark, path, batch).select("index_id", "batch_id")
+
+    # Exact-Jaccard verify tier over the candidates only (the x43
+    # discipline): verified ⊆ truth by construction, so the hit count
+    # needs no float-boundary equivalence argument.
+    sets = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws")
+    )
+    ga = sets.select(F.col("doc_id").alias("index_id"), F.col("ws").alias("ga"))
+    gb = sets.select(F.col("doc_id").alias("batch_id"), F.col("ws").alias("gb"))
+    verified = (
+        cand.join(ga, "index_id")
+        .join(gb, "batch_id")
+        .filter(
+            F.lit(_PSJ_DEN) * F.size(F.array_intersect("ga", "gb"))
+            >= F.lit(_PSJ_NUM) * F.size(F.array_union("ga", "gb"))
+        )
+        .select("index_id", "batch_id")
+    )
+
+    # Truth: the lossless prefix-filter tier (recall 1.0, proven by
+    # x179's brute-force oracle) restricted to cross-side pairs.
+    cross = (F.col("doc_a") % 4 == 0) != (F.col("doc_b") % 4 == 0)
+    truth = _prefix_sim_pairs(d).filter(cross)
+
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hits = verified.agg(F.count(F.lit(1)).alias("n_index_hits"))
+    return (
+        n_true.crossJoin(F.broadcast(n_hits))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_index_hits").cast("bigint").alias("n_index_hits"),
+            F.round(
+                F.col("n_index_hits").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+            F.when(
+                F.lit(10) * F.col("n_index_hits") >= F.lit(7) * F.col("n_true"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("meets_bound"),
+        )
+    )

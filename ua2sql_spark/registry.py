@@ -243,71 +243,93 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # are exactly what made x155 red in r7/r8 (x189 carries the unigram-LM
 # family's driver gate with integer-exact rarity instead). All
 # rotated-out rows remain local-oracle green in tests/test_oracle.py.
+# Round-10 rotation #8 (VERDICT r9 #2/#4): gate EVERY remaining
+# never-driver-checked row in one window — the 5 late-r9 additions
+# (x193 group-coherent split, q155 LATERAL top-k, q156 GROUP BY ALL +
+# OFFSET, q157 INTERSECT/EXCEPT ALL, q158 value-RANGE frame), the full
+# 14-row TPC-H/SQL tail (q57-q94), and this round's new x194 persisted
+# LSH-index probe (VERDICT r9 #6, built-and-gated same round). After a
+# green r10, never-driver-checked == {x125} exactly (its ROUND(LN) hash
+# columns are documented local-only per the x155 determinism rule;
+# x189/x191 carry the unigram-LM family's driver gate). Out, every one
+# driver-green in r9 and each leaving an in-window family member:
+# x122 (joins keep q09/q116/q135 + the incoming TPC-H join shapes),
+# q66/q68 (aggs keep q01/q114/x185; grouping keeps incoming q156 — q68's
+# explicit GROUPING SETS was driver-proven r9), q118 (windows keep q159
+# + incoming q158/q60), q55/q63/q67 (SQL surface keeps q153/q154 +
+# incoming q155/q156/q157), x51 (dedup keeps x179/x181/x110/x106 +
+# incoming x194), x132 (embedding math keeps x133/x155), x72/x74/x75/
+# x76/x83 (Python-execution surface keeps x149 UDTF + x187 mapInPandas;
+# every API in this family is driver-proven r6-r9), x191/x192 (BPE
+# keeps x134; trainer+encoder driver-proven r9), x162/x128/x129
+# (sampling/batching keeps x113 + incoming x193's group-coherent
+# split), x174 (near-dup keeps x179/x181/x194). All rotated-out rows
+# remain local-oracle green in tests/test_oracle.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core + joins (x122: first driver row — skewed-key
-    # join under AQE skew handling)
+    # relational core + joins
     "q01_pricing_summary",
     "q09_join_theta",
     "q116_join_full_outer",
     "q135_bloom_semijoin_reduction",
-    "x122_skew_join_zipf",
-    # aggregates + sketches + stats (q66/q68/q118: first driver row)
+    # TPC-H/SQL archetype tail (first driver row, all 14)
+    "q57_correlated_scalar",
+    "q58_scalar_subquery",
+    "q59_session_window_batch",
+    "q60_window_analytics",
+    "q61_date_arithmetic",
+    "q62_string_advanced",
+    "q64_regional_revenue",
+    "q65_shipping_priority",
+    "q78_returned_items",
+    "q80_large_volume_customers",
+    "q87_min_cost_supplier",
+    "q92_promo_revenue",
+    "q93_disjunctive_bands",
+    "q94_priority_exists",
+    # aggregates + sketches + stats
     "q114_approx_percentile_contract",
     "q145_ab_welch_ttest",
-    "q66_salted_agg",
-    "q68_grouping_sets",
-    "q118_ntile_deciles",
-    # windows + event analytics
+    # windows + event analytics (q158: first driver row)
     "q159_sliding_active_users",
     "q35_asof_join",
-    # SQL surface (q55/q63/q67: first driver row)
+    "q158_range_frame_rolling",
+    # SQL surface (q155/q156/q157: first driver row)
     "q153_sql_scripting",
     "q154_sql_udf",
-    "q55_unpivot",
-    "q63_posexplode",
-    "q67_to_json",
+    "q155_lateral_topk",
+    "q156_group_by_all",
+    "q157_setop_all_variants",
     # versioned tables — X12's driver rows
     "x186_scd2_history",
     "x190_delete_erasure",
-    # dedup tiers (x51: first driver row)
+    # dedup tiers (x194: first driver row — the persisted band index
+    # probe built this round, VERDICT r9 #6)
     "x179_prefix_simjoin",
     "x181_lsh_recall_contract",
     "x110_dup_ngram_fraction",
     "x106_contamination",
-    "x51_shingle_fingerprint",
-    # similarity / embedding math (x132: first driver row)
+    "x194_lsh_index_probe",
+    # similarity / embedding math
     "x133_quantized_recall_contract",
     "x173_ks_two_sample",
     "x155_pr_calibration",
-    "x132_embedding_outliers",
-    # text analysis / corpus quality (x191: first driver row — the
-    # iterative BPE trainer built this round)
+    # text analysis / corpus quality
     "x158_bm25_search",
     "x188_repetition_signals",
     "x189_word_rarity",
     "x134_bpe_merge_pairs",
-    "x191_bpe_trainer",
-    "x192_bpe_encode",
-    # multimodal + Python-execution surface (x72/x74/x75/x76/x83:
-    # first driver row — the remaining Python-surface tail)
+    # multimodal + Python-execution surface
     "x187_oriented_thumbs",
     "x185_cms_heavy_hitters_contract",
     "x149_udtf_polymorphic",
-    "x83_frame_sample",
-    "x72_doc_chunks",
-    "x74_mad_grouped_agg",
-    "x75_arrow_bytestats",
-    "x76_udtf_sentences",
     # layout + iterative graph + TPC-H archetype
     "x124_zorder_layout",
     "x138_domain_pagerank",
     "q126_sales_opportunity",
-    # training-data pipeline (x128/x129: first driver row)
-    "x162_weighted_sample",
-    "x174_semdedup",
+    # training-data pipeline (x193: first driver row — group-coherent
+    # split with leakage audit)
     "x113_token_budget_sample",
-    "x128_length_bucket_batching",
-    "x129_domain_cap",
+    "x193_group_split",
 )
 
 
