@@ -931,3 +931,30 @@ def test_lsh_index_probe_rejects_tokenizer_mismatch(spark, tmp_path_factory):
     save_lsh_index(df, path, num_hashes=8, band_size=4)
     with pytest.raises(ValueError, match="tokenizer"):
         probe_lsh_index(spark, path, df, tokenizer=char_shingles)
+
+
+def test_lsh_index_append_equals_rebuild(spark, tmp_path_factory):
+    """append(build(A), B) must hold exactly the band rows of
+    build(A ∪ B) — appended rows land in the same (band_no,
+    band_bucket) partitions probes prune to, so an incrementally-grown
+    index and a from-scratch index are indistinguishable to a probe."""
+    from ua2sql_spark.operators.dedup import append_lsh_index, save_lsh_index
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = mk([(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    b = mk([(3, "alpha beta gamma"), (4, "eta theta iota kappa")])
+
+    inc = str(tmp_path_factory.mktemp("inc"))
+    full = str(tmp_path_factory.mktemp("full"))
+    save_lsh_index(a, inc, num_hashes=8, band_size=4, num_buckets=5)
+    append_lsh_index(b, inc)
+    save_lsh_index(a.unionByName(b), full, num_hashes=8, band_size=4, num_buckets=5)
+
+    cols = ["doc_id", "band_no", "band_bucket", "band_hash", "sig"]
+    read = lambda p: {
+        tuple(
+            tuple(v) if isinstance(v, list) else v for v in (r[c] for c in cols)
+        )
+        for r in spark.read.parquet(p + "/lists").select(cols).collect()
+    }
+    assert read(inc) == read(full)

@@ -1168,3 +1168,78 @@ def test_snapshot_upsert_sink_enforces_table_constraints(spark, tmp_path):
         q.awaitTermination()
     assert latest_version(spark, table) == 0
     assert read_snapshot(spark, table).count() == 1
+
+
+def test_neardup_ingest_probes_index_and_converges(spark, tmp_path):
+    """Continuous NEAR-dup ingest: within-batch LSH survivorship, then
+    the batch probes the persisted band index (signatures minted for
+    the batch only) and verified near-dups of HISTORY are dropped;
+    survivors commit as CoW versions and fold into the index; a
+    replayed batch converges (at-least-once)."""
+    from ua2sql_spark.operators.snapshot import read_snapshot
+    from ua2sql_spark.streaming.dedup_ingest import (
+        neardup_ingest_batch,
+        neardup_ingest_sink,
+    )
+
+    tbl = str(tmp_path / "corpus")
+    idx = str(tmp_path / "lsh_index")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+    base = "the quick brown fox jumps over the lazy dog by the still river"
+    words = base.split()
+    rot = lambda i: " ".join(words[i:] + words[:i])  # J=1 token sets
+
+    # batch 1: ids 1,2 are near-dups of each other (rotations), 3 is
+    # distinct -> survivors {1, 3}
+    b1 = mk([(1, "d1", rot(0)), (2, "d1", rot(3)), (3, "d2", "gamma delta epsilon")])
+    m1 = neardup_ingest_batch(b1, tbl, idx, "doc_id", "day")
+    assert (m1["n_in"], m1["n_fresh"], m1["version"]) == (3, 2, 0)
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl).collect()} == {1, 3}
+
+    # batch 2: id 10 is a near-dup of HISTORY (rotation of id 1, never
+    # seen verbatim), id 11 fresh -> only 11 survives, via the index
+    # probe (no corpus text read: verify="signature" default)
+    b2 = mk([(10, "d1", rot(7)), (11, "d3", "zeta eta theta")])
+    m2 = neardup_ingest_batch(b2, tbl, idx, "doc_id", "day")
+    assert (m2["n_dropped_hist"], m2["n_fresh"], m2["version"]) == (1, 1, 1)
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl).collect()} == {1, 3, 11}
+
+    # replay of batch 2: nothing fresh, no commit, table unchanged
+    m3 = neardup_ingest_batch(b2, tbl, idx, "doc_id", "day")
+    assert m3["n_fresh"] == 0 and m3["version"] is None
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl).collect()} == {1, 3, 11}
+
+    # exact verify tier: candidate pairs check TRUE Jaccard against the
+    # table's text — a band collision below threshold is NOT dropped
+    b3 = mk([(20, "d1", " ".join(words[:6]) + " unrelated tail words here now")])
+    m4 = neardup_ingest_batch(b3, tbl, idx, "doc_id", "day", verify="exact")
+    assert m4["n_fresh"] == 1  # J vs id 1 is well below 0.9
+
+    # streaming wiring e2e (availableNow + foreachBatch)
+    import json as _json
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    with open(src / "p1.json", "w") as f:
+        for r in [
+            {"doc_id": 1, "day": "d1", "text": rot(0)},
+            {"doc_id": 2, "day": "d1", "text": rot(5)},
+            {"doc_id": 3, "day": "d2", "text": "gamma delta epsilon"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    tbl2, idx2 = str(tmp_path / "corpus2"), str(tmp_path / "nd_idx2")
+    stream = spark.readStream.schema("doc_id bigint, day string, text string").json(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_ingest_sink(tbl2, idx2, "doc_id", "day")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "nd_ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl2).collect()} == {1, 3}

@@ -379,6 +379,56 @@ def save_lsh_index(
     ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
 
 
+def append_lsh_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> None:
+    """Fold a new batch into a saved index: mint the BATCH's band rows
+    under the index's own persisted geometry (params sidecar — a probe
+    tomorrow can never see a mixed-family index) and append them into
+    the same (band_no, band_bucket) layout. This is the compounding
+    daily-ingest shape: index work per day is the day's batch, and
+    ``append(build(A), B)`` holds exactly the band rows of
+    ``build(A ∪ B)`` (bucketing is a pure function of band_hash, so
+    appended rows land in the partitions probes already prune to).
+
+    Replay tolerance: appending the same batch twice duplicates its
+    band rows, which only duplicates probe CANDIDATES — and
+    ``probe_lsh_index`` collapses those via its pair groupBy — so an
+    at-least-once ingest loop (table commit first, index append after,
+    crash replays the batch) converges without an index transaction."""
+    spark = batch.sparkSession
+    params = spark.read.parquet(path + "/params").collect()[0]
+    tok_name = getattr(tokenizer or word_set, "__name__", "custom")
+    if tok_name != params["tokenizer"]:
+        raise ValueError(
+            f"append tokenizer {tok_name!r} != index tokenizer"
+            f" {params['tokenizer']!r} at {path}"
+        )
+    rows = lsh_band_rows(
+        batch,
+        id_col,
+        text_col,
+        params["num_hashes"],
+        params["band_size"],
+        tokenizer,
+        params["hash_family"],
+    )
+    (
+        rows.withColumn(
+            "band_bucket",
+            F.pmod(F.xxhash64(F.col("band_hash")), F.lit(params["num_buckets"]))
+            .cast("int"),
+        )
+        .write.mode("append")
+        .partitionBy("band_no", "band_bucket")
+        .parquet(path + "/lists")
+    )
+
+
 def probe_lsh_index(
     spark,
     path: str,

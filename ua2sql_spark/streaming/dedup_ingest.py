@@ -105,6 +105,170 @@ def dedup_ingest_sink(
     return _sink
 
 
+def neardup_ingest_batch(
+    batch: DataFrame,
+    table_path: str,
+    index_path: str,
+    id_col: str,
+    partition_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    verify: str = "signature",
+    tokenizer=None,
+) -> dict:
+    """One micro-batch of continuous NEAR-dup ingest — the upgrade of
+    :func:`dedup_ingest_batch` from exact fingerprints to MinHash-LSH,
+    built on the persisted band index (``operators/dedup.save_lsh_index``
+    family, VERDICT r9 #6):
+
+    1. within-batch near-dup: banded-LSH pairs + greedy min-id
+       survivorship (a J≥threshold duplicate of a smaller-id batch row
+       is dropped; identical token sets collide in every band under
+       any hash family, so this tier subsumes exact dedup);
+    2. cross-history: the batch PROBES the saved index — signatures are
+       minted for the batch only, the scan touches only the batch's
+       (band_no, band_bucket) partitions, and the day's work scales
+       with the batch, never the accumulated corpus;
+    3. candidates verify under ``verify``:
+       - ``"signature"`` (default, the index-only scale path): drop a
+         batch row when den·sig_agree ≥ num·num_hashes for some
+         historical candidate — the minhash estimate of J≥threshold,
+         no historical TEXT is ever read (granularity 1/num_hashes:
+         raise num_hashes if the drop boundary must be finer);
+       - ``"exact"``: join the candidates (bounded, broadcastable)
+         against the table's text and verify true Jaccard with integer
+         cross-multiplication — precise, but pays one corpus text scan
+         per batch;
+    4. survivors commit TABLE FIRST via ``upsert_cow``, then their band
+       rows append into the index (``append_lsh_index``). Crash between
+       the two replays the batch: the table upsert is key-idempotent
+       and a double-appended batch only duplicates probe candidates,
+       which the probe's pair groupBy collapses — at-least-once
+       converges without an index transaction (same ordering contract
+       as the exact tier; the reverse order would silently drop
+       documents the table never received).
+    """
+    assert verify in ("signature", "exact")
+    from ua2sql_spark.operators.dedup import (
+        append_lsh_index,
+        minhash_lsh_pairs,
+        probe_lsh_index,
+        save_lsh_index,
+    )
+
+    spark = batch.sparkSession
+    threshold = threshold_num / threshold_den
+
+    pairs = minhash_lsh_pairs(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        tokenizer=tokenizer,
+        hash_family="xxhash64",
+    )
+    dropped_in_batch = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch.join(dropped_in_batch, id_col, "left_anti")
+
+    n_dropped_hist = 0
+    if _index_exists(spark, index_path + "/params"):
+        cand = probe_lsh_index(
+            spark,
+            index_path,
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            tokenizer=tokenizer,
+        )
+        if verify == "signature":
+            hits = cand.filter(
+                F.lit(threshold_den) * F.col("sig_agree")
+                >= F.lit(threshold_num) * F.lit(num_hashes)
+            )
+        else:
+            from ua2sql_spark.functions.text import word_set
+            from ua2sql_spark.operators.snapshot import read_snapshot
+
+            tok = tokenizer or word_set
+            hist = read_snapshot(spark, table_path).select(
+                F.col(id_col).alias("index_id"),
+                tok(F.col(text_col)).alias("__hs"),
+            )
+            bset = survivors.select(
+                F.col(id_col).alias("batch_id"),
+                tok(F.col(text_col)).alias("__bs"),
+            )
+            hits = (
+                cand.join(hist, "index_id")
+                .join(bset, "batch_id")
+                .filter(
+                    F.lit(threshold_den)
+                    * F.size(F.array_intersect("__hs", "__bs"))
+                    >= F.lit(threshold_num)
+                    * F.size(F.array_union("__hs", "__bs"))
+                )
+            )
+        dropped_hist = hits.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        n_dropped_hist = dropped_hist.count()
+        survivors = survivors.join(dropped_hist, id_col, "left_anti")
+
+    fresh = survivors.localCheckpoint(eager=True)
+    n_in = batch.count()
+    n_fresh = fresh.count()
+    version = None
+    if n_fresh:
+        from ua2sql_spark.operators.snapshot import upsert_cow
+
+        # TABLE FIRST (crash-ordering contract, see docstring)
+        version, _rows = upsert_cow(fresh, table_path, [id_col], partition_col)
+        if _index_exists(spark, index_path + "/params"):
+            append_lsh_index(
+                fresh, index_path, id_col, text_col, tokenizer=tokenizer
+            )
+        else:
+            save_lsh_index(
+                fresh,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                band_size=band_size,
+                tokenizer=tokenizer,
+                hash_family="xxhash64",
+            )
+    return {
+        "n_in": n_in,
+        "n_fresh": n_fresh,
+        "n_dropped_hist": n_dropped_hist,
+        "version": version,
+    }
+
+
+def neardup_ingest_sink(
+    table_path: str,
+    index_path: str,
+    id_col: str,
+    partition_col: str,
+    text_col: str = "text",
+    **kwargs,
+):
+    """``foreachBatch`` closure over :func:`neardup_ingest_batch`."""
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        neardup_ingest_batch(
+            df, table_path, index_path, id_col, partition_col, text_col, **kwargs
+        )
+
+    return _sink
+
+
 def tombstone_sink(table_path: str, key_col: str, partition_col: str):
     """``foreachBatch`` closure turning a stream of tombstones (rows
     carrying ``key_col`` values to forget) into :func:`delete_cow`
