@@ -958,3 +958,50 @@ def test_lsh_index_append_equals_rebuild(spark, tmp_path_factory):
         for r in spark.read.parquet(p + "/lists").select(cols).collect()
     }
     assert read(inc) == read(full)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=9),
+        min_size=1, max_size=8, unique=True,
+    ),
+    st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=9),
+        min_size=1, max_size=8, unique=True,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_join_matches_bruteforce(spark, xs, ys):
+    """Recall-1.0 contract of the q-gram prefix + length blocking: the
+    blocked join must return EXACTLY the brute-force Levenshtein ≤ k
+    pairs — tiny alphabet + short/repetitive strings adversarially
+    target the short-string tier and the distinct-gram prefix bound."""
+    from ua2sql_spark.operators.fuzzy import fuzzy_join_editdist
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    k = 2
+    a = spark.createDataFrame(list(enumerate(xs)), "a_id bigint, s string")
+    b = spark.createDataFrame(list(enumerate(ys)), "b_id bigint, s string")
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_join_editdist(a, b, "a_id", "s", "b_id", "s", k=k).collect()
+    }
+    expected = {
+        (i, j, lev(x, y))
+        for i, x in enumerate(xs)
+        for j, y in enumerate(ys)
+        if lev(x, y) <= k
+    }
+    assert got == expected

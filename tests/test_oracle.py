@@ -81,7 +81,6 @@ def test_driver_window_families():
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank",
         "q126_sales_opportunity",
-        "q145_ab_welch_ttest",
         "x158_bm25_search",
         "q159_sliding_active_users",
         "x173_ks_two_sample",
@@ -103,6 +102,7 @@ def test_driver_window_families():
         "q155_lateral_topk", "q156_group_by_all",
         "q157_setop_all_variants", "q158_range_frame_rolling",
         "x193_group_split", "x194_lsh_index_probe",
+        "x195_fuzzy_editdist_join",
         "q57_correlated_scalar", "q58_scalar_subquery",
         "q59_session_window_batch", "q60_window_analytics",
         "q61_date_arithmetic", "q62_string_advanced",

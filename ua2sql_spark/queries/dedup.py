@@ -1137,3 +1137,57 @@ def x194_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("meets_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2k: fuzzy edit-distance join (round 10) — record-linkage at string
+# granularity: every (original, perturbed-catalog) part-name pair
+# within Levenshtein distance 2, found by the rarest-q-gram prefix +
+# length-band blocking of operators/fuzzy.py (the x179 PPJoin
+# discipline adapted to edit distance), verified exactly. The oracle
+# brute-forces all pairs with DuckDB's levenshtein — both engines
+# implement the classical DP, so the driver gate doubles as a
+# recall-1.0 proof of the blocking tiers. The perturbed side
+# deterministically deletes each name's 3rd character (replayable
+# arithmetically in SQL); heavy name duplication in `part` makes the
+# result a genuine many-to-many linkage, not just the diagonal.
+# ---------------------------------------------------------------------------
+@query(
+    "x195_fuzzy_editdist_join",
+    oracle="""
+    WITH orig AS (
+        SELECT p_partkey AS orig_id, p_name AS name
+        FROM part WHERE p_partkey < 400
+    ),
+    pert AS (
+        SELECT p_partkey + 1000000 AS pert_id,
+               substring(p_name, 1, 2) || substring(p_name, 4) AS name
+        FROM part WHERE p_partkey < 400
+    )
+    SELECT o.orig_id, p.pert_id,
+           CAST(levenshtein(o.name, p.name) AS INT) AS dist
+    FROM orig o, pert p
+    WHERE levenshtein(o.name, p.name) <= 2
+    """,
+)
+def x195_fuzzy_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.fuzzy import fuzzy_join_editdist
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    orig = p.select(
+        F.col("p_partkey").alias("orig_id"), F.col("p_name").alias("name")
+    )
+    pert = p.select(
+        (F.col("p_partkey") + 1_000_000).alias("pert_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("name"),
+    )
+    out = fuzzy_join_editdist(
+        orig, pert, "orig_id", "name", "pert_id", "name", k=2, q=2
+    )
+    return out.select(
+        F.col("a_id").alias("orig_id"),
+        F.col("b_id").alias("pert_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )

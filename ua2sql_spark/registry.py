@@ -286,9 +286,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q92_promo_revenue",
     "q93_disjunctive_bands",
     "q94_priority_exists",
-    # aggregates + sketches + stats
+    # aggregates + sketches + stats (q145 rotated out late-r10 for the
+    # round's new x195 — Welch driver-green r9; stats keep q114 GK +
+    # x173 KS in-window)
     "q114_approx_percentile_contract",
-    "q145_ab_welch_ttest",
+    "x195_fuzzy_editdist_join",
     # windows + event analytics (q158: first driver row)
     "q159_sliding_active_users",
     "q35_asof_join",
