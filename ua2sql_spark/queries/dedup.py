@@ -1062,38 +1062,28 @@ def x181_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x194_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
     from ua2sql_spark.operators.dedup import probe_lsh_index, save_lsh_index
-    from ua2sql_spark.operators.snapshot import _jfs
+    from ua2sql_spark.queries.common import fixture_artifact
 
     d = load_table(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") % 4 != 0)
     batch = d.filter(F.col("doc_id") % 4 == 0)
 
-    # Per-invocation index dir + cleanup of this process's previous
-    # invocations, through the table-side Hadoop FS (the x186 pattern).
-    prefix = f"ua2sql_x194_{os.getpid()}_"
-    tmp_root = tempfile.gettempdir()
-    jvm, fs, _ = _jfs(spark, tmp_root)
-    root_p = jvm.org.apache.hadoop.fs.Path(tmp_root)
-    if fs.exists(root_p):
-        for st in fs.listStatus(root_p):
-            if st.getPath().getName().startswith(prefix):
-                fs.delete(st.getPath(), True)
-    path = os.path.join(tmp_root, prefix + uuid.uuid4().hex)
+    # The index over history is a pure function of `documents`, so it
+    # rides the shared fixture cache (one build per process+testdata;
+    # the driver's single fresh-process invocation builds as before).
+    def build(path: str) -> None:
+        save_lsh_index(
+            history,
+            path,
+            id_col="doc_id",
+            text_col="text",
+            num_hashes=NUM_MINHASHES,
+            band_size=BAND_SIZE,
+            hash_family="md5",  # pinned: the oracle replays these digests
+        )
 
-    save_lsh_index(
-        history,
-        path,
-        id_col="doc_id",
-        text_col="text",
-        num_hashes=NUM_MINHASHES,
-        band_size=BAND_SIZE,
-        hash_family="md5",  # pinned: the oracle replays these digests
-    )
+    path = fixture_artifact(spark, sf_dir, "x194idx", "documents", build)
     cand = probe_lsh_index(spark, path, batch).select("index_id", "batch_id")
 
     # Exact-Jaccard verify tier over the candidates only (the x43
