@@ -1005,3 +1005,48 @@ def test_fuzzy_join_matches_bruteforce(spark, xs, ys):
         if lev(x, y) <= k
     }
     assert got == expected
+
+
+def test_ivf_index_append_routes_through_frozen_centroids(spark, tmp_path_factory):
+    """append_ivf_index must assign new vectors with the index's SAVED
+    centroids (never re-derive), so the grown lists equal
+    assign-to-frozen-centroids of the union — and a probe over the
+    grown index finds appended neighbors through the same partition
+    pruning."""
+    from ua2sql_spark.operators.ivf import (
+        append_ivf_index,
+        assign_to_centroids,
+        probe_ivf_index,
+        save_ivf_index,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    a = mk([(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(12)])
+    b = mk([(100 + i, [1.0, float(i) / 10.0, 0.0]) for i in range(4)])
+
+    path = str(tmp_path_factory.mktemp("ivfinc"))
+    save_ivf_index(a, path, centroid_stride=4)  # centroids: ids 0,4,8
+    append_ivf_index(spark, b, path)
+
+    cent = spark.read.parquet(path + "/centroids").select(
+        F.col("cid").alias("__cid"), F.col("cemb").alias("__cemb")
+    )
+    expected = {
+        (r["vec_id"], r["cell"])
+        for r in assign_to_centroids(a.unionByName(b), cent).collect()
+    }
+    got = {
+        (r["neighbor_id"], r["cell"])
+        for r in spark.read.parquet(path + "/lists").collect()
+    }
+    assert got == expected
+    # centroids untouched by the append
+    assert {r["cid"] for r in spark.read.parquet(path + "/centroids").collect()} == {0, 4, 8}
+
+    # a probe finds the appended vectors as neighbors
+    q = mk([(999, [1.0, 0.05, 0.0])])
+    top = probe_ivf_index(spark, path, q, id_col="vec_id", nprobe=1, k=3).collect()
+    assert any(r["neighbor_id"] >= 100 for r in top)

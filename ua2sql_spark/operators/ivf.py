@@ -42,21 +42,40 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_stride: int = 25,
 ) -> DataFrame:
-    """Assign every vector to its nearest coarse centroid.
+    """Assign every vector to its nearest coarse centroid (centroids =
+    the stride-sampled subset of ``emb`` itself).
 
     Returns the input columns plus ``cell`` (centroid id). Deterministic:
     scores round to 6 decimals, ties break on centroid id.
     """
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cemb")
+    )
+    return assign_to_centroids(emb, cent, id_col, vec_col)
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid from a GIVEN
+    centroid set (columns ``__cid``, ``__cemb``) — the primitive both
+    index builds and incremental index appends share (an append must
+    route new vectors through the index's FROZEN centroids, never
+    re-derive them, or old and new lists would disagree about cell
+    boundaries)."""
     # Norms are precomputed ONCE per vector and per centroid instead of
     # inside the |V| x K score expression: the arithmetic is the exact
     # same float ops in the same order (dot / (sqrt(na2) * sqrt(nb2))),
     # so scores stay bit-identical to the oracle's per-pair formula,
     # but the interpreted higher-order-function work per pair drops
     # from 3 array folds to 1.
-    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).alias("__cemb"),
-        F.sqrt(sq_norm(F.col(vec_col))).alias("__cnorm"),
+    cent = cent.select(
+        "__cid",
+        "__cemb",
+        F.sqrt(sq_norm(F.col("__cemb"))).alias("__cnorm"),
     )
     scored = (
         emb.withColumn("__vnorm", F.sqrt(sq_norm(F.col(vec_col))))
@@ -206,6 +225,36 @@ def save_ivf_index(
         assigned.withColumnRenamed(id_col, "neighbor_id")
         .withColumnRenamed(vec_col, "nemb")
         .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/lists")
+    )
+
+
+def append_ivf_index(
+    spark,
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into a saved IVF index: assign them to the
+    index's FROZEN centroids (broadcast, map-side — never re-derived,
+    so old and new inverted lists agree about every cell boundary) and
+    append into the same cell-partitioned layout. The daily-ingest
+    shape for embeddings, symmetric with ``dedup.append_lsh_index``:
+    append work scales with the batch, probes see the grown lists
+    through the exact partition pruning they already do. Centroid
+    drift (a corpus whose distribution walks away from the frozen
+    centroids) is a REBUILD decision, deliberately not hidden here —
+    same operating contract as FAISS's add() vs retrain."""
+    cent = spark.read.parquet(path + "/centroids").select(
+        F.col("cid").alias("__cid"), F.col("cemb").alias("__cemb")
+    )
+    assigned = assign_to_centroids(emb, cent, id_col, vec_col)
+    (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "nemb")
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path + "/lists")
     )
