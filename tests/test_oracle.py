@@ -90,7 +90,7 @@ def test_driver_window_families():
         "x186_scd2_history",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
         "x106_contamination",
-        "x110_dup_ngram_fraction", "x113_token_budget_sample",
+        "x113_token_budget_sample",
         "x134_bpe_merge_pairs",
         "x187_oriented_thumbs",
         "x188_repetition_signals", "x189_word_rarity",
@@ -102,7 +102,7 @@ def test_driver_window_families():
         "q155_lateral_topk", "q156_group_by_all",
         "q157_setop_all_variants", "q158_range_frame_rolling",
         "x193_group_split", "x194_lsh_index_probe",
-        "x195_fuzzy_editdist_join",
+        "x195_fuzzy_editdist_join", "x196_bloom_fingerprint_probe",
         "q57_correlated_scalar", "q58_scalar_subquery",
         "q59_session_window_batch", "q60_window_analytics",
         "q61_date_arithmetic", "q62_string_advanced",

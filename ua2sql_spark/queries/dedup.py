@@ -1181,3 +1181,120 @@ def x195_fuzzy_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").alias("pert_id"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X1c: bloom-fingerprint probe (round 10) — the anti-join accelerator
+# for x117's incremental exact dedup, under the hard gate. A sharded
+# Bloom filter over the historical fingerprint store (md5-derived bit
+# positions, so DuckDB replays the membership math bit-for-bit) flags
+# the batch's "maybe" slice; everything else is DEFINITELY new and
+# skips the exact anti-join. The contract proves the two properties a
+# bloom must have: zero false negatives (dups found via the maybe set
+# == independently-computed exact dups, all-integer equality) and a
+# bounded false-positive residue (n_false_pos is the measured cost of
+# skipping the join for the rest). History = odd doc_ids, batch = even
+# (the x117 split).
+# ---------------------------------------------------------------------------
+_BLOOM_SHARDS, _BLOOM_M, _BLOOM_K = 4, 1 << 14, 3
+
+
+@query(
+    "x196_bloom_fingerprint_probe",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS f
+        FROM documents
+    ),
+    hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 1),
+    batch AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+    hpos AS (
+        SELECT ('0x' || substring(md5(f || '|s'), 1, 15))::BIGINT % {_BLOOM_SHARDS}
+                   AS shard,
+               ('0x' || substring(md5(f || '|' || i), 1, 15))::BIGINT % {_BLOOM_M}
+                   AS pos
+        FROM hist, range({_BLOOM_K}) t(i)
+    ),
+    bpos AS (
+        SELECT f, i,
+               ('0x' || substring(md5(f || '|s'), 1, 15))::BIGINT % {_BLOOM_SHARDS}
+                   AS shard,
+               ('0x' || substring(md5(f || '|' || i), 1, 15))::BIGINT % {_BLOOM_M}
+                   AS pos
+        FROM batch, range({_BLOOM_K}) t(i)
+    ),
+    hit AS (
+        SELECT b.f, b.i FROM bpos b
+        WHERE EXISTS (
+            SELECT 1 FROM hpos h WHERE h.shard = b.shard AND h.pos = b.pos
+        )
+        GROUP BY b.f, b.i
+    ),
+    maybe AS (SELECT f FROM hit GROUP BY f HAVING COUNT(*) = {_BLOOM_K}),
+    n AS (
+        SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+               (SELECT COUNT(*) FROM maybe) AS n_maybe,
+               (SELECT COUNT(*) FROM batch SEMI JOIN hist USING (f)) AS n_dups,
+               (SELECT COUNT(*) FROM maybe SEMI JOIN hist USING (f))
+                   AS n_dups_via_maybe
+    )
+    SELECT CAST(n_batch AS BIGINT) AS n_batch,
+           CAST(n_maybe AS BIGINT) AS n_maybe,
+           CAST(n_dups AS BIGINT) AS n_dups,
+           CAST(n_maybe - n_dups AS BIGINT) AS n_false_pos,
+           CAST(CASE WHEN n_dups_via_maybe = n_dups THEN 1 ELSE 0 END AS INT)
+               AS fn_free
+    FROM n
+    """,
+)
+def x196_bloom_fingerprint_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.bloom import bloom_maybe, build_bloom_index
+
+    d = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    fp = d.select("doc_id", fingerprint.alias("f"))
+    hist = fp.filter(F.col("doc_id") % 2 == 1).select("f").distinct()
+    batch = (
+        fp.filter(F.col("doc_id") % 2 == 0)
+        .select("f")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bloom = build_bloom_index(
+        hist, "f", n_shards=_BLOOM_SHARDS, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    maybe = bloom_maybe(
+        batch, bloom, "f", n_shards=_BLOOM_SHARDS, m_bits=_BLOOM_M, k=_BLOOM_K
+    ).localCheckpoint(eager=False)
+
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_maybe = maybe.agg(F.count(F.lit(1)).alias("n_maybe"))
+    n_dups = (
+        batch.join(hist, "f", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    n_dups_via_maybe = (
+        maybe.join(hist, "f", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_dups_via_maybe"))
+    )
+    return (
+        n_batch.crossJoin(F.broadcast(n_maybe))
+        .crossJoin(F.broadcast(n_dups))
+        .crossJoin(F.broadcast(n_dups_via_maybe))
+        .select(
+            F.col("n_batch").cast("bigint").alias("n_batch"),
+            F.col("n_maybe").cast("bigint").alias("n_maybe"),
+            F.col("n_dups").cast("bigint").alias("n_dups"),
+            (F.col("n_maybe") - F.col("n_dups"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.when(F.col("n_dups_via_maybe") == F.col("n_dups"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("fn_free"),
+        )
+    )

@@ -304,11 +304,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # versioned tables — X12's driver rows
     "x186_scd2_history",
     "x190_delete_erasure",
-    # dedup tiers (x194: first driver row — the persisted band index
-    # probe built this round, VERDICT r9 #6)
+    # dedup tiers (x194/x196: first driver row — the persisted band
+    # index probe, VERDICT r9 #6, and the bloom fingerprint probe, both
+    # built this round; x110 rotated out late-r10 for x196 — dup-ngram
+    # driver-green r9, dedup keeps x179/x181/x106 + the two new rows)
     "x179_prefix_simjoin",
     "x181_lsh_recall_contract",
-    "x110_dup_ngram_fraction",
+    "x196_bloom_fingerprint_probe",
     "x106_contamination",
     "x194_lsh_index_probe",
     # similarity / embedding math
