@@ -124,14 +124,6 @@ HEADLINE = [
     # the round's new corpus-quality paths, watched from birth
     "x188_repetition_signals",
     "x189_word_rarity",
-    # r10 additions, watched from birth: the persisted-LSH-index probe
-    # (index build amortized by the fixture cache; the timed number is
-    # the probe + verify + truth-contract path), the fuzzy edit-distance
-    # join (rarest-gram prefix blocking), and the bloom fingerprint
-    # probe (broadcast bitmap join + all-k-hits groupBy)
-    "x194_lsh_index_probe",
-    "x195_fuzzy_editdist_join",
-    "x196_bloom_fingerprint_probe",
 ]
 
 # VERDICT r8 #4: every driver-gated row must carry a bench number —
