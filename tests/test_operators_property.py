@@ -1050,3 +1050,39 @@ def test_ivf_index_append_routes_through_frozen_centroids(spark, tmp_path_factor
     q = mk([(999, [1.0, 0.05, 0.0])])
     top = probe_ivf_index(spark, path, q, id_col="vec_id", nprobe=1, k=3).collect()
     assert any(r["neighbor_id"] >= 100 for r in top)
+
+
+def test_bloom_index_append_or_merges(spark, tmp_path_factory):
+    """Blooms are OR-mergeable: an append-grown bloom loads to exactly
+    the words of a from-scratch build over the union, and membership
+    has zero false negatives for every inserted fingerprint."""
+    from ua2sql_spark.operators.bloom import (
+        append_bloom_index,
+        bloom_maybe,
+        build_bloom_index,
+        load_bloom_words,
+        save_bloom_index,
+    )
+
+    mk = lambda vals: spark.createDataFrame([(v,) for v in vals], "f string")
+    a = [f"fp{i}" for i in range(20)]
+    b = [f"fp{i}" for i in range(15, 35)]  # overlaps a
+
+    path = str(tmp_path_factory.mktemp("bloom"))
+    save_bloom_index(mk(a), path, "f", n_shards=3, m_bits=256, k=3)
+    append_bloom_index(mk(b), path, "f")
+
+    words, p = load_bloom_words(spark, path)
+    direct = build_bloom_index(
+        mk(sorted(set(a) | set(b))), "f", n_shards=3, m_bits=256, k=3
+    )
+    assert {tuple(r) for r in words.collect()} == {tuple(r) for r in direct.collect()}
+
+    # zero false negatives: every inserted fp is flagged
+    flagged = {
+        r["f"]
+        for r in bloom_maybe(
+            mk(sorted(set(a) | set(b))), words, "f", n_shards=3, m_bits=256, k=3
+        ).collect()
+    }
+    assert flagged == set(a) | set(b)

@@ -1118,7 +1118,7 @@ def test_dedup_ingest_empty_batch_is_noop(spark, tmp_path):
     tbl, idx = str(tmp_path / "t"), str(tmp_path / "i")
     empty = spark.createDataFrame([], "doc_id bigint, day string, text string")
     m = dedup_ingest_batch(empty, tbl, idx, "doc_id", "day")
-    assert m == {"n_in": 0, "n_fresh": 0, "version": None}
+    assert m == {"n_in": 0, "n_fresh": 0, "version": None, "n_skipped_join": 0}
     import os
 
     assert not os.path.exists(tbl) and not os.path.exists(idx)
@@ -1243,3 +1243,66 @@ def test_neardup_ingest_probes_index_and_converges(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r["doc_id"] for r in read_snapshot(spark, tbl2).collect()} == {1, 3}
+
+
+def test_dedup_ingest_bloom_sidecar_skips_join_and_converges(spark, tmp_path):
+    """The persisted bloom sidecar in front of the fingerprint anti-join:
+    definitely-new rows skip the join (n_skipped_join > 0), results are
+    identical to the bloom-less path, replay converges, and the
+    table->bloom->index crash ordering tolerates a bloom that ran ahead
+    of the index (superset invariant: extra bloom bits only demote rows
+    to the exact join — never a silent duplicate)."""
+    from ua2sql_spark.operators.bloom import append_bloom_index
+    from ua2sql_spark.operators.snapshot import read_snapshot
+    from ua2sql_spark.streaming.dedup_ingest import dedup_ingest_batch
+
+    tbl, idx, blm = (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "fp_idx"),
+        str(tmp_path / "fp_bloom"),
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+
+    b1 = mk([(1, "d1", "alpha beta"), (2, "d1", "alpha beta"), (3, "d2", "gamma")])
+    m1 = dedup_ingest_batch(b1, tbl, idx, "doc_id", "day", bloom_path=blm)
+    assert (m1["n_fresh"], m1["version"]) == (2, 0)
+
+    # batch 2: one cross-batch dup, two genuinely new -> the new rows
+    # skip the anti-join via the bloom, the dup goes through it
+    b2 = mk([(10, "d1", "alpha beta"), (11, "d3", "delta"), (12, "d3", "epsilon")])
+    m2 = dedup_ingest_batch(b2, tbl, idx, "doc_id", "day", bloom_path=blm)
+    assert m2["n_fresh"] == 2 and m2["n_skipped_join"] == 2
+    got = {r["doc_id"] for r in read_snapshot(spark, tbl).collect()}
+    assert got == {1, 3, 11, 12}
+
+    # replay of batch 2: converges, nothing new
+    m3 = dedup_ingest_batch(b2, tbl, idx, "doc_id", "day", bloom_path=blm)
+    assert m3["n_fresh"] == 0 and m3["version"] is None
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl).collect()} == got
+
+    # crash-window simulation: bloom ran AHEAD of the index (the
+    # tolerated direction) — fps in the bloom but not the index must
+    # flag "maybe" and fall through to the exact join, which still says
+    # fresh -> committed exactly once
+    ahead = mk([(20, "d2", "zeta")])
+    append_bloom_index(
+        ahead.withColumn(
+            "__fp",
+            F.sha2(
+                F.concat(
+                    F.length("text").cast("string"), F.lit(":"), F.col("text")
+                ),
+                256,
+            ),
+        ).select("__fp"),
+        blm,
+        "__fp",
+    )
+    m4 = dedup_ingest_batch(ahead, tbl, idx, "doc_id", "day", bloom_path=blm)
+    assert m4["n_fresh"] == 1 and m4["n_skipped_join"] == 0
+    assert 20 in {r["doc_id"] for r in read_snapshot(spark, tbl).collect()}
+    # and a replay of it converges
+    m5 = dedup_ingest_batch(ahead, tbl, idx, "doc_id", "day", bloom_path=blm)
+    assert m5["n_fresh"] == 0

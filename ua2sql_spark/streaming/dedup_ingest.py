@@ -53,18 +53,55 @@ def dedup_ingest_batch(
     id_col: str,
     partition_col: str,
     text_col: str = "text",
+    bloom_path: str | None = None,
 ) -> dict:
     """Apply one batch; returns stage counts. Survivor = smallest id
-    per new fingerprint (deterministic under replay)."""
+    per new fingerprint (deterministic under replay).
+
+    ``bloom_path`` (optional) maintains a persisted OR-mergeable Bloom
+    sidecar (``operators/bloom.py``) over the index's fingerprints: the
+    batch probes the bloom first and only the "maybe" slice pays the
+    exact anti-join against the fingerprint store — for a typical
+    mostly-new batch, nearly all rows skip the join (x196's measured
+    shape). CORRECTNESS INVARIANT: the bloom must always be a SUPERSET
+    of the index (an fp in the index but not the bloom would read
+    "definitely new", skip the join, and silently re-commit a
+    duplicate). The commit order below maintains it through any crash:
+    table → bloom append → index append. A crash after the bloom but
+    before the index append leaves extra bloom bits — harmless: those
+    fps flag "maybe", the exact join against the index decides, and the
+    replay converges (upsert_cow is key-idempotent, the bloom append
+    just re-ORs set bits). The reverse order would be the data-loss
+    window."""
     spark = batch.sparkSession
     fp = batch.withColumn("__fp", _fingerprint(text_col))
     # within-batch: one row per fingerprint, smallest id wins
     pick = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     in_batch = fp.join(pick, [id_col, "__fp"], "left_semi")
     # cross-corpus: drop fingerprints the index already holds
+    n_skipped_join = 0
     if _index_exists(spark, index_path):
         seen = spark.read.parquet(index_path).select("__fp")
-        fresh = in_batch.join(seen, "__fp", "left_anti")
+        if bloom_path is not None and _index_exists(spark, bloom_path + "/params"):
+            from ua2sql_spark.operators.bloom import bloom_maybe, load_bloom_words
+
+            words, p = load_bloom_words(spark, bloom_path)
+            maybe = bloom_maybe(
+                in_batch.select("__fp").distinct(),
+                words,
+                "__fp",
+                n_shards=p["n_shards"],
+                m_bits=p["m_bits"],
+                k=p["k"],
+            ).localCheckpoint(eager=True)
+            definite_new = in_batch.join(maybe, "__fp", "left_anti")
+            n_skipped_join = definite_new.count()
+            checked = in_batch.join(maybe, "__fp", "left_semi").join(
+                seen, "__fp", "left_anti"
+            )
+            fresh = definite_new.unionByName(checked)
+        else:
+            fresh = in_batch.join(seen, "__fp", "left_anti")
     else:
         fresh = in_batch
     # the anti-join output feeds BOTH the table upsert and the index
@@ -75,16 +112,33 @@ def dedup_ingest_batch(
     if n_fresh:
         from ua2sql_spark.operators.snapshot import upsert_cow
 
-        # TABLE FIRST (see module docstring crash-ordering contract)
+        # TABLE FIRST (see module docstring crash-ordering contract),
+        # then bloom (superset invariant), then the fingerprint index.
         version, _rows = upsert_cow(
             fresh.drop("__fp"), table_path, [id_col], partition_col
         )
+        if bloom_path is not None:
+            from ua2sql_spark.operators.bloom import (
+                append_bloom_index,
+                save_bloom_index,
+            )
+
+            fps = fresh.select("__fp")
+            if _index_exists(spark, bloom_path + "/params"):
+                append_bloom_index(fps, bloom_path, "__fp")
+            else:
+                save_bloom_index(fps, bloom_path, "__fp")
         fresh.select("__fp", F.col(id_col).alias("survivor_id")).write.mode(
             "append"
         ).parquet(index_path)
     else:
         version = None
-    return {"n_in": n_in, "n_fresh": n_fresh, "version": version}
+    return {
+        "n_in": n_in,
+        "n_fresh": n_fresh,
+        "version": version,
+        "n_skipped_join": n_skipped_join,
+    }
 
 
 def dedup_ingest_sink(
@@ -93,13 +147,20 @@ def dedup_ingest_sink(
     id_col: str,
     partition_col: str,
     text_col: str = "text",
+    bloom_path: str | None = None,
 ):
     """``foreachBatch`` closure over :func:`dedup_ingest_batch` — wire
     it to any stream: ``stream.writeStream.foreachBatch(sink)``."""
 
     def _sink(df: DataFrame, epoch_id: int) -> None:
         dedup_ingest_batch(
-            df, table_path, index_path, id_col, partition_col, text_col
+            df,
+            table_path,
+            index_path,
+            id_col,
+            partition_col,
+            text_col,
+            bloom_path=bloom_path,
         )
 
     return _sink
