@@ -89,7 +89,6 @@ def test_driver_window_families():
         "x185_cms_heavy_hitters_contract",
         "x186_scd2_history",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
-        "x106_contamination",
         "x113_token_budget_sample",
         "x134_bpe_merge_pairs",
         "x187_oriented_thumbs",
@@ -103,6 +102,7 @@ def test_driver_window_families():
         "q157_setop_all_variants", "q158_range_frame_rolling",
         "x193_group_split", "x194_lsh_index_probe",
         "x195_fuzzy_editdist_join", "x196_bloom_fingerprint_probe",
+        "x197_triplet_mining",
         "q57_correlated_scalar", "q58_scalar_subquery",
         "q59_session_window_batch", "q60_window_analytics",
         "q61_date_arithmetic", "q62_string_advanced",

@@ -1395,3 +1395,132 @@ def x178_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# X5h: triplet mining for contrastive / metric learning (round 10) —
+# for each anchor: its nearest SAME-label neighbor (the positive) and
+# its nearest DIFFERENT-label neighbor (the hard negative), candidates
+# confined to the anchor's IVF cell (the x100/x174 discipline: hard
+# negatives are close by definition, so the cell IS the candidate set;
+# corpus never shuffles, centroids broadcast, pairwise work is
+# per-cell-bounded). Emits (anchor, pos, neg) plus the rounded sims and
+# a margin bit (positive strictly closer than the hardest negative) —
+# the health metric a metric-learning curriculum watches. Determinism:
+# cosine rounded to 6 before every rank (the proven x45/x100 treatment),
+# ties on neighbor id; the margin compare runs on the two
+# hash-identical rounded doubles.
+# ---------------------------------------------------------------------------
+@query(
+    "x197_triplet_mining",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+        SELECT vec_id, embedding, label, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, e.label, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_sql_cosine('e.embedding', 'c.cemb')}, 6) DESC,
+                                c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+               n.vec_id AS neighbor_id, n.label AS neighbor_label,
+               ROUND({_sql_cosine('q.embedding', 'n.embedding')}, 6) AS cos_sim
+        FROM assign q JOIN assign n
+          ON q.cell = n.cell AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < {4 * N_PROBE}
+    ),
+    pos AS (
+        SELECT anchor_id, neighbor_id AS pos_id, cos_sim AS pos_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS r
+            FROM pairs WHERE neighbor_label = anchor_label
+        ) WHERE r = 1
+    ),
+    neg AS (
+        SELECT anchor_id, neighbor_id AS neg_id, cos_sim AS neg_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS r
+            FROM pairs WHERE neighbor_label <> anchor_label
+        ) WHERE r = 1
+    )
+    SELECT p.anchor_id, p.pos_id, n.neg_id, p.pos_sim, n.neg_sim,
+           CAST(CASE WHEN p.pos_sim > n.neg_sim THEN 1 ELSE 0 END AS INT)
+               AS margin_ok
+    FROM pos p JOIN neg n USING (anchor_id)
+    """,
+)
+def x197_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.ivf import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, centroid_stride=IVF_STRIDE).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    anchors = assigned.filter(F.col("vec_id") < 4 * N_PROBE).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__aemb"),
+        F.col("label").alias("anchor_label"),
+        "cell",
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__nemb"),
+        F.col("label").alias("neighbor_label"),
+        "cell",
+    )
+    pairs = (
+        anchors.join(cand, "cell")
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("__aemb"), F.col("__nemb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    pos = (
+        pairs.filter(F.col("neighbor_label") == F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "pos_sim",
+        "neg_sim",
+        F.when(F.col("pos_sim") > F.col("neg_sim"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("margin_ok"),
+    )

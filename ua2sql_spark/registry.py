@@ -308,10 +308,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # index probe, VERDICT r9 #6, and the bloom fingerprint probe, both
     # built this round; x110 rotated out late-r10 for x196 — dup-ngram
     # driver-green r9, dedup keeps x179/x181/x106 + the two new rows)
+    # (x106 rotated out late-r10 for x197 — contamination driver-green
+    # r9; the corpus-overlap shape stays via x113/x193, dedup keeps
+    # x179/x181/x194/x196)
     "x179_prefix_simjoin",
     "x181_lsh_recall_contract",
     "x196_bloom_fingerprint_probe",
-    "x106_contamination",
+    "x197_triplet_mining",
     "x194_lsh_index_probe",
     # similarity / embedding math
     "x133_quantized_recall_contract",
