@@ -51,12 +51,19 @@ STRIDE = 100_000_000  # divisible by every doc_id/vec_id modulus in use
 # * x96 near-dup clusters: within-copy pair count scales 4x (the tiling
 #   adds no cross-copy pairs), iteration count constant -> linear.
 # * x138 PageRank / x155 calibration: edges/histograms linear.
+# * x194 LSH-index probe (round 10): index build, batch probe, verify
+#   and the prefix-tier truth contract are all within-copy (the vocab
+#   bijection gives copies disjoint band hashes and prefix tokens, so
+#   candidate/pair counts scale 4x, not 16x) -> linear. The fixture
+#   cache keys on sf_dir, so both scales time the SAME (build-once +
+#   probe) composition.
 SLOPE_QUERIES = {
     "x174_semdedup": 4 * 1.6,
     "x178_kmeans_lloyd": 16 * 1.6,
     "x96_neardup_clusters": 4 * 1.6,
     "x138_domain_pagerank": 4 * 1.6,
     "x155_pr_calibration": 4 * 1.6,
+    "x194_lsh_index_probe": 4 * 1.6,
 }
 
 pytestmark = pytest.mark.skipif(
