@@ -1078,11 +1078,14 @@ def test_bloom_index_append_or_merges(spark, tmp_path_factory):
     )
     assert {tuple(r) for r in words.collect()} == {tuple(r) for r in direct.collect()}
 
-    # zero false negatives: every inserted fp is flagged
+    # zero false negatives: every inserted fp is flagged — probed with
+    # DUPLICATE fp rows, which must not double the per-fp hit sum and
+    # flip a true member to "definitely new"
+    probe = sorted(set(a) | set(b)) + a[:5] + a[:5]
     flagged = {
         r["f"]
         for r in bloom_maybe(
-            mk(sorted(set(a) | set(b))), words, "f", n_shards=3, m_bits=256, k=3
+            mk(probe), words, "f", n_shards=3, m_bits=256, k=3
         ).collect()
     }
     assert flagged == set(a) | set(b)

@@ -1362,3 +1362,78 @@ def test_describe_history_tags_every_operation(spark, tmp_path):
     assert by_v[3]["metrics"]["to_version"] == "1"
     assert by_v[4]["metrics"]["constraint"] == "vpos"
     assert all(h["timestamp"] for h in hist)
+
+
+def test_cursor_migration_sweeps_stale_stage_dirs(spark, tmp_path):
+    """A successful legacy migration must remove stage dirs left by
+    EARLIER crashed attempts — otherwise deleting the checkpoint later
+    (an intentional cursor reset) would 'recover' the stale stage and
+    silently resurrect an obsolete position instead of replaying."""
+    import os
+
+    from ua2sql_spark.operators.snapshot import ChangeFeedCursor, upsert_cow
+
+    path = str(tmp_path / "tbl")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", 1.0)], "id bigint, day string, v double"),
+        path, ["id"], "day",
+    )
+    parent = tmp_path / "cks"
+    parent.mkdir()
+    ck = parent / "cur"
+    ck.write_text("5")  # legacy single-file checkpoint, position 5
+    stale = parent / ".tmp-migrate-cur-oldcrash"
+    stale.mkdir()
+    (stale / f"v-{3:020d}").touch()
+
+    cur = ChangeFeedCursor(spark, path, ["id"], str(ck))
+    assert cur.position() == 5  # migrated from the legacy file
+    assert not stale.exists()  # stale stage swept by the migration
+    # intentional reset now behaves as documented: fresh cursor
+    import shutil
+
+    shutil.rmtree(ck)
+    assert cur.position() == -1
+
+
+def test_read_view_mixed_width_fallback_still_reachable(spark, tmp_path):
+    """ADVICE r9 #4 follow-up: the per-dir widening fallback must fire
+    on the REAL exception this Spark build raises for a mergeSchema
+    width conflict (a Py4J-wrapped SparkException, NOT
+    AnalysisException — an isinstance gate would make the fallback dead
+    code). Build a pre-canonicalization mixed-width view by hand: one
+    bucket dir with grp int, one with grp bigint, a hand-committed
+    manifest referencing both."""
+    import pyspark.sql.utils  # noqa: F401
+    import pytest as _pytest
+
+    from ua2sql_spark.operators.ivm import (
+        _commit_view_manifest,
+        read_view,
+    )
+
+    view = str(tmp_path / "view")
+    d_int = str(tmp_path / "b_int")
+    d_big = str(tmp_path / "b_big")
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(1, 2, Decimal("10.0"))], "grp int, n bigint, sum_value decimal(28,8)"
+    ).write.parquet(d_int)
+    spark.createDataFrame(
+        [(2, 3, Decimal("20.0"))], "grp bigint, n bigint, sum_value decimal(28,8)"
+    ).write.parquet(d_big)
+    _commit_view_manifest(spark, view, 0, [(0, d_int), (1, d_big)])
+
+    # sanity: the fast path really does throw on this layout (otherwise
+    # this test would silently stop guarding the fallback)
+    with _pytest.raises(Exception, match="MERGE|merge"):
+        spark.read.option("mergeSchema", "true").parquet(d_int, d_big).collect()
+
+    got = {r["grp"]: (r["n"], r["sum_value"]) for r in read_view(spark, view).collect()}
+    assert got == {1: (2, 10.0), 2: (3, 20.0)}
+
+    # and an unrelated failure is NOT swallowed into the fallback
+    _commit_view_manifest(spark, view, 1, [(0, str(tmp_path / "missing_dir"))])
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist|Path does not"):
+        read_view(spark, view, 1).collect()

@@ -1306,3 +1306,61 @@ def test_dedup_ingest_bloom_sidecar_skips_join_and_converges(spark, tmp_path):
     # and a replay of it converges
     m5 = dedup_ingest_batch(ahead, tbl, idx, "doc_id", "day", bloom_path=blm)
     assert m5["n_fresh"] == 0
+
+
+def test_dedup_ingest_bloom_bootstrap_covers_preexisting_index(spark, tmp_path):
+    """Enabling bloom_path on a table whose fingerprint index ALREADY
+    holds history must seed the bloom from the full index, not the
+    first bloom-enabled batch — otherwise a duplicate of any old
+    document reads 'definitely new', skips the exact join, and is
+    silently re-committed (the superset-invariant violation)."""
+    from ua2sql_spark.operators.snapshot import read_snapshot
+    from ua2sql_spark.streaming.dedup_ingest import dedup_ingest_batch
+
+    tbl, idx, blm = (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "fp_idx"),
+        str(tmp_path / "fp_bloom"),
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+    # history ingested WITHOUT a bloom
+    dedup_ingest_batch(
+        mk([(1, "d1", "alpha beta"), (2, "d2", "gamma")]), tbl, idx, "doc_id", "day"
+    )
+    # first bloom-enabled batch: brand-new doc only
+    m1 = dedup_ingest_batch(
+        mk([(10, "d3", "delta")]), tbl, idx, "doc_id", "day", bloom_path=blm
+    )
+    assert m1["n_fresh"] == 1
+    # a duplicate of PRE-BLOOM history must still be caught
+    m2 = dedup_ingest_batch(
+        mk([(20, "d1", "alpha beta")]), tbl, idx, "doc_id", "day", bloom_path=blm
+    )
+    assert m2["n_fresh"] == 0
+    got = {r["doc_id"] for r in read_snapshot(spark, tbl).collect()}
+    assert got == {1, 2, 10}
+
+
+def test_neardup_ingest_rejects_index_geometry_drift(spark, tmp_path):
+    """A caller whose (num_hashes, band_size) disagree with the saved
+    index's params must fail fast — the signature-verify threshold
+    would otherwise be silently unsatisfiable."""
+    import pytest as _pytest
+
+    from ua2sql_spark.streaming.dedup_ingest import neardup_ingest_batch
+
+    tbl, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+    neardup_ingest_batch(
+        mk([(1, "d1", "alpha beta gamma")]), tbl, idx, "doc_id", "day",
+        num_hashes=16, band_size=8,
+    )
+    with _pytest.raises(ValueError, match="num_hashes"):
+        neardup_ingest_batch(
+            mk([(2, "d1", "delta epsilon")]), tbl, idx, "doc_id", "day",
+            num_hashes=32, band_size=8,
+        )

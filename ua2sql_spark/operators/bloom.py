@@ -142,20 +142,30 @@ def bloom_maybe(
     not returned are definitely new and can skip the exact anti-join.
     One equi-join of k probe rows per fp against the (broadcastable)
     bloom words, then an all-hits groupBy keyed on the fingerprint."""
-    probes = batch.select(
-        F.col(fp_col),
-        _shard(F.col(fp_col), n_shards).alias("shard"),
-        F.posexplode(_positions(F.col(fp_col), k, m_bits)).alias(
-            "__i", "__pos"
-        ),
-    ).select(
-        fp_col,
-        "shard",
-        "__i",
-        F.expr("__pos DIV 64").alias("word_idx"),
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
-        ).alias("__mask"),
+    probes = (
+        batch.select(
+            F.col(fp_col),
+            _shard(F.col(fp_col), n_shards).alias("shard"),
+            F.posexplode(_positions(F.col(fp_col), k, m_bits)).alias(
+                "__i", "__pos"
+            ),
+        )
+        .select(
+            fp_col,
+            "shard",
+            "__i",
+            F.expr("__pos DIV 64").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
+            ).alias("__mask"),
+        )
+        # every probe column is a pure function of the fp, so a batch
+        # carrying DUPLICATE fp rows yields exact duplicate probe rows
+        # — without this distinct they double the per-fp hit sum and
+        # the == k test below would report a flagged fp as "definitely
+        # new" (a false negative, the one error class a bloom must
+        # never make)
+        .distinct()
     )
     hits = (
         probes.join(F.broadcast(bloom_words), ["shard", "word_idx"], "left")

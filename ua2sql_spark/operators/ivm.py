@@ -313,19 +313,18 @@ def read_view(spark: SparkSession, view_path: str, version: int | None = None) -
         # union (ADVICE r9 #4): a bare catch sent every unrelated read
         # failure — missing dir, permissions, corrupt footer — down the
         # fallback, to resurface as a confusing secondary error instead
-        # of the real one. Spark surfaces the drift as AnalysisException
-        # CANNOT_MERGE_SCHEMAS / "Failed to merge incompatible data
-        # types"; match that and re-raise everything else.
-        from pyspark.errors import AnalysisException
-
+        # of the real one. Match on the error class / message, NOT on
+        # the Python exception type: this Spark build raises the merge
+        # failure as a Py4JJavaError-wrapped SparkException (mergeSchema
+        # footer merging happens in executor tasks), so an
+        # isinstance(AnalysisException) gate would make the fallback
+        # dead code and crash exactly the pre-fix mixed-width views it
+        # exists for.
         msg = str(exc)
         if not (
-            isinstance(exc, AnalysisException)
-            and (
-                "CANNOT_MERGE_SCHEMAS" in msg
-                or "Failed to merge incompatible data types" in msg
-                or "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE" in msg
-            )
+            "CANNOT_MERGE_SCHEMAS" in msg
+            or "Failed to merge incompatible data types" in msg
+            or "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE" in msg
         ):
             raise
         from functools import reduce

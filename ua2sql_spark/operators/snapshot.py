@@ -1357,6 +1357,17 @@ class ChangeFeedCursor:
                 f"legacy cursor migration rename failed for {self.checkpoint}; "
                 f"staged markers left at {tmp.toString()}"
             )
+        # Sweep stage dirs from EARLIER crashed attempts: left behind,
+        # they would be "adopted" by the recovery branch above if the
+        # checkpoint is ever intentionally deleted (operator resetting
+        # the cursor), silently resurrecting an obsolete position
+        # instead of replaying from -1.
+        parent = p.getParent()
+        if parent is not None and fs.exists(parent):
+            for st in fs.listStatus(parent):
+                name = st.getPath().getName()
+                if name.startswith(f".tmp-migrate-{p.getName()}-"):
+                    fs.delete(st.getPath(), True)
 
     def _markers(self, fs, p) -> list[int]:
         if not fs.exists(p):

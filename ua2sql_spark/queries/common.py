@@ -96,9 +96,19 @@ def fixture_artifact(spark, sf_dir: str, tag: str, source_table: str, build) -> 
     tmp_root = tempfile.gettempdir()
     jvm, fs, _ = _jfs(spark, tmp_root)
     root_p = jvm.org.apache.hadoop.fs.Path(tmp_root)
+    # Sweep THIS process's stale artifacts for the tag — but never a
+    # dir another LIVE cache key still points at (same tag, different
+    # sf_dir/mtime: e.g. a scale-comparison loop alternating two
+    # sf_dirs would otherwise rebuild on every switch, and a lazy
+    # DataFrame still referencing the other key's path would read a
+    # deleted dir).
+    live = {
+        os.path.basename(v) for v in _FIXTURE_CACHE.values() if v is not None
+    }
     if fs.exists(root_p):
         for st in fs.listStatus(root_p):
-            if st.getPath().getName().startswith(prefix):
+            name = st.getPath().getName()
+            if name.startswith(prefix) and name not in live:
                 fs.delete(st.getPath(), True)
     path = os.path.join(tmp_root, prefix + uuid.uuid4().hex)
     build(path)

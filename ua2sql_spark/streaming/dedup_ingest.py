@@ -109,6 +109,9 @@ def dedup_ingest_batch(
     fresh = fresh.localCheckpoint(eager=True)
     n_in = batch.count()
     n_fresh = fresh.count()
+    bloom_existed = bloom_path is not None and _index_exists(
+        spark, bloom_path + "/params"
+    )
     if n_fresh:
         from ua2sql_spark.operators.snapshot import upsert_cow
 
@@ -117,22 +120,34 @@ def dedup_ingest_batch(
         version, _rows = upsert_cow(
             fresh.drop("__fp"), table_path, [id_col], partition_col
         )
-        if bloom_path is not None:
-            from ua2sql_spark.operators.bloom import (
-                append_bloom_index,
-                save_bloom_index,
-            )
+        if bloom_existed:
+            from ua2sql_spark.operators.bloom import append_bloom_index
 
-            fps = fresh.select("__fp")
-            if _index_exists(spark, bloom_path + "/params"):
-                append_bloom_index(fps, bloom_path, "__fp")
-            else:
-                save_bloom_index(fps, bloom_path, "__fp")
+            append_bloom_index(fresh.select("__fp"), bloom_path, "__fp")
         fresh.select("__fp", F.col(id_col).alias("survivor_id")).write.mode(
             "append"
         ).parquet(index_path)
     else:
         version = None
+    if (
+        bloom_path is not None
+        and not bloom_existed
+        and _index_exists(spark, index_path)
+    ):
+        # BOOTSTRAP: first bloom-enabled run over a table whose index
+        # may already hold history — seed from the FULL index content,
+        # never from this batch alone, or every pre-existing fp would
+        # read "definitely new" next batch and silently re-admit its
+        # duplicates (the exact violation the superset invariant
+        # forbids). Runs AFTER the index append so the new bloom covers
+        # this batch too; a crash before this line leaves no bloom, and
+        # the probe path above falls back to the plain anti-join until
+        # a later batch completes the bootstrap.
+        from ua2sql_spark.operators.bloom import save_bloom_index
+
+        save_bloom_index(
+            spark.read.parquet(index_path).select("__fp"), bloom_path, "__fp"
+        )
     return {
         "n_in": n_in,
         "n_fresh": n_fresh,
@@ -238,6 +253,20 @@ def neardup_ingest_batch(
 
     n_dropped_hist = 0
     if _index_exists(spark, index_path + "/params"):
+        # Fail fast on geometry drift: probe/append take their minhash
+        # geometry from the params sidecar, but the signature-verify
+        # inequality below uses THIS call's num_hashes — a caller whose
+        # num_hashes disagrees with the index would silently make the
+        # threshold unsatisfiable (never dropping any historical
+        # near-dup) or far too loose, with no error anywhere.
+        p = spark.read.parquet(index_path + "/params").collect()[0]
+        if (p["num_hashes"], p["band_size"]) != (num_hashes, band_size):
+            raise ValueError(
+                f"index at {index_path} was built with num_hashes="
+                f"{p['num_hashes']}, band_size={p['band_size']}; caller"
+                f" passed ({num_hashes}, {band_size}) — rebuild the index"
+                " or match its geometry"
+            )
         cand = probe_lsh_index(
             spark,
             index_path,
@@ -274,9 +303,15 @@ def neardup_ingest_batch(
                     * F.size(F.array_union("__hs", "__bs"))
                 )
             )
-        dropped_hist = hits.select(
-            F.col("batch_id").alias(id_col)
-        ).distinct()
+        # Checkpoint BEFORE counting: the count and the anti-join below
+        # both consume this frame, and without the checkpoint the whole
+        # probe + verify subtree would execute twice (once for the
+        # count, again inside fresh's own checkpoint).
+        dropped_hist = (
+            hits.select(F.col("batch_id").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         n_dropped_hist = dropped_hist.count()
         survivors = survivors.join(dropped_hist, id_col, "left_anti")
 
