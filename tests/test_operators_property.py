@@ -1089,3 +1089,34 @@ def test_bloom_index_append_or_merges(spark, tmp_path_factory):
         ).collect()
     }
     assert flagged == set(a) | set(b)
+
+
+def test_lsh_index_roundtrip_with_custom_tokenizer(spark, tmp_path_factory):
+    """save/append/probe with a NON-default tokenizer (char shingles):
+    the params sidecar records it, a matching probe passes the
+    fail-fast and finds cross-side candidates whose shingle sets
+    collide — the word tokenizer would see these single-'word' strings
+    as all-distinct, so a hit here proves the tokenizer actually
+    flowed through build and probe."""
+    from ua2sql_spark.functions.text import char_shingles
+    from ua2sql_spark.operators.dedup import (
+        append_lsh_index,
+        probe_lsh_index,
+        save_lsh_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    hist = mk([(1, "abcdefghij"), (2, "zzzzyyyyxxxx")])
+    more = mk([(3, "qqqqrrrrssss")])
+    batch = mk([(10, "abcdefghij"), (11, "qqqqrrrrssss"), (12, "totally-other")])
+
+    path = str(tmp_path_factory.mktemp("lshtok"))
+    save_lsh_index(hist, path, num_hashes=8, band_size=4, tokenizer=char_shingles)
+    append_lsh_index(more, path, tokenizer=char_shingles)
+    got = {
+        (r["index_id"], r["batch_id"])
+        for r in probe_lsh_index(spark, path, batch, tokenizer=char_shingles).collect()
+    }
+    # identical texts share every shingle -> collide in every band
+    assert (1, 10) in got and (3, 11) in got
+    assert all(b != 12 for _, b in got)
