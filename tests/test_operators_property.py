@@ -1120,3 +1120,64 @@ def test_lsh_index_roundtrip_with_custom_tokenizer(spark, tmp_path_factory):
     # identical texts share every shingle -> collide in every band
     assert (1, 10) in got and (3, 11) in got
     assert all(b != 12 for _, b in got)
+
+
+def test_lsh_index_probe_large_batch_unhinted_identical(spark, tmp_path_factory):
+    """VERDICT r10 #4: the probe's broadcast hint is GUARDED — a
+    backfill-sized batch (over broadcast_max_rows band rows) takes the
+    unhinted join path and must return exactly the same candidates.
+    broadcast_max_rows=0 forces that path deterministically."""
+    from ua2sql_spark.operators.dedup import probe_lsh_index, save_lsh_index
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    words = base.split()
+    texts = [" ".join(words[i:] + words[:i]) for i in range(10)]
+    texts += [" ".join(w.upper() for w in words[: 4 + i]) for i in range(10)]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    history = df.filter(F.col("doc_id") % 4 == 0)  # large-fraction batch
+    batch = df.filter(F.col("doc_id") % 4 != 0)
+
+    path = str(tmp_path_factory.mktemp("lshidx_lb"))
+    save_lsh_index(history, path, num_hashes=8, band_size=4, num_buckets=7)
+    rows = lambda df_: {
+        (r["index_id"], r["batch_id"], r["sig_agree"]) for r in df_.collect()
+    }
+    hinted = rows(probe_lsh_index(spark, path, batch))
+    unhinted = rows(probe_lsh_index(spark, path, batch, broadcast_max_rows=0))
+    assert hinted == unhinted and len(hinted) > 0
+
+
+def test_lsh_index_probe_rejects_same_named_different_tokenizer(
+    spark, tmp_path_factory
+):
+    """ADVICE r10: the tokenizer fail-fast compared only __name__, so two
+    different functions both named 'word_set' (or two lambdas) silently
+    mixed tokenizations in one index. The persisted canonical-sample
+    digest must catch them."""
+    from ua2sql_spark.operators.dedup import probe_lsh_index, save_lsh_index
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path_factory.mktemp("lshidx_tok"))
+    save_lsh_index(df, path, num_hashes=8, band_size=4)
+
+    def impostor(c):
+        return F.array_distinct(F.split(F.upper(c), " "))
+
+    impostor.__name__ = "word_set"
+    with pytest.raises(ValueError, match="digest"):
+        probe_lsh_index(spark, path, df, tokenizer=impostor)
+
+    # an index saved WITHOUT the digest column (pre-r11 layout) still
+    # probes fine with the true tokenizer (name check only)
+    import shutil
+
+    legacy = str(tmp_path_factory.mktemp("lshidx_legacy"))
+    save_lsh_index(df, legacy, num_hashes=8, band_size=4)
+    stripped = spark.read.parquet(legacy + "/params").drop("tok_digest").collect()
+    shutil.rmtree(legacy + "/params")
+    spark.createDataFrame(stripped).coalesce(1).write.parquet(legacy + "/params")
+    assert probe_lsh_index(spark, legacy, df).count() > 0

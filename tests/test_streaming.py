@@ -1364,3 +1364,102 @@ def test_neardup_ingest_rejects_index_geometry_drift(spark, tmp_path):
             mk([(2, "d1", "delta epsilon")]), tbl, idx, "doc_id", "day",
             num_hashes=32, band_size=8,
         )
+
+
+def test_neardup_ingest_partial_index_append_replay_completes(spark, tmp_path):
+    """ADVICE r10: a crash INSIDE append_lsh_index can leave a document
+    partial band rows. On replay, those rows match the doc ITSELF —
+    which must not count as drop evidence (or the doc would be dropped
+    and its missing bands never written, a permanent probe-recall
+    hole). The replayed doc must survive to the re-append, whose full
+    band rows complete the partial set."""
+    from ua2sql_spark.functions.text import word_set
+    from ua2sql_spark.operators.dedup import lsh_band_rows
+    from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
+    from ua2sql_spark.streaming.dedup_ingest import neardup_ingest_batch
+
+    tbl = str(tmp_path / "corpus")
+    idx = str(tmp_path / "lsh_index")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+
+    # batch 1 commits fully and creates the index
+    b1 = mk([(1, "d1", "alpha beta gamma delta")])
+    neardup_ingest_batch(b1, tbl, idx, "doc_id", "day")
+
+    # simulate batch 2's crash mid index append: table committed, but
+    # only band_no=1 of the doc's band rows reached the index
+    b2 = mk([(2, "d2", "epsilon zeta eta theta iota")])
+    upsert_cow(b2, tbl, ["doc_id"], "day")
+    params = spark.read.parquet(idx + "/params").collect()[0]
+    partial = (
+        lsh_band_rows(
+            b2, "doc_id", "text", params["num_hashes"], params["band_size"],
+            word_set, params["hash_family"],
+        )
+        .filter(F.col("band_no") == 1)
+        .withColumn(
+            "band_bucket",
+            F.pmod(F.xxhash64(F.col("band_hash")), F.lit(params["num_buckets"]))
+            .cast("int"),
+        )
+    )
+    partial.write.mode("append").partitionBy("band_no", "band_bucket").parquet(
+        idx + "/lists"
+    )
+
+    # replay of batch 2: the doc's only index match is itself -> NOT
+    # dropped, table converges, and the re-append completes the bands
+    m = neardup_ingest_batch(b2, tbl, idx, "doc_id", "day")
+    assert m["n_dropped_hist"] == 0 and m["n_fresh"] == 1
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl).collect()} == {1, 2}
+    bands_of_2 = {
+        r["band_no"]
+        for r in spark.read.parquet(idx + "/lists")
+        .filter(F.col("doc_id") == 2)
+        .select("band_no")
+        .distinct()
+        .collect()
+    }
+    num_bands = params["num_hashes"] // params["band_size"]
+    assert bands_of_2 == set(range(1, num_bands + 1))
+
+
+def test_dedup_ingest_bloom_bootstrap_geometry(spark, tmp_path):
+    """ADVICE r10: the bloom bootstrap must honor explicit geometry and,
+    left unspecified, size the shard count from the existing index's
+    row count (~10 bits/fp) instead of hardcoding 4x2^14 — a large
+    pre-existing corpus would saturate the default filter into pure
+    overhead (correct but useless)."""
+    from ua2sql_spark.streaming.dedup_ingest import dedup_ingest_batch
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+
+    # explicit geometry wins
+    tbl, idx, blm = (str(tmp_path / "c1"), str(tmp_path / "i1"), str(tmp_path / "b1"))
+    dedup_ingest_batch(
+        mk([(1, "d1", "alpha"), (2, "d1", "beta")]), tbl, idx, "doc_id", "day",
+        bloom_path=blm, bloom_shards=9, bloom_m_bits=1 << 10, bloom_k=2,
+    )
+    p = spark.read.parquet(blm + "/params").collect()[0]
+    assert (p["n_shards"], p["m_bits"], p["k"]) == (9, 1 << 10, 2)
+
+    # auto-sizing: 20 fps at m_bits=16 -> ceil(200/16) = 13 shards
+    tbl, idx, blm = (str(tmp_path / "c2"), str(tmp_path / "i2"), str(tmp_path / "b2"))
+    hist = mk([(i, "d1", f"text number {i}") for i in range(20)])
+    dedup_ingest_batch(hist, tbl, idx, "doc_id", "day")
+    dedup_ingest_batch(
+        mk([(100, "d2", "brand new")]), tbl, idx, "doc_id", "day",
+        bloom_path=blm, bloom_m_bits=16,
+    )
+    p = spark.read.parquet(blm + "/params").collect()[0]
+    assert p["m_bits"] == 16 and p["n_shards"] == 14  # ceil(10*21/16)
+    # and the sized bloom still upholds zero false negatives
+    m = dedup_ingest_batch(
+        mk([(200, "d1", "text number 5")]), tbl, idx, "doc_id", "day",
+        bloom_path=blm,
+    )
+    assert m["n_fresh"] == 0

@@ -336,6 +336,58 @@ def lsh_band_rows(
 # ---------------------------------------------------------------------------
 LSH_INDEX_BUCKETS = 64
 
+# Probe batches at or below this many band rows broadcast into the
+# candidate join (a daily-ingest batch: |batch| x num_bands rows, each
+# carrying the full minhash signature). Larger "batches" — backfills —
+# fall through to an unhinted join so AQE picks the strategy from real
+# runtime sizes; a forced multi-GB broadcast there is an OOM, not a
+# speedup (ADVICE r10).
+PROBE_BROADCAST_MAX_ROWS = 1_000_000
+
+# Canonical sample input for the tokenizer digest: exercises case,
+# repeats, digits, punctuation and whitespace variants so two
+# tokenizers that differ on any of them digest differently.
+_TOK_CANON = "The quick brown Fox fox jumps-over the lazy dog dog 123 a.b\tc\nd  e"
+
+
+def _tokenizer_digest(spark, tokenizer) -> str:
+    """sha256 over the tokenizer's canonical-sample output (sorted —
+    minhash consumes tokens as a SET, so order-only differences are
+    semantically equal). Persisted in the index params and compared on
+    append/probe: the __name__ fail-fast alone lets two different
+    lambdas (both named '<lambda>') or partials silently mix
+    tokenizations in one index (ADVICE r10)."""
+    tokenizer = tokenizer or word_set
+    return spark.range(1).select(
+        F.sha2(
+            F.concat_ws(
+                "\x1f", F.array_sort(F.array_distinct(tokenizer(F.lit(_TOK_CANON))))
+            ),
+            256,
+        ).alias("d")
+    ).collect()[0]["d"]
+
+
+def _check_tokenizer(spark, params, tokenizer, path: str, verb: str) -> None:
+    """Fail fast when the caller's tokenizer disagrees with the one the
+    index was built with — by name, and (for indexes new enough to
+    carry it) by canonical-sample digest."""
+    tok_name = getattr(tokenizer or word_set, "__name__", "custom")
+    if tok_name != params["tokenizer"]:
+        raise ValueError(
+            f"{verb} tokenizer {tok_name!r} != index tokenizer"
+            f" {params['tokenizer']!r} at {path}"
+        )
+    saved_digest = params.asDict().get("tok_digest")
+    if saved_digest is not None:
+        digest = _tokenizer_digest(spark, tokenizer)
+        if digest != saved_digest:
+            raise ValueError(
+                f"{verb} tokenizer {tok_name!r} produces different tokens"
+                f" than the index tokenizer at {path} (canonical-sample"
+                f" digest {digest[:12]}… != {saved_digest[:12]}…)"
+            )
+
 
 def save_lsh_index(
     df: DataFrame,
@@ -372,10 +424,11 @@ def save_lsh_index(
         .parquet(path + "/lists")
     )
     tok_name = getattr(tokenizer or word_set, "__name__", "custom")
+    tok_digest = _tokenizer_digest(spark, tokenizer)
     spark.createDataFrame(
-        [(num_hashes, band_size, hash_family, num_buckets, tok_name)],
+        [(num_hashes, band_size, hash_family, num_buckets, tok_name, tok_digest)],
         "num_hashes int, band_size int, hash_family string, num_buckets int,"
-        " tokenizer string",
+        " tokenizer string, tok_digest string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
 
 
@@ -402,12 +455,7 @@ def append_lsh_index(
     crash replays the batch) converges without an index transaction."""
     spark = batch.sparkSession
     params = spark.read.parquet(path + "/params").collect()[0]
-    tok_name = getattr(tokenizer or word_set, "__name__", "custom")
-    if tok_name != params["tokenizer"]:
-        raise ValueError(
-            f"append tokenizer {tok_name!r} != index tokenizer"
-            f" {params['tokenizer']!r} at {path}"
-        )
+    _check_tokenizer(spark, params, tokenizer, path, "append")
     rows = lsh_band_rows(
         batch,
         id_col,
@@ -436,24 +484,33 @@ def probe_lsh_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenizer=None,
+    broadcast_max_rows: int = PROBE_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """LSH candidates between a new batch and the saved index:
-    ``(index_id, batch_id, sig_agree)`` — distinct pairs whose band rows
-    collide, with ``sig_agree`` = number of matching minhash components
+    ``(index_id, batch_id, sig_agree, n_bands)`` — distinct pairs whose
+    band rows collide, with ``sig_agree`` = number of matching minhash
+    components and ``n_bands`` = number of DISTINCT bands that collided
     (callers can pre-rank or pre-filter candidates before their exact
-    verify tier without touching the historical text).
+    verify tier without touching the historical text; ``n_bands`` also
+    distinguishes a fully-indexed replay from a crash-truncated partial
+    append — see streaming/dedup_ingest.neardup_ingest_batch).
 
     The probed (band_no, band_bucket) keys are collected driver-side —
     bounded by num_bands x num_buckets (a config-sized set, NOT the
-    batch or corpus) — and pushed as partition filters, so the index
-    scan reads only the batch's buckets."""
+    batch or corpus) — and pushed as an OR of exact per-pair partition
+    filters, so the index scan reads only the partitions the batch's
+    band rows actually hash into (never the cross product of the band
+    and bucket sets — a batch touching (1, k1) and (2, k2) must not
+    scan (1, k2)/(2, k1), ADVICE r10).
+
+    Join strategy: a daily-ingest batch (≤ ``broadcast_max_rows`` band
+    rows) broadcasts into the candidate join; a backfill-sized batch
+    does not — its band rows carry full signatures and a forced
+    multi-GB broadcast would OOM where AQE's runtime choice is safe.
+    The row count is free (the probe frame is already checkpointed for
+    the key collection). Candidates are identical either way."""
     params = spark.read.parquet(path + "/params").collect()[0]
-    tok_name = getattr(tokenizer or word_set, "__name__", "custom")
-    if tok_name != params["tokenizer"]:
-        raise ValueError(
-            f"probe tokenizer {tok_name!r} != index tokenizer"
-            f" {params['tokenizer']!r} at {path}"
-        )
+    _check_tokenizer(spark, params, tokenizer, path, "probe")
     rows = lsh_band_rows(
         batch,
         id_col,
@@ -476,13 +533,19 @@ def probe_lsh_index(
         (r["band_no"], r["band_bucket"])
         for r in probe.select("band_no", "band_bucket").distinct().collect()
     }
-    lists = spark.read.parquet(path + "/lists").filter(
-        F.col("band_no").isin(sorted({b for b, _ in keys}))
-        & F.col("band_bucket").isin(sorted({k for _, k in keys}))
-    )
-    cand = lists.join(
-        F.broadcast(probe.drop("band_bucket")), ["band_no", "band_hash"]
-    )
+    # Exact (band_no, band_bucket) pairs as an OR of conjuncts — at most
+    # num_bands x num_buckets terms (config-sized). An empty batch has
+    # no keys: prune everything.
+    pair_pred = F.lit(False)
+    for b, k in sorted(keys):
+        pair_pred = pair_pred | (
+            (F.col("band_no") == F.lit(b)) & (F.col("band_bucket") == F.lit(k))
+        )
+    lists = spark.read.parquet(path + "/lists").filter(pair_pred)
+    probe_side = probe.drop("band_bucket")
+    if probe.count() <= broadcast_max_rows:
+        probe_side = F.broadcast(probe_side)
+    cand = lists.join(probe_side, ["band_no", "band_hash"])
     agree = F.size(
         F.filter(
             F.zip_with("sig", "__bsig", lambda a, b: (a == b).cast("int")),
@@ -493,10 +556,14 @@ def probe_lsh_index(
         cand.select(
             F.col(id_col).alias("index_id"),
             "batch_id",
+            "band_no",
             agree.alias("sig_agree"),
         )
         .groupBy("index_id", "batch_id")
-        .agg(F.max("sig_agree").alias("sig_agree"))
+        .agg(
+            F.max("sig_agree").alias("sig_agree"),
+            F.countDistinct("band_no").alias("n_bands"),
+        )
     )
 
 

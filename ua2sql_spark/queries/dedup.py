@@ -821,12 +821,34 @@ _PSJ_NUM, _PSJ_DEN = 19, 20  # Jaccard threshold 0.95 as an exact rational
     """,
 )
 def x179_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    verified = _prefix_sim_pairs(load_table(spark, sf_dir, "documents"))
+    verified = _prefix_truth(spark, sf_dir)
     return verified.select(
         "doc_a",
         "doc_b",
         F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
     ).orderBy("doc_a", "doc_b")
+
+
+def _prefix_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact prefix-similarity truth tier (doc_a, doc_b, i, u) as a
+    shared per-(process, testdata) artifact (VERDICT r10 #3): x179
+    emits it, x181 and x194 measure recall against it, and each used to
+    recompute the same lossless join over the same ``documents`` bytes
+    (~25 s of the r10 gated window spent proving one fact three times).
+    The pair set is a pure function of ``documents``, so it rides the
+    x186/x190 ``fixture_artifact`` precedent: the driver's fresh
+    process still builds it exactly once (first-run path and hashes
+    unchanged); only repeat invocations in one process read the
+    materialized parquet."""
+    from ua2sql_spark.queries.common import fixture_artifact
+
+    def build(path: str) -> None:
+        _prefix_sim_pairs(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    path = fixture_artifact(spark, sf_dir, "psjtruth", "documents", build)
+    return spark.read.parquet(path)
 
 
 def _prefix_sim_pairs(d: DataFrame) -> DataFrame:
@@ -961,9 +983,7 @@ def x181_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    truth = (
-        _prefix_sim_pairs(d).select("doc_a", "doc_b").localCheckpoint(eager=False)
-    )
+    truth = _prefix_truth(spark, sf_dir).select("doc_a", "doc_b")
     # threshold 19/20 as a double == the 0.95 literal; the filter only
     # trims LSH candidates below the bar, the semi-join against the
     # integer-defined truth decides what counts as a hit
@@ -1107,7 +1127,7 @@ def x194_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Truth: the lossless prefix-filter tier (recall 1.0, proven by
     # x179's brute-force oracle) restricted to cross-side pairs.
     cross = (F.col("doc_a") % 4 == 0) != (F.col("doc_b") % 4 == 0)
-    truth = _prefix_sim_pairs(d).filter(cross)
+    truth = _prefix_truth(spark, sf_dir).filter(cross)
 
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_hits = verified.agg(F.count(F.lit(1)).alias("n_index_hits"))

@@ -54,6 +54,9 @@ def dedup_ingest_batch(
     partition_col: str,
     text_col: str = "text",
     bloom_path: str | None = None,
+    bloom_shards: int | None = None,
+    bloom_m_bits: int | None = None,
+    bloom_k: int | None = None,
 ) -> dict:
     """Apply one batch; returns stage counts. Survivor = smallest id
     per new fingerprint (deterministic under replay).
@@ -63,7 +66,12 @@ def dedup_ingest_batch(
     batch probes the bloom first and only the "maybe" slice pays the
     exact anti-join against the fingerprint store — for a typical
     mostly-new batch, nearly all rows skip the join (x196's measured
-    shape). CORRECTNESS INVARIANT: the bloom must always be a SUPERSET
+    shape). ``bloom_shards``/``bloom_m_bits``/``bloom_k`` control the
+    BOOTSTRAP geometry (later batches read it from the params sidecar);
+    left ``None``, shards are sized from the existing index's row count
+    at ~10 bits per fingerprint so a large pre-existing corpus can't
+    silently saturate the filter into pure overhead (ADVICE r10).
+    CORRECTNESS INVARIANT: the bloom must always be a SUPERSET
     of the index (an fp in the index but not the bloom would read
     "definitely new", skip the join, and silently re-commit a
     duplicate). The commit order below maintains it through any crash:
@@ -145,8 +153,20 @@ def dedup_ingest_batch(
         # a later batch completes the bootstrap.
         from ua2sql_spark.operators.bloom import save_bloom_index
 
+        all_fps = spark.read.parquet(index_path).select("__fp")
+        m_bits = bloom_m_bits if bloom_m_bits is not None else 1 << 14
+        k = bloom_k if bloom_k is not None else 3
+        if bloom_shards is not None:
+            n_shards = bloom_shards
+        else:
+            # ~10 bits per fingerprint: FP rate ≈ 0.9% at k=3. Sizing
+            # by shard COUNT (fixed small per-shard bitmaps) keeps
+            # every shard broadcast-friendly while capacity scales
+            # linearly with the corpus.
+            n_fps = all_fps.count()
+            n_shards = max(4, -(-10 * n_fps // m_bits))
         save_bloom_index(
-            spark.read.parquet(index_path).select("__fp"), bloom_path, "__fp"
+            all_fps, bloom_path, "__fp", n_shards=int(n_shards), m_bits=m_bits, k=k
         )
     return {
         "n_in": n_in,
@@ -162,7 +182,7 @@ def dedup_ingest_sink(
     id_col: str,
     partition_col: str,
     text_col: str = "text",
-    bloom_path: str | None = None,
+    **kwargs,
 ):
     """``foreachBatch`` closure over :func:`dedup_ingest_batch` — wire
     it to any stream: ``stream.writeStream.foreachBatch(sink)``."""
@@ -175,7 +195,7 @@ def dedup_ingest_sink(
             id_col,
             partition_col,
             text_col,
-            bloom_path=bloom_path,
+            **kwargs,
         )
 
     return _sink
@@ -225,7 +245,13 @@ def neardup_ingest_batch(
        which the probe's pair groupBy collapses — at-least-once
        converges without an index transaction (same ordering contract
        as the exact tier; the reverse order would silently drop
-       documents the table never received).
+       documents the table never received). A crash *inside* the index
+       append can leave a doc PARTIAL band rows; replay still converges
+       because a self-match (``index_id == batch_id``) counts as drop
+       evidence only when it proves a COMPLETE replay (all bands
+       present, full signature agreement) — a partially-appended or
+       updated doc survives to the re-append, whose full band rows
+       complete the partial set (ADVICE r10).
     """
     assert verify in ("signature", "exact")
     from ua2sql_spark.operators.dedup import (
@@ -274,6 +300,33 @@ def neardup_ingest_batch(
             id_col=id_col,
             text_col=text_col,
             tokenizer=tokenizer,
+        )
+        # Self-matches (a batch row colliding with ITS OWN id in the
+        # index) count as drop evidence ONLY when they prove a COMPLETE
+        # replay: every band present (n_bands == num_bands — a crash
+        # mid append_lsh_index leaves fewer) AND the full signature
+        # agreeing (sig_agree == num_hashes — an updated text differs).
+        # Unconditional self-dropping would (a) leave a crash-truncated
+        # partial append incomplete forever — the replayed doc matches
+        # itself via its partial bands, is dropped, and its missing
+        # bands are never written (a permanent probe-recall hole,
+        # ADVICE r10) — and (b) pin the table at stale text whenever an
+        # UPDATE to an existing id is near-identical to its previous
+        # version. With the completeness gate, a partial or updated doc
+        # survives to the re-upsert + re-append below (whose full band
+        # rows complete the partial set), while a fully-indexed replay
+        # still drops without a redundant table version. Granularity
+        # caveat: an update whose minhash signature is IDENTICAL to the
+        # old version's (token-set change below 1/num_hashes
+        # resolution) reads as a replay — raise num_hashes if that
+        # boundary must be finer.
+        num_bands = num_hashes // band_size
+        cand = cand.filter(
+            (F.col("index_id") != F.col("batch_id"))
+            | (
+                (F.col("n_bands") == F.lit(num_bands))
+                & (F.col("sig_agree") == F.lit(num_hashes))
+            )
         )
         if verify == "signature":
             hits = cand.filter(
