@@ -1524,3 +1524,87 @@ def x197_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("margin_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5i: IVF index health report (VERDICT r10 #5) — the number the
+# frozen-centroid rebuild decision needs. append_ivf_index deliberately
+# never re-derives centroids (cell boundaries must not drift silently);
+# the flip side is that a corpus whose distribution walks away from the
+# build-time centroids degrades probe recall with no error anywhere.
+# x198 drives operators/ivf.ivf_health_report through the hard gate:
+# build the index over vec_id % 3 != 0, append vec_id % 3 == 0 under
+# the frozen centroids, then report per cell the size skew
+# (built vs appended counts, integer appended_pct) and the
+# assignment-quality drift (mean rounded cosine of each population to
+# its cell centroid — exact decimal sums, one final division — plus an
+# engine-stable drift flag). The DuckDB oracle replays the whole
+# thing arithmetically: same assignment (x197's ROW_NUMBER pattern over
+# rounded cosines, ties on centroid id), same decimal-interior means.
+# ---------------------------------------------------------------------------
+@query(
+    "x198_ivf_health_report",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0 AND vec_id % 3 <> 0
+    ),
+    assign AS (
+        SELECT vec_id, is_app, cell, c6 FROM (
+            SELECT e.vec_id, (e.vec_id % 3 = 0) AS is_app, c.cid AS cell,
+                   ROUND({_sql_cosine('e.embedding', 'c.cemb')}, 6) AS c6,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_sql_cosine('e.embedding', 'c.cemb')}, 6)
+                                DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    agg AS (
+        SELECT cell,
+               CAST(COUNT(*) FILTER (WHERE NOT is_app) AS BIGINT) AS n_built,
+               CAST(COUNT(*) FILTER (WHERE is_app) AS BIGINT) AS n_appended,
+               SUM(CAST(CASE WHEN NOT is_app THEN c6 ELSE 0 END
+                        AS DECIMAL(28,8))) AS sb,
+               SUM(CAST(CASE WHEN is_app THEN c6 ELSE 0 END
+                        AS DECIMAL(28,8))) AS sa
+        FROM assign GROUP BY cell
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, n_built, n_appended,
+           CAST((100 * n_appended) // GREATEST(n_built, 1) AS BIGINT)
+               AS appended_pct,
+           CASE WHEN n_built > 0
+                THEN CAST(CAST(sb AS STRING) AS DOUBLE) / n_built END
+               AS mean_cos_built,
+           CASE WHEN n_appended > 0
+                THEN CAST(CAST(sa AS STRING) AS DOUBLE) / n_appended END
+               AS mean_cos_appended,
+           CAST(CASE WHEN n_built > 0 AND n_appended > 0
+                      AND CAST(CAST(sa AS STRING) AS DOUBLE) / n_appended
+                          < CAST(CAST(sb AS STRING) AS DOUBLE) / n_built - 0.05
+                     THEN 1 ELSE 0 END AS INT) AS drift_flag
+    FROM agg ORDER BY cell
+    """,
+)
+def x198_ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.ivf import (
+        append_ivf_index,
+        ivf_health_report,
+        save_ivf_index,
+    )
+    from ua2sql_spark.queries.common import fixture_artifact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built = emb.filter(F.col("vec_id") % 3 != 0)
+    appended = emb.filter(F.col("vec_id") % 3 == 0)
+
+    # The grown index is a pure function of `embeddings`: build + append
+    # ride the shared fixture cache (the driver's fresh process still
+    # does both exactly once).
+    def build(path: str) -> None:
+        save_ivf_index(built, path, centroid_stride=IVF_STRIDE)
+        append_ivf_index(spark, appended, path)
+
+    path = fixture_artifact(spark, sf_dir, "x198idx", "embeddings", build)
+    return ivf_health_report(spark, path).orderBy("cell")
