@@ -1459,3 +1459,171 @@ def x182_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((po - pe) / (F.lit(1) - pe), 6).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured-PII scrub with checksum validation (x199, VERDICT r10 #6):
+# the C4/CCNet-pipeline upgrade of x111 from pattern-shaped regexes to
+# VALIDATED identifiers — a 16-digit string is redacted only when its
+# Luhn checksum holds, an IPv4 only when every octet is <= 255, so
+# random digit runs (order ids, hashes) survive where x111's
+# email/phone cousins would false-positive. Both the injected
+# identifiers AND the validators are pure integer arithmetic (the x153
+# derive-in-both-engines discipline): each document gets a Luhn-VALID
+# card (check digit computed from doc_id's base-15 digits), a
+# Luhn-INVALID twin (check+5 — proves the validator rejects), a valid
+# IP and a 999-octet invalid one. Map-only: regexp extraction + a
+# per-candidate digit fold + a fold of exact-substring replaces, all
+# inside one projection — scan-speed at any corpus size, no shuffle,
+# no UDF. The md5 of the scrubbed text pins byte-identical redaction
+# in both engines.
+# ---------------------------------------------------------------------------
+_CARD_RE = "\\b[0-9]{16}\\b"
+_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+# DuckDB-side Luhn digit term at left-position i of string s (final
+# length n: doubling at odd i when n is even — rightmost digit r=n-i+1
+# is never doubled)
+def _sql_luhn_sum(s: str, n: int) -> str:
+    d = f"CAST(substring({s}, CAST(i AS INT), 1) AS INT)"
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), i -> "
+        f"CASE WHEN i % 2 = 1 THEN 2 * {d} - CASE WHEN {d} >= 5 THEN 9 ELSE 0 END "
+        f"ELSE {d} END))"
+    )
+
+
+@query(
+    "x199_pii_structured_scrub",
+    oracle=f"""
+    WITH staged AS (
+        SELECT doc_id, text,
+               '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS b15
+        FROM documents
+    ),
+    chk AS (
+        SELECT doc_id, text, b15,
+               (10 - {_sql_luhn_sum('b15', 15)} % 10) % 10 AS c
+        FROM staged
+    ),
+    raws AS (
+        SELECT doc_id,
+               text || ' card ' || b15 || CAST(c AS VARCHAR)
+                    || ' or ' || b15 || CAST((c + 5) % 10 AS VARCHAR)
+                    || ' ip ' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id // 7) % 256 AS VARCHAR) || '.8.'
+                    || CAST(doc_id % 100 AS VARCHAR)
+                    || ' bad 999.' || CAST(doc_id % 256 AS VARCHAR) || '.1.2'
+                   AS raw
+        FROM chk
+    ),
+    cand AS (
+        SELECT doc_id, raw,
+               regexp_extract_all(raw, '{_CARD_RE}') AS cards,
+               regexp_extract_all(raw, '{_IPV4_RE}') AS ips
+        FROM raws
+    ),
+    valid AS (
+        SELECT doc_id, raw, cards, ips,
+               list_filter(cards, s -> {_sql_luhn_sum('s', 16)} % 10 = 0)
+                   AS vcards,
+               list_filter(ips, p ->
+                   CAST(split_part(p, '.', 1) AS INT) <= 255
+                   AND CAST(split_part(p, '.', 2) AS INT) <= 255
+                   AND CAST(split_part(p, '.', 3) AS INT) <= 255
+                   AND CAST(split_part(p, '.', 4) AS INT) <= 255) AS vips
+        FROM cand
+    )
+    SELECT doc_id,
+           CAST(len(vcards) AS BIGINT) AS n_cards,
+           CAST(len(cards) - len(vcards) AS BIGINT) AS n_card_rejects,
+           CAST(len(vips) AS BIGINT) AS n_ips,
+           CAST(len(ips) - len(vips) AS BIGINT) AS n_ip_rejects,
+           md5(list_reduce(list_prepend(
+                   list_reduce(list_prepend(raw, vcards),
+                               (a, v) -> replace(a, v, '<CARD>')),
+                   vips), (a, v) -> replace(a, v, '<IP>'))) AS clean_md5
+    FROM valid
+    """,
+)
+def x199_pii_structured_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def luhn_sum(s, n: int):
+        # digit fold over left-positions 1..n: doubling at odd i (n is
+        # 15 at injection — the future check digit makes length 16 — or
+        # 16 at validation; both double the same physical digits)
+        def term(acc, i):
+            d = F.substring(s, i, F.lit(1)).cast("int")
+            dbl = d * 2 - F.when(d >= 5, F.lit(9)).otherwise(F.lit(0))
+            return acc + F.when(i % 2 == 1, dbl).otherwise(d)
+
+        return F.aggregate(F.sequence(F.lit(1), F.lit(n)), F.lit(0), term)
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("4"),
+            F.lpad((F.col("doc_id") % 100000000).cast("string"), 14, "0"),
+        ).alias("__b15"),
+    )
+    staged = staged.withColumn(
+        "__c", (10 - luhn_sum(F.col("__b15"), 15) % 10) % 10
+    )
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" card "),
+        F.col("__b15"),
+        F.col("__c").cast("string"),
+        F.lit(" or "),
+        F.col("__b15"),
+        ((F.col("__c") + 5) % 10).cast("string"),
+        F.lit(" ip "),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        F.expr("(doc_id DIV 7) % 256").cast("string"),
+        F.lit(".8."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" bad 999."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1.2"),
+    )
+    cand = staged.select("doc_id", raw.alias("__raw")).select(
+        "doc_id",
+        "__raw",
+        F.regexp_extract_all(F.col("__raw"), F.lit(_CARD_RE), 0).alias("__cards"),
+        F.regexp_extract_all(F.col("__raw"), F.lit(_IPV4_RE), 0).alias("__ips"),
+    )
+    octet_ok = lambda p, i: F.split_part(p, F.lit("."), F.lit(i)).cast("int") <= 255
+    valid = cand.select(
+        "doc_id",
+        "__raw",
+        "__cards",
+        "__ips",
+        F.filter(
+            F.col("__cards"), lambda s: luhn_sum(s, 16) % 10 == 0
+        ).alias("__vc"),
+        F.filter(
+            F.col("__ips"),
+            lambda p: octet_ok(p, 1) & octet_ok(p, 2) & octet_ok(p, 3)
+            & octet_ok(p, 4),
+        ).alias("__vip"),
+    )
+    scrub_cards = F.aggregate(
+        F.col("__vc"),
+        F.col("__raw"),
+        lambda acc, v: F.replace(acc, v, F.lit("<CARD>")),
+    )
+    scrubbed = F.aggregate(
+        F.col("__vip"),
+        scrub_cards,
+        lambda acc, v: F.replace(acc, v, F.lit("<IP>")),
+    )
+    return valid.select(
+        "doc_id",
+        F.size("__vc").cast("bigint").alias("n_cards"),
+        (F.size("__cards") - F.size("__vc")).cast("bigint").alias("n_card_rejects"),
+        F.size("__vip").cast("bigint").alias("n_ips"),
+        (F.size("__ips") - F.size("__vip")).cast("bigint").alias("n_ip_rejects"),
+        F.md5(scrubbed).alias("clean_md5"),
+    )
