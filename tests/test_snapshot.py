@@ -1437,3 +1437,144 @@ def test_read_view_mixed_width_fallback_still_reachable(spark, tmp_path):
     _commit_view_manifest(spark, view, 1, [(0, str(tmp_path / "missing_dir"))])
     with _pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist|Path does not"):
         read_view(spark, view, 1).collect()
+
+
+def test_tags_pin_versions_and_protect_retention(spark, tmp_path):
+    """Tags (VERDICT r10 #7): named pointers readable via
+    read_snapshot(version=name), immutable while they exist, and
+    retention pins — delete_versions_before refuses to age out a
+    tagged version."""
+    from ua2sql_spark.operators.snapshot import (
+        delete_tag,
+        delete_versions_before,
+        list_tags,
+        read_snapshot,
+        tag_snapshot,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, val string")
+    upsert_cow(mk([(1, "d1", "a")]), path, ["id"], "day")          # v0
+    upsert_cow(mk([(1, "d1", "b")]), path, ["id"], "day")          # v1
+    upsert_cow(mk([(1, "d1", "c")]), path, ["id"], "day")          # v2
+
+    assert tag_snapshot(spark, path, "train-run-7", version=1) == 1
+    assert tag_snapshot(spark, path, "latest-blessed") == 2  # default latest
+    assert list_tags(spark, path) == {"train-run-7": 1, "latest-blessed": 2}
+    assert _rows(read_snapshot(spark, path, "train-run-7")) == {(1, "d1"): "b"}
+
+    # immutable while present; version must exist; name syntax guarded
+    with pytest.raises(ValueError, match="already points"):
+        tag_snapshot(spark, path, "train-run-7", version=2)
+    with pytest.raises(ValueError, match="does not exist"):
+        tag_snapshot(spark, path, "ghost", version=9)
+    with pytest.raises(ValueError, match="version syntax"):
+        tag_snapshot(spark, path, "v000001")
+    with pytest.raises(ValueError, match="no tag"):
+        read_snapshot(spark, path, "nope")
+
+    # retention refuses to drop a tagged version...
+    with pytest.raises(ValueError, match="train-run-7"):
+        delete_versions_before(spark, path, keep_from=2)
+    # ...until the tag is deleted
+    assert delete_tag(spark, path, "train-run-7") == 1
+    assert delete_versions_before(spark, path, keep_from=2) == [0, 1]
+    assert _rows(read_snapshot(spark, path, "latest-blessed")) == {(1, "d1"): "c"}
+
+
+def test_shallow_clone_reads_time_travels_and_localizes(spark, tmp_path):
+    """Shallow clone (VERDICT r10 #7): a manifest-only v0 referencing
+    the source's live files at a pinned version — zero data copied;
+    reads work through the per-root grouped reader; CoW mutations
+    localize touched partitions into the clone's own directory and
+    leave the source untouched."""
+    from ua2sql_spark.operators.snapshot import (
+        clone_snapshot,
+        describe_history,
+        read_manifest,
+        read_snapshot,
+        tag_snapshot,
+        upsert_cow,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, val string")
+    upsert_cow(mk([(1, "d1", "a"), (2, "d2", "b")]), src, ["id"], "day")  # v0
+    upsert_cow(mk([(3, "d3", "c")]), src, ["id"], "day")                  # v1
+    tag_snapshot(spark, src, "blessed", version=1)
+
+    assert clone_snapshot(spark, src, dst, version="blessed") == 0
+    # zero data copied: every clone manifest entry points into src
+    files = [r["file"] for r in read_manifest(spark, dst, 0).collect()]
+    assert files and all("/src/" in f for f in files)
+    assert _rows(read_snapshot(spark, dst)) == {
+        (1, "d1"): "a", (2, "d2"): "b", (3, "d3"): "c",
+    }
+    hist = describe_history(spark, dst)
+    assert hist[0]["operation"] == "CLONE"
+    assert hist[0]["metrics"]["source_version"] == "1"
+
+    # source keeps moving; the clone stays pinned
+    upsert_cow(mk([(1, "d1", "MUTATED")]), src, ["id"], "day")            # src v2
+    assert _rows(read_snapshot(spark, dst))[(1, "d1")] == "a"
+
+    # CoW upsert on the clone: touched partition localizes under dst,
+    # untouched partitions still reference src files; src unchanged
+    upsert_cow(mk([(2, "d2", "B2"), (4, "d2", "d")]), dst, ["id"], "day")  # dst v1
+    assert _rows(read_snapshot(spark, dst)) == {
+        (1, "d1"): "a", (2, "d2"): "B2", (3, "d3"): "c", (4, "d2"): "d",
+    }
+    m1 = {r["file"] for r in read_manifest(spark, dst, 1).collect()}
+    assert any("/clone/" in f and "day=d2" in f for f in m1)
+    assert all("/src/" in f for f in m1 if "day=d2" not in f)
+    assert _rows(read_snapshot(spark, src))[(2, "d2")] == "b"
+    # the clone's own time travel works
+    assert _rows(read_snapshot(spark, dst, 0))[(2, "d2")] == "b"
+
+    # a clone must land in a fresh directory
+    with pytest.raises(ValueError, match="already has snapshots"):
+        clone_snapshot(spark, src, dst)
+
+
+def test_shallow_clone_vacuum_contract(spark, tmp_path):
+    """The stated vacuum interaction: vacuuming the SOURCE with the
+    union of its own and its clones' live files keeps every clone
+    readable; vacuuming against only the source's live set is
+    clone-invalidating (the documented failure mode)."""
+    from ua2sql_spark.operators.layout import vacuum_orphans
+    from ua2sql_spark.operators.snapshot import (
+        clone_snapshot,
+        delete_versions_before,
+        live_files_union,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, val string")
+    upsert_cow(mk([(1, "d1", "a")]), src, ["id"], "day")   # src v0
+    clone_snapshot(spark, src, dst)                         # pins src v0's files
+    upsert_cow(mk([(1, "d1", "b")]), src, ["id"], "day")   # src v1 rewrites d1
+    # source shortens retention to v1 only: v0's file is now orphaned
+    # FROM THE SOURCE'S OWN point of view, but the clone still needs it
+    delete_versions_before(spark, src, keep_from=1)
+
+    # SAFE recipe: vacuum the source against source ∪ clone live sets
+    safe = live_files_union(spark, src).unionByName(
+        live_files_union(spark, dst)
+    ).distinct()
+    gone = vacuum_orphans(spark, src, safe, max_age_hours=0, dry_run=False)
+    assert gone == []
+    assert _rows(read_snapshot(spark, dst)) == {(1, "d1"): "a"}
+
+    # UNSAFE: source-only manifest sweeps the clone's foreign file —
+    # the documented clone-invalidating mode
+    gone2 = vacuum_orphans(
+        spark, src, live_files_union(spark, src), max_age_hours=0, dry_run=False
+    )
+    assert len(gone2) >= 1
+    with pytest.raises(Exception):
+        read_snapshot(spark, dst).collect()

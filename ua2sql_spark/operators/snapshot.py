@@ -102,10 +102,39 @@ def read_manifest(spark: SparkSession, path: str, version: int) -> DataFrame:
     return spark.read.parquet(snapshot_path(path, version))
 
 
+def _read_manifest_files(
+    spark: SparkSession, files: list[str], merge_schema: bool = False
+) -> DataFrame:
+    """Read manifest-listed data files GROUPED BY their owning table
+    root (every manifest entry is ``<root>/<partition_dir>/<name>``):
+    each group gets its own ``basePath`` so hive partition columns are
+    inferred, which lets a SHALLOW CLONE's foreign files — still living
+    under the SOURCE table's directory — read exactly like local ones.
+    For an un-cloned table there is one group and the plan is identical
+    to the previous single ``basePath`` read (plan-pins unaffected)."""
+    import os
+
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(os.path.dirname(os.path.dirname(f)), []).append(f)
+    out = None
+    for root in sorted(groups):
+        reader = spark.read.option("basePath", root)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        part = reader.parquet(*sorted(groups[root]))
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=merge_schema)
+        )
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
-    version: int | None = None,
+    version: int | str | None = None,
     merge_schema: bool = False,
     where: tuple | None = None,
 ) -> DataFrame:
@@ -124,10 +153,9 @@ def read_snapshot(
     stats never covered (pre-stats versions' carried files) are KEPT
     conservatively, and the predicate is always re-applied exactly, so
     results are identical with and without stats."""
-    if version is None:
-        version = latest_version(spark, path)
-        if version is None:
-            raise ValueError(f"no snapshots under {path}")
+    if version is None or isinstance(version, str):
+        # a string version is a TAG name (``tag_snapshot``)
+        version = _resolve_version(spark, path, version)
     files = [
         r["file"] for r in read_manifest(spark, path, version).select("file").collect()
     ]
@@ -188,14 +216,10 @@ def read_snapshot(
                         .agg(F.min("file").alias("f"))
                         .collect()
                     )
-                    reader = spark.read.option("basePath", path)
-                    if merge_schema:
-                        reader = reader.option("mergeSchema", "true")
-                    return reader.parquet(*files).filter(F.lit(False))
-    reader = spark.read.option("basePath", path)
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    out = reader.parquet(*files)
+                    return _read_manifest_files(
+                        spark, files, merge_schema
+                    ).filter(F.lit(False))
+    out = _read_manifest_files(spark, files, merge_schema)
     return out.filter(pred) if pred is not None else out
 
 
@@ -222,6 +246,18 @@ def delete_versions_before(spark: SparkSession, path: str, keep_from: int) -> li
         raise ValueError(
             f"keep_from={keep_from} would drop every version of {path} "
             f"(latest is {versions[-1] if versions else None})"
+        )
+    # Tags are retention pins (Delta/Iceberg tag semantics): a tagged
+    # version cannot be silently aged out — delete the tag first.
+    pinned = {
+        f"{name} -> v{v}"
+        for name, v in list_tags(spark, path).items()
+        if v < keep_from
+    }
+    if pinned:
+        raise ValueError(
+            f"retention would drop tagged version(s) of {path}: "
+            f"{sorted(pinned)}; delete_tag first"
         )
     jvm, fs, _ = _jfs(spark, path)
     dropped = []
@@ -681,7 +717,7 @@ def upsert_cow(
             ).collect()
         ]
         if live_touched:
-            slice_df = spark.read.option("basePath", path).parquet(*live_touched)
+            slice_df = _read_manifest_files(spark, live_touched)
             cond = None
             for k in key_cols:
                 c = F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}"))
@@ -854,7 +890,7 @@ def delete_cow(
         (r["file"], r["partition"], r["row_count"])
         for r in manifest.filter(~F.col("partition").isin(list(touched_dirs))).collect()
     ]
-    slice_df = spark.read.option("basePath", path).parquet(*live_touched)
+    slice_df = _read_manifest_files(spark, live_touched)
     n_deleted = _matches(slice_df).count()  # churn-bounded second pass
     keep = _survivors(slice_df)
 
@@ -971,11 +1007,11 @@ def compact_snapshot(
     frag_dirs = [part for part, _files in frag]
     before = _list_partition_files(spark, path, frag_dirs)
     for part, files in frag:
-        # one coalesced file per fragmented partition; basePath keeps
-        # the partition column so partitionBy lands it back in place
+        # one coalesced file per fragmented partition; the grouped read
+        # keeps the partition column so partitionBy lands it back in
+        # place (and re-homes a cloned partition's foreign files)
         (
-            spark.read.option("basePath", path)
-            .parquet(*files)
+            _read_manifest_files(spark, files)
             .coalesce(1)
             .write.mode("append")
             .partitionBy(partition_col)
@@ -1104,11 +1140,7 @@ def snapshot_changes(
     def side(files: list[str]) -> DataFrame | None:
         if not files:
             return None
-        return (
-            spark.read.option("basePath", path)
-            .option("mergeSchema", "true")
-            .parquet(*files)
-        )
+        return _read_manifest_files(spark, files, merge_schema=True)
 
     old = side(d["removed"])
     new = side(d["added"])
@@ -1425,3 +1457,144 @@ class ChangeFeedCursor:
         for v in self._markers(fs, p):
             if v < version:
                 fs.delete(HPath(p, f"v-{v:020d}"), False)
+
+
+# ---------------------------------------------------------------------------
+# Tags + shallow clone (VERDICT r10 #7): the cheap branch-for-experiment
+# primitives a 100 TB corpus store wants before any risky rewrite. A tag
+# is a named retention-pinned pointer to a version; a shallow clone is a
+# manifest-only table whose v0 references another table's live files at
+# a pinned version — zero data copied, O(manifest) commit.
+# ---------------------------------------------------------------------------
+_TAGS_SIDECAR = "_tags.json"
+
+
+def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """name -> version for every tag on the table."""
+    import json as _json
+
+    jvm, fs, _ = _jfs(spark, path)
+    raw = _read_sidecar_text(jvm, fs, _snap_root(path), _TAGS_SIDECAR)
+    return _json.loads(raw) if raw else {}
+
+
+def _write_tags(spark: SparkSession, path: str, tags: dict[str, int]) -> None:
+    import json as _json
+
+    jvm, fs, _ = _jfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_snap_root(path), _TAGS_SIDECAR)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps(tags, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def tag_snapshot(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Pin ``name`` to ``version`` (default latest). A tag is readable
+    via ``read_snapshot(version=name)`` and protects its version from
+    ``delete_versions_before`` until deleted. Names are immutable while
+    they exist (re-pointing silently would break any run that recorded
+    the tag) — ``delete_tag`` first to move one. Same single-writer
+    contract as every commit here."""
+    if _VER_RE.match(name):
+        raise ValueError(f"tag name {name!r} collides with version syntax")
+    vs = list_versions(spark, path)
+    if not vs:
+        raise ValueError(f"no snapshots under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} does not exist under {path}")
+    tags = list_tags(spark, path)
+    if name in tags and tags[name] != v:
+        raise ValueError(
+            f"tag {name!r} already points at v{tags[name]}; delete_tag first"
+        )
+    tags[name] = v
+    _write_tags(spark, path, tags)
+    return v
+
+
+def delete_tag(spark: SparkSession, path: str, name: str) -> int:
+    """Remove a tag; returns the version it pointed at."""
+    tags = list_tags(spark, path)
+    if name not in tags:
+        raise ValueError(f"no tag {name!r} on {path}")
+    v = tags.pop(name)
+    _write_tags(spark, path, tags)
+    return v
+
+
+def _resolve_version(
+    spark: SparkSession, path: str, version: int | str | None
+) -> int:
+    """None -> latest; str -> tag lookup; int passes through."""
+    if version is None:
+        v = latest_version(spark, path)
+        if v is None:
+            raise ValueError(f"no snapshots under {path}")
+        return v
+    if isinstance(version, str):
+        tags = list_tags(spark, path)
+        if version not in tags:
+            raise ValueError(f"no tag {version!r} on {path}")
+        return tags[version]
+    return version
+
+
+def clone_snapshot(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | str | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE`` analog):
+    commit ``dst_path``'s v0 as a manifest that references
+    ``src_path``'s live files at ``version`` (default latest; a tag
+    name works). Zero data copied — the commit is O(manifest), not
+    O(table) — and the source's history is untouched.
+
+    The clone is a real table afterwards: manifest entries are
+    fully-qualified, so every read resolves foreign files through the
+    per-root grouped reader (:func:`_read_manifest_files`), and
+    copy-on-write mutations (upsert/delete/compact) rewrite touched
+    partitions into the CLONE's own directory — the clone localizes
+    lazily as it diverges, exactly the branch-for-experiment shape.
+    Schema sidecar and CHECK constraints carry over from the source
+    version.
+
+    VACUUM INTERACTION (the contract, stated rather than hidden): the
+    clone's foreign files live under the SOURCE's directory, and the
+    source's ``vacuum_orphans(live_files_union(src))`` does not know
+    about clones — vacuuming the source against only its own live set
+    INVALIDATES any clone still referencing aged-out source files.
+    Either pass the union of the source's and its clones' live files
+    as the vacuum manifest (each clone's ``live_files_union`` already
+    lists its foreign references; the safe recipe is pinned by
+    tests/test_snapshot.py), or treat a source vacuum as
+    clone-invalidating and rebuild clones after it."""
+    src_v = _resolve_version(spark, src_path, version)
+    if latest_version(spark, dst_path) is not None:
+        raise ValueError(f"{dst_path} already has snapshots")
+    jvm, fs, dst_root = _jfs(spark, dst_path)
+    if fs.exists(dst_root):
+        raise ValueError(
+            f"{dst_path} exists; clone into a fresh directory so vacuum "
+            "never has to reason about pre-existing unmanaged files"
+        )
+    rows = [
+        (r["file"], r["partition"], r["row_count"])
+        for r in read_manifest(spark, src_path, src_v).collect()
+    ]
+    return _commit_manifest(
+        spark,
+        dst_path,
+        0,
+        rows,
+        table_schema=table_schema(spark, src_path, src_v),
+        constraints=table_constraints(spark, src_path, src_v) or {},
+        operation="CLONE",
+        op_metrics={"source_path": src_path, "source_version": src_v},
+    )
