@@ -68,50 +68,90 @@ def test_driver_window_families():
     required = {
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
-        # text, multimodal, Pandas-UDF surface, TPC-H archetypes,
-        # training-data pipeline ops, versioned tables (round-10
-        # rotation #8: registry.py's rotation comment records which
-        # rows moved below the fold and which family member covers
-        # each; every rotated-out row is driver-green in r9)
+        # text, multimodal, Pandas-UDF surface, training-data pipeline
+        # ops, versioned tables (round-11 rotation #9: registry.py's
+        # rotation comment records which rows moved below the fold and
+        # which family member covers each; every rotated-out row is
+        # driver-green in r10)
         "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
         "q35_asof_join",
         "q114_approx_percentile_contract",
         "q135_bloom_semijoin_reduction",
-        "x149_udtf_polymorphic",
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank",
-        "q126_sales_opportunity",
-        "x158_bm25_search",
-        "q159_sliding_active_users",
-        "x173_ks_two_sample",
         "x179_prefix_simjoin",
-        "x181_lsh_recall_contract",
-        "x185_cms_heavy_hitters_contract",
-        "x186_scd2_history",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
-        "x113_token_budget_sample",
-        "x134_bpe_merge_pairs",
         "x187_oriented_thumbs",
         "x188_repetition_signals", "x189_word_rarity",
         "q153_sql_scripting", "q154_sql_udf",
         "x190_delete_erasure",
-        # round-10 rotation #8: the entire never-driver-checked tail
-        # (bar x125, documented local-only) + the round's new persisted
-        # LSH-index probe, gated same-round
         "q155_lateral_topk", "q156_group_by_all",
         "q157_setop_all_variants", "q158_range_frame_rolling",
         "x193_group_split", "x194_lsh_index_probe",
         "x195_fuzzy_editdist_join", "x196_bloom_fingerprint_probe",
         "x197_triplet_mining",
-        "q57_correlated_scalar", "q58_scalar_subquery",
-        "q59_session_window_batch", "q60_window_analytics",
-        "q61_date_arithmetic", "q62_string_advanced",
-        "q64_regional_revenue", "q65_shipping_priority",
-        "q78_returned_items", "q80_large_volume_customers",
-        "q87_min_cost_supplier", "q92_promo_revenue",
-        "q93_disjunctive_bands", "q94_priority_exists",
+        # rotation #9's freshness cohort: the minhash/dedup family whose
+        # shared substrate changed r9-r11, the r2-vintage scalar/
+        # relational rows, and this round's new driver-gated operators
+        "x41_exact_dedup", "x42_fingerprint_dedup",
+        "x43_minhash_lsh_neardup", "x44_simhash", "x81_neardup_dedup",
+        "x96_neardup_clusters", "x101_minhash_fast_exact_tier",
+        "x117_incremental_dedup",
+        "q02_filter_predicates", "q03_projection_case",
+        "q10_join_cross", "q12_setop_intersect_except",
+        "q17_cube", "q21_variance_exact",
+        "q29_json_typed", "q30_string_funcs", "q31_regexp",
+        "q32_date_funcs", "q33_math_funcs",
+        "q38_funnel", "q82_sliding_window", "x47_embedding_math",
+        "x198_ivf_health_report", "x199_pii_structured_scrub",
     }
     assert required <= set(DRIVER_WINDOW)
+
+
+def test_driver_freshness_max_staleness():
+    """VERDICT r10 #1: staleness policy, computed like the never-checked
+    ledger. For every registered oracle-bearing query NOT scheduled in
+    the current DRIVER_WINDOW, its last driver-green round must be at
+    most MAX_STALENESS rounds behind the newest CORRECTNESS record on
+    disk. The bound equals the steady-state rotation period (153
+    below-fold rows / ~24 rotated per round ≈ 6.4 → 7) — a session
+    that skips its freshness rotation fails here the round after.
+    Window rows are exempt (they are re-checked by the next driver
+    run); x125 is the documented local-only exception."""
+    import glob
+    import json
+    import os
+    import re
+
+    from ua2sql_spark.registry import DRIVER_WINDOW, all_queries
+
+    MAX_STALENESS = 7
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    newest = 0
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        newest = max(newest, rnd)
+        with open(f) as fh:
+            rec = json.load(fh)
+        for name, res in rec.items():
+            ok = res.get("err") is None and res.get("rows_match") and res.get(
+                "hash_match", True
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    stale = {
+        f"{name} (last green r{last_green.get(name, 0)})"
+        for name in all_queries()
+        if name not in DRIVER_WINDOW
+        and name != "x125_unigram_logprob"
+        and newest - last_green.get(name, 0) > MAX_STALENESS
+    }
+    assert not stale, (
+        f"rows older than {MAX_STALENESS} rounds and not scheduled for "
+        f"re-check (newest record r{newest}): {sorted(stale)}"
+    )
 
 
 def test_never_driver_checked_ledger_is_computed():

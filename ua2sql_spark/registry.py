@@ -265,78 +265,100 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (sampling/batching keeps x113 + incoming x193's group-coherent
 # split), x174 (near-dup keeps x179/x181/x194). All rotated-out rows
 # remain local-oracle green in tests/test_oracle.py.
+#
+# Round-11 rotation #9 (VERDICT r10 #1): the never-checked queue is
+# empty ({x125} by design), so STALENESS is now the rotation driver —
+# the driver environment has twice disagreed with a green local emu
+# (x155, r7 AND r8), so rows whose last driver check is old are the
+# risk. Policy (enforced by tests/test_oracle.py::
+# test_driver_freshness_max_staleness, computed from the on-disk
+# CORRECTNESS history): rotate oldest-first, priority to rows whose
+# shared substrate changed recently. In (24): the whole minhash/dedup
+# family over operators/dedup.py + functions/text.py (edited r9-r11) —
+# x41/x42/x43/x44/x81/x96/x101/x117 — the full r2-vintage cohort
+# q10/q12/q17/q21/q29/q30/q31/q32/q33/q38/q82/x47, the r4-vintage
+# relational pair q02/q03, and this round's new x198 (IVF drift/health
+# report) + x199 (checksum-validated structured PII scrub), gated
+# same-round. Out (24), every one driver-green in r10 and each leaving
+# an in-window family member: the 14-row TPC-H/SQL tail q57-q94
+# (first-gated r10; joins keep q09/q116/q135 + incoming q10/q02/q03,
+# windows keep q158 + incoming q82, strings/dates keep incoming
+# q30/q31/q32, EXISTS/anti shapes keep q135), x186 (X12 keeps x190),
+# x113 (sampling keeps x193), q126 (archetypes keep q135 + the
+# r10-green tail below the fold), x149 (Python surface keeps x187
+# mapInPandas; every API in the family driver-proven r6-r10), x185
+# (sketches keep q114 GK), x158 (retrieval contracts keep x133/x155),
+# x134 (BPE driver-proven r9-r10), x173 (stats keep q114 + incoming
+# q21 variance), q159 (events keep q35/q38/q82), x181 (the banded-LSH
+# recall geometry is measured stronger by x194's index-probe recall
+# row; pair listing keeps incoming x43 + x179).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core + joins
+    # relational core + joins (q02/q03 last green r4, q10/q12 r2)
     "q01_pricing_summary",
+    "q02_filter_predicates",
+    "q03_projection_case",
     "q09_join_theta",
+    "q10_join_cross",
     "q116_join_full_outer",
     "q135_bloom_semijoin_reduction",
-    # TPC-H/SQL archetype tail (first driver row, all 14)
-    "q57_correlated_scalar",
-    "q58_scalar_subquery",
-    "q59_session_window_batch",
-    "q60_window_analytics",
-    "q61_date_arithmetic",
-    "q62_string_advanced",
-    "q64_regional_revenue",
-    "q65_shipping_priority",
-    "q78_returned_items",
-    "q80_large_volume_customers",
-    "q87_min_cost_supplier",
-    "q92_promo_revenue",
-    "q93_disjunctive_bands",
-    "q94_priority_exists",
-    # aggregates + sketches + stats (q145 rotated out late-r10 for the
-    # round's new x195 — Welch driver-green r9; stats keep q114 GK +
-    # x173 KS in-window)
+    "q12_setop_intersect_except",
+    # aggregates + sketches + stats (q17/q21 last green r2)
+    "q17_cube",
+    "q21_variance_exact",
     "q114_approx_percentile_contract",
-    "x195_fuzzy_editdist_join",
-    # windows + event analytics (q158: first driver row)
-    "q159_sliding_active_users",
+    # scalar-function families (q29-q33 last green r2)
+    "q29_json_typed",
+    "q30_string_funcs",
+    "q31_regexp",
+    "q32_date_funcs",
+    "q33_math_funcs",
+    # windows + event analytics (q38/q82 last green r2)
     "q35_asof_join",
+    "q38_funnel",
+    "q82_sliding_window",
     "q158_range_frame_rolling",
-    # SQL surface (q155/q156/q157: first driver row)
+    # SQL surface
     "q153_sql_scripting",
     "q154_sql_udf",
     "q155_lateral_topk",
     "q156_group_by_all",
     "q157_setop_all_variants",
-    # versioned tables — X12's driver rows
-    "x186_scd2_history",
+    # versioned tables — X12's driver row
     "x190_delete_erasure",
-    # dedup tiers (x194/x196: first driver row — the persisted band
-    # index probe, VERDICT r9 #6, and the bloom fingerprint probe, both
-    # built this round; x110 rotated out late-r10 for x196 — dup-ngram
-    # driver-green r9, dedup keeps x179/x181/x106 + the two new rows)
-    # (x106 rotated out late-r10 for x197 — contamination driver-green
-    # r9; the corpus-overlap shape stays via x113/x193, dedup keeps
-    # x179/x181/x194/x196)
+    # dedup tiers: the minhash/dedup family whose shared substrate
+    # (operators/dedup.py, functions/text.py) was edited r9-r11 — all
+    # last driver-green r5 or earlier (rotation #9's priority cohort)
+    "x41_exact_dedup",
+    "x42_fingerprint_dedup",
+    "x43_minhash_lsh_neardup",
+    "x44_simhash",
+    "x81_neardup_dedup",
+    "x96_neardup_clusters",
+    "x101_minhash_fast_exact_tier",
+    "x117_incremental_dedup",
     "x179_prefix_simjoin",
-    "x181_lsh_recall_contract",
     "x196_bloom_fingerprint_probe",
-    "x197_triplet_mining",
     "x194_lsh_index_probe",
-    # similarity / embedding math
+    "x195_fuzzy_editdist_join",
+    # similarity / embedding math (x47 last green r2; x198 new this
+    # round — the IVF drift/health report, VERDICT r10 #5)
+    "x47_embedding_math",
     "x133_quantized_recall_contract",
-    "x173_ks_two_sample",
     "x155_pr_calibration",
+    "x197_triplet_mining",
+    "x198_ivf_health_report",
     # text analysis / corpus quality
-    "x158_bm25_search",
     "x188_repetition_signals",
     "x189_word_rarity",
-    "x134_bpe_merge_pairs",
     # multimodal + Python-execution surface
     "x187_oriented_thumbs",
-    "x185_cms_heavy_hitters_contract",
-    "x149_udtf_polymorphic",
-    # layout + iterative graph + TPC-H archetype
+    # layout + iterative graph
     "x124_zorder_layout",
     "x138_domain_pagerank",
-    "q126_sales_opportunity",
-    # training-data pipeline (x193: first driver row — group-coherent
-    # split with leakage audit)
-    "x113_token_budget_sample",
+    # training-data pipeline (x199 new this round — checksum-validated
+    # structured PII scrub, VERDICT r10 #6)
     "x193_group_split",
+    "x199_pii_structured_scrub",
 )
 
 
