@@ -1181,3 +1181,44 @@ def test_lsh_index_probe_rejects_same_named_different_tokenizer(
     shutil.rmtree(legacy + "/params")
     spark.createDataFrame(stripped).coalesce(1).write.parquet(legacy + "/params")
     assert probe_lsh_index(spark, legacy, df).count() > 0
+
+
+def test_compact_lsh_index_drops_replay_duplicates(spark, tmp_path_factory):
+    """Replayed appends re-add band rows verbatim; compaction into a
+    fresh path must drop exactly those full-row duplicates, keep the
+    hive layout (probes still prune), and leave probe candidates
+    identical."""
+    from ua2sql_spark.operators.dedup import (
+        append_lsh_index,
+        compact_lsh_index,
+        probe_lsh_index,
+        save_lsh_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    hist = mk([(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    more = mk([(3, "alpha beta gamma"), (4, "eta theta iota")])
+    batch = mk([(10, "alpha beta gamma"), (11, "mu nu xi")])
+
+    src = str(tmp_path_factory.mktemp("cls")) + "/idx"
+    dst = str(tmp_path_factory.mktemp("cls")) + "/compact"
+    save_lsh_index(hist, src, num_hashes=8, band_size=4, num_buckets=5)
+    append_lsh_index(more, src)
+    append_lsh_index(more, src)  # replay: verbatim duplicates
+
+    m = compact_lsh_index(spark, src, dst)
+    assert m["n_duplicates_dropped"] == m["n_rows"] - m["n_kept"] > 0
+    rows = lambda p: sorted(
+        (r["doc_id"], r["band_no"], r["band_bucket"], r["band_hash"], tuple(r["sig"]))
+        for r in spark.read.parquet(p + "/lists").collect()
+    )
+    assert rows(dst) == sorted(set(rows(src)))
+    cands = lambda p: {
+        (r["index_id"], r["batch_id"], r["sig_agree"])
+        for r in probe_lsh_index(spark, p, batch).collect()
+    }
+    assert cands(dst) == cands(src) and len(cands(dst)) > 0
+    # params carried verbatim -> append keeps working against dst
+    append_lsh_index(mk([(20, "pi rho sigma")]), dst)
+    with pytest.raises(ValueError, match="exists"):
+        compact_lsh_index(spark, src, dst)

@@ -596,3 +596,48 @@ def neardup_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def compact_lsh_index(spark, src_path: str, dst_path: str) -> dict:
+    """Maintenance rewrite of a persisted band index into ``dst_path``:
+    drop the full-row duplicates that at-least-once appends accumulate
+    (a replayed batch re-appends its band rows verbatim — harmless to
+    probes, which collapse candidates, but each replay re-inflates
+    every later probe's join input) and coalesce each (band_no,
+    band_bucket) partition's small append files into one.
+
+    Produces a NEW index rather than rewriting in place: the index has
+    no version manifest, so an in-place swap would have a crash window
+    in which probes see a half-compacted layout — writing to a fresh
+    path is crash-safe by construction (an incomplete dst is simply
+    never adopted; the src keeps serving). The caller swaps paths when
+    the returned counts look right — same explicit-adoption contract
+    as a FAISS index rebuild. Returns row/duplicate counts.
+
+    Shape: one distinct + one shuffle on the partition keys (one task
+    per (band_no, band_bucket) — bucket hashing keeps them uniform),
+    then the same hive layout probes already prune. Params (geometry +
+    tokenizer digest) are copied verbatim, so existing probe/append
+    callers work against dst unchanged."""
+    jvm = spark.sparkContext._jvm
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst_path)
+    fs = dst_p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(dst_p):
+        raise ValueError(f"{dst_path} exists; compact into a fresh path")
+    lists = spark.read.parquet(src_path + "/lists")
+    n_rows = lists.count()
+    deduped = lists.dropDuplicates().repartition("band_no", "band_bucket")
+    (
+        deduped.write.mode("overwrite")
+        .partitionBy("band_no", "band_bucket")
+        .parquet(dst_path + "/lists")
+    )
+    spark.read.parquet(src_path + "/params").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dst_path + "/params")
+    n_kept = spark.read.parquet(dst_path + "/lists").count()
+    return {
+        "n_rows": n_rows,
+        "n_kept": n_kept,
+        "n_duplicates_dropped": n_rows - n_kept,
+    }
