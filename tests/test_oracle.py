@@ -84,8 +84,8 @@ def test_driver_window_families():
         "x187_oriented_thumbs",
         "x188_repetition_signals", "x189_word_rarity",
         "q153_sql_scripting", "q154_sql_udf",
-        "x190_delete_erasure",
-        "q155_lateral_topk", "q156_group_by_all",
+        "x190_delete_erasure", "x200_corpus_version_drift",
+        "q155_lateral_topk",
         "q157_setop_all_variants", "q158_range_frame_rolling",
         "x193_group_split", "x194_lsh_index_probe",
         "x195_fuzzy_editdist_join", "x196_bloom_fingerprint_probe",

@@ -57,6 +57,15 @@ STRIDE = 100_000_000  # divisible by every doc_id/vec_id modulus in use
 #   candidate/pair counts scale 4x, not 16x) -> linear. The fixture
 #   cache keys on sf_dir, so both scales time the SAME (build-once +
 #   probe) composition.
+# * x198 IVF health report (round 11): the N x K assign lives in the
+#   fixture BUILD (warm-up pays it once per sf_dir); the timed report
+#   is an equi-join of the lists against broadcast centroids + one
+#   groupBy -> linear in list rows.
+# * x199 structured PII scrub (round 11): map-only projection
+#   (regex extraction + per-candidate digit folds) -> linear.
+# * x200 corpus version drift (round 11): the CoW commit sequence is
+#   fixture-cached; the timed change feed diffs the changed files and
+#   aggregates -> linear in changed rows.
 SLOPE_QUERIES = {
     "x174_semdedup": 4 * 1.6,
     "x178_kmeans_lloyd": 16 * 1.6,
@@ -64,6 +73,9 @@ SLOPE_QUERIES = {
     "x138_domain_pagerank": 4 * 1.6,
     "x155_pr_calibration": 4 * 1.6,
     "x194_lsh_index_probe": 4 * 1.6,
+    "x198_ivf_health_report": 4 * 1.6,
+    "x199_pii_structured_scrub": 4 * 1.6,
+    "x200_corpus_version_drift": 4 * 1.6,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -229,3 +229,107 @@ def x190_delete_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return live.unionByName(erased)
+
+
+# ---------------------------------------------------------------------------
+# X12c: corpus version-drift report (round 11) — the audit a training
+# team runs between two pinned corpus versions: "what changed, per
+# source, and by how many tokens?". Builds a CoW table from a fixed
+# commit sequence derived arithmetically from `documents` (the x186/
+# x190 discipline), then folds the row-level change feed between v0 and
+# the final version into per-source insert/update/delete counts and a
+# net token delta. Every number is an integer, so the oracle replays
+# the whole report from `documents` with modular arithmetic — pinning
+# the manifest protocol, the CoW upsert + delete, the value-diff change
+# feed, and the aggregation in one hash.
+#
+# Commit sequence (partition = source, key = doc_id):
+#   v0  every doc with doc_id % 2 = 1
+#   v1  inserts: doc_id % 2 = 0; updates: doc_id % 10 = 5 gets
+#       text || ' rev2' (exactly +1 token)
+#   v2  delete doc_id % 10 = 1
+# ---------------------------------------------------------------------------
+@query(
+    "x200_corpus_version_drift",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_inserts,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 5) AS BIGINT) AS n_updates,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 1) AS BIGINT) AS n_deletes,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN ntok ELSE 0 END)
+                + COUNT(*) FILTER (WHERE doc_id % 10 = 5)
+                - SUM(CASE WHEN doc_id % 10 = 1 THEN ntok ELSE 0 END)
+               AS BIGINT) AS token_delta
+    FROM t
+    GROUP BY source
+    HAVING COUNT(*) FILTER (WHERE doc_id % 2 = 0 OR doc_id % 10 IN (1, 5)) > 0
+    ORDER BY source
+    """,
+)
+def x200_corpus_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ua2sql_spark.operators.snapshot import (
+        delete_cow,
+        snapshot_changes,
+        upsert_cow,
+    )
+    from ua2sql_spark.queries.common import fixture_artifact
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(path: str) -> None:
+        upsert_cow(
+            d.filter(F.col("doc_id") % 2 == 1), path, ["doc_id"], "source"
+        )
+        updates = d.filter(F.col("doc_id") % 10 == 5).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        upsert_cow(
+            d.filter(F.col("doc_id") % 2 == 0).unionByName(updates),
+            path,
+            ["doc_id"],
+            "source",
+        )
+        delete_cow(
+            spark,
+            path,
+            d.filter(F.col("doc_id") % 10 == 1).select("doc_id"),
+            "source",
+            key_cols=["doc_id"],
+        )
+
+    path = fixture_artifact(spark, sf_dir, "x200tbl", "documents", build)
+    ch = snapshot_changes(spark, path, 0, 2, ["doc_id"])
+    ntok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inserts"),
+            F.sum(
+                F.when(F.col("_change_type") == "update_postimage", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_updates"),
+            F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deletes"),
+            F.sum(
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"), ntok
+                )
+                .when(
+                    F.col("_change_type").isin("delete", "update_preimage"), -ntok
+                )
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("token_delta"),
+        )
+        .orderBy("source")
+    )

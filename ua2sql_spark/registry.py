@@ -317,14 +317,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q38_funnel",
     "q82_sliding_window",
     "q158_range_frame_rolling",
-    # SQL surface
+    # SQL surface (q156 swapped out late-r11 for x200 — GROUP BY ALL
+    # driver-green r10; the surface keeps q153/q154/q155/q157)
     "q153_sql_scripting",
     "q154_sql_udf",
     "q155_lateral_topk",
-    "q156_group_by_all",
     "q157_setop_all_variants",
-    # versioned tables — X12's driver row
+    # versioned tables — X12's driver rows (x200 new late-r11: the
+    # per-source corpus version-drift report over the CoW change feed)
     "x190_delete_erasure",
+    "x200_corpus_version_drift",
     # dedup tiers: the minhash/dedup family whose shared substrate
     # (operators/dedup.py, functions/text.py) was edited r9-r11 — all
     # last driver-green r5 or earlier (rotation #9's priority cohort)
