@@ -1222,3 +1222,100 @@ def test_compact_lsh_index_drops_replay_duplicates(spark, tmp_path_factory):
     append_lsh_index(mk([(20, "pi rho sigma")]), dst)
     with pytest.raises(ValueError, match="exists"):
         compact_lsh_index(spark, src, dst)
+
+
+# ---------------------------------------------------------------------------
+# reconcile_tables (operators/reconcile.py, round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_reconcile_statuses_and_changed_cols(spark):
+    from ua2sql_spark.operators.reconcile import reconcile_tables
+
+    left = spark.createDataFrame(
+        [(1, "a", 10, "s1"), (2, "b", 20, "s1"), (3, None, 30, "s2"),
+         (4, "d", 40, "s2")],
+        "k bigint, t string, n bigint, src string",
+    )
+    right = spark.createDataFrame(
+        # 1 unchanged; 2 t changed; 3 NULL->value (null-safe change);
+        # 4 absent (only_left); 5 new (only_right)
+        [(1, "a", 10, "s1"), (2, "B", 20, "s1"), (3, "c", 30, "s2"),
+         (5, "e", 50, "s3")],
+        "k bigint, t string, n bigint, src string",
+    )
+    out = {
+        r["k"]: r
+        for r in reconcile_tables(
+            left, right, ["k"], compare_cols=["t", "n"], carry_cols=["src"]
+        ).collect()
+    }
+    assert {k: r["status"] for k, r in out.items()} == {
+        1: "unchanged", 2: "changed", 3: "changed", 4: "only_left",
+        5: "only_right",
+    }
+    assert out[2]["changed_cols"] == ["t"]
+    assert out[3]["changed_cols"] == ["t"]  # NULL -> 'c' counts
+    # presence-only rows pin changed_cols empty, carry coalesces sides
+    assert out[4]["changed_cols"] == [] and out[4]["src"] == "s2"
+    assert out[5]["changed_cols"] == [] and out[5]["src"] == "s3"
+
+
+def test_reconcile_defaults_to_shared_noncompare_columns(spark):
+    from ua2sql_spark.operators.reconcile import reconcile_tables
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, t string, extra double"
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 9), (2, "x", 9)], "k bigint, t string, other bigint"
+    )
+    # only `t` is shared beyond the key -> default compare set = {t}
+    rows = {r["k"]: r for r in reconcile_tables(left, right, ["k"]).collect()}
+    assert rows[1]["status"] == "unchanged"
+    assert rows[2]["status"] == "changed" and rows[2]["changed_cols"] == ["t"]
+
+
+def test_reconcile_key_only_tables_never_report_changed(spark):
+    from ua2sql_spark.operators.reconcile import reconcile_tables
+
+    left = spark.createDataFrame([(1,), (2,)], "k bigint")
+    right = spark.createDataFrame([(2,), (3,)], "k bigint")
+    rows = {
+        r["k"]: r["status"]
+        for r in reconcile_tables(left, right, ["k"], compare_cols=[]).collect()
+    }
+    assert rows == {1: "only_left", 2: "unchanged", 3: "only_right"}
+
+
+def test_lsh_index_health_agrees_with_compaction(spark, tmp_path):
+    """n_dup_rows is the compaction trigger: it must equal exactly what
+    compact_lsh_index drops, and n_distinct_rows what it keeps."""
+    from ua2sql_spark.operators.dedup import (
+        append_lsh_index,
+        compact_lsh_index,
+        lsh_index_health,
+        save_lsh_index,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    src = str(tmp_path / "idx")
+    save_lsh_index(mk([(1, "alpha beta gamma"), (2, "delta epsilon zeta")]), src)
+    batch = mk([(3, "eta theta iota"), (4, "alpha beta gamma")])
+    append_lsh_index(batch, src)
+    append_lsh_index(batch, src)  # replay
+    append_lsh_index(batch, src)  # second replay
+
+    h = {r["band_no"]: r for r in lsh_index_health(spark, src).collect()}
+    stats = compact_lsh_index(spark, src, str(tmp_path / "idx2"))
+    assert sum(r["n_dup_rows"] for r in h.values()) == stats["n_duplicates_dropped"]
+    assert sum(r["n_distinct_rows"] for r in h.values()) == stats["n_kept"]
+    assert sum(r["n_rows"] for r in h.values()) == stats["n_rows"]
+    for r in h.values():
+        # 2 base docs + 2 batch docs, batch rows tripled -> 8 per band
+        assert r["n_rows"] == 8 and r["n_distinct_rows"] == 4
+        assert r["n_dup_rows"] == 4
+        assert 1 <= r["n_buckets_used"] <= r["n_hash_groups"] <= 4
+        assert r["max_hash_group"] <= r["n_distinct_rows"]

@@ -83,13 +83,16 @@ def test_driver_window_families():
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
         "x187_oriented_thumbs",
         "x188_repetition_signals", "x189_word_rarity",
-        "q153_sql_scripting", "q154_sql_udf",
+        "q154_sql_udf",
         "x190_delete_erasure", "x200_corpus_version_drift",
+        "x201_snapshot_restore",  # late-r11: RESTORE under the gate
+        "x202_table_reconcile",  # late-r11: new migration-validation family
+        "x203_mann_whitney_u",  # late-r11: rank-based stats tier
         "q155_lateral_topk",
-        "q157_setop_all_variants", "q158_range_frame_rolling",
+        "q158_range_frame_rolling",
         "x193_group_split", "x194_lsh_index_probe",
-        "x195_fuzzy_editdist_join", "x196_bloom_fingerprint_probe",
-        "x197_triplet_mining",
+        "x195_fuzzy_editdist_join",
+        "x204_lsh_index_health",  # late-r11: compaction-decision report
         # rotation #9's freshness cohort: the minhash/dedup family whose
         # shared substrate changed r9-r11, the r2-vintage scalar/
         # relational rows, and this round's new driver-gated operators

@@ -66,6 +66,14 @@ STRIDE = 100_000_000  # divisible by every doc_id/vec_id modulus in use
 # * x200 corpus version drift (round 11): the CoW commit sequence is
 #   fixture-cached; the timed change feed diffs the changed files and
 #   aggregates -> linear in changed rows.
+# * x202 table reconcile (round 11): one full-outer equi-join on
+#   doc_id (both sides derive from the tiled documents -> 4x) plus
+#   map-side compares and one partial-agg fold -> linear.
+# * x204 LSH index health (round 11): the index build (save + two
+#   appends) is fixture-cached per sf_dir; the timed report is one
+#   lists/ scan + two partial-agg folds -> linear in band rows (the
+#   vocab bijection keeps copies' band hashes disjoint, so group
+#   sizes don't inflate cross-copy).
 SLOPE_QUERIES = {
     "x174_semdedup": 4 * 1.6,
     "x178_kmeans_lloyd": 16 * 1.6,
@@ -76,6 +84,8 @@ SLOPE_QUERIES = {
     "x198_ivf_health_report": 4 * 1.6,
     "x199_pii_structured_scrub": 4 * 1.6,
     "x200_corpus_version_drift": 4 * 1.6,
+    "x202_table_reconcile": 4 * 1.6,
+    "x204_lsh_index_health": 4 * 1.6,
 }
 
 pytestmark = pytest.mark.skipif(

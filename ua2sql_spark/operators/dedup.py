@@ -641,3 +641,45 @@ def compact_lsh_index(spark, src_path: str, dst_path: str) -> dict:
         "n_kept": n_kept,
         "n_duplicates_dropped": n_rows - n_kept,
     }
+
+
+def lsh_index_health(spark, path: str) -> DataFrame:
+    """Per-band health report of a persisted band index — the number
+    the compact/rebuild decision needs (the ivf_health_report
+    discipline applied to the near-dup index). Reports, per band:
+
+    * ``n_rows`` / ``n_distinct_rows`` / ``n_dup_rows`` — how much
+      replay debris at-least-once appends have accumulated;
+      ``n_dup_rows`` is EXACTLY what :func:`compact_lsh_index` would
+      drop (both define a duplicate as a full-row repeat), so the
+      operator's output is the compaction trigger, not a proxy.
+    * ``n_buckets_used`` / ``n_hash_groups`` — bucket-geometry fill
+      (a band whose hashes all land in a few buckets loses the
+      partition-pruned probe's parallelism).
+    * ``max_hash_group`` — distinct docs in the hottest band_hash
+      group: the mega-bucket hazard that turns a probe's candidate
+      join quadratic for that key.
+
+    Shape: one scan of ``lists/``, a full-row groupBy (partial-agg
+    shuffles on the natural keys), one (band_no, band_hash) fold, one
+    per-band fold. Output is num_bands rows; nothing collects."""
+    lists = spark.read.parquet(path + "/lists")
+    grouped = lists.groupBy(*lists.columns).agg(F.count(F.lit(1)).alias("__n"))
+    g2 = grouped.groupBy("band_no", "band_bucket", "band_hash").agg(
+        F.sum("__n").alias("rows_in_group"),
+        F.count(F.lit(1)).alias("distinct_in_group"),
+    )
+    return (
+        g2.groupBy("band_no")
+        .agg(
+            F.sum("rows_in_group").cast("bigint").alias("n_rows"),
+            F.sum("distinct_in_group").cast("bigint").alias("n_distinct_rows"),
+            (F.sum("rows_in_group") - F.sum("distinct_in_group"))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+            F.countDistinct("band_bucket").cast("bigint").alias("n_buckets_used"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hash_groups"),
+            F.max("distinct_in_group").cast("bigint").alias("max_hash_group"),
+        )
+        .orderBy("band_no")
+    )

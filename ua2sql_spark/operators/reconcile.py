@@ -1,0 +1,116 @@
+"""Cross-table reconciliation: a keyed row-level diff of two tables —
+the migration-validation / pipeline-regression primitive ("did the
+rewrite of this 100 TB corpus change anything it shouldn't have?").
+
+Reference scope: the reference (ua2sql.py) trusts its single writer
+and never compares tables; reconciliation is SURVEY §2.11 territory —
+the audit a training-data team runs after every engine swap, backfill,
+or vendor re-delivery, and the sibling of the versioned store's change
+feed (`snapshot_changes` diffs versions of ONE table; this diffs two
+INDEPENDENT tables that merely claim to hold the same data).
+
+Physical shape (the 100 TB argument)
+------------------------------------
+ONE full-outer equi-join on the key columns — the minimum any keyed
+diff must pay — then pure map-side column comparison:
+
+* presence is detected with a constant indicator column per side, so
+  the join never needs to inspect value columns for NULL-vs-absent
+  ambiguity;
+* per-column difference is the null-safe `eqNullSafe` comparison,
+  evaluated columnar inside whole-stage codegen (no UDF, no row
+  serialization);
+* the changed-column list is built with `array_compact` over literal
+  column names — an expression, not a shuffle;
+* output grain is per key (status + changed_cols + carried columns),
+  so callers aggregate however they like WITHOUT a second pass over
+  the inputs. Nothing collects to the driver.
+
+When one side is small (a sampled audit slice), the caller can
+`F.broadcast` it before calling; AQE otherwise picks the strategy.
+Skewed keys are the caller's usual salting problem only if keys are
+non-unique — the operator expects unique keys per side (it is a diff,
+not a join explosion; duplicate keys make "the row changed" ill-posed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Status values, in severity order.
+ONLY_LEFT = "only_left"
+ONLY_RIGHT = "only_right"
+CHANGED = "changed"
+UNCHANGED = "unchanged"
+
+
+def reconcile_tables(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of ``left`` vs ``right``.
+
+    Returns one row per key present on either side with:
+
+    * the key columns (coalesced across sides),
+    * ``status``: ``only_left`` / ``only_right`` / ``changed`` /
+      ``unchanged``,
+    * ``changed_cols``: array of compare-column names whose values
+      differ (empty unless ``status = 'changed'``; NULL-safe — a
+      NULL→value transition counts as a change),
+    * each ``carry_cols`` column, coalesced across sides (for
+      downstream grouping, e.g. per-source counts).
+
+    ``compare_cols`` defaults to the non-key columns the two schemas
+    share. Keys are expected unique per side and non-null.
+    """
+    if compare_cols is None:
+        shared = set(left.columns) & set(right.columns)
+        compare_cols = sorted(shared - set(key_cols))
+    carry_cols = carry_cols or []
+
+    keep = list(dict.fromkeys(list(key_cols) + compare_cols + carry_cols))
+    l = left.select(*keep, F.lit(1).alias("_l_present")).alias("l")
+    r = right.select(*keep, F.lit(1).alias("_r_present")).alias("r")
+
+    on = [F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")) for k in key_cols]
+    j = l.join(r, on, "full_outer")
+
+    diffs = [
+        F.when(
+            ~F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_cols = (
+        F.array_compact(F.array(*diffs)) if diffs else F.array().cast("array<string>")
+    )
+    status = (
+        F.when(F.col("r._r_present").isNull(), F.lit(ONLY_LEFT))
+        .when(F.col("l._l_present").isNull(), F.lit(ONLY_RIGHT))
+        .when(F.size(changed_cols) > 0, F.lit(CHANGED))
+        .otherwise(F.lit(UNCHANGED))
+    )
+    out = [
+        F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in key_cols
+    ]
+    out.append(status.alias("status"))
+    # Presence rows have no other side to differ from: pin the list
+    # empty there so downstream `array_contains` never reads a
+    # comparison against an all-NULL phantom row.
+    out.append(
+        F.when(
+            F.col("l._l_present").isNotNull() & F.col("r._r_present").isNotNull(),
+            changed_cols,
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols")
+    )
+    out.extend(
+        F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c) for c in carry_cols
+    )
+    return j.select(*out)

@@ -769,3 +769,114 @@ def x185_cms_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x203: Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+# rank-based nonparametric sibling of q145's Welch t (means) and
+# x173's KS (distribution distance): "is sample A stochastically
+# larger than sample B?", robust to outliers and any monotone
+# transform. Round 11; no reference analog (ua2sql.py has no
+# statistics at all) — SURVEY §2.11's experiment-analysis family.
+#
+# Exactness discipline: tie-averaged ranks are half-integers, so the
+# statistic is carried DOUBLED (r1_x2, u1_x2, u2_x2) and every hashed
+# rank quantity is a BIGINT — no float enters until the final z-score,
+# which follows the q145 precedent (identical closed form in both
+# engines on identical integer operands, ROUND(,6)). The tie
+# correction term Σ(t³−t) is likewise integral.
+#
+# Scale shape: ranking raw rows needs a GLOBAL sort — the classic
+# single-partition window trap. Instead the input is first reduced to
+# per-VALUE counts (one partial-agg shuffle), and the cumulative rank
+# window runs over the distinct-value domain, which for a discrete
+# metric is tiny (50 quantities here) and for a continuous one should
+# be quantized first (q146's equi-width binning). The identity
+# u1_x2 + u2_x2 = 2·n1·n2 is emitted as a cross-engine tripwire.
+# ---------------------------------------------------------------------------
+@query(
+    "x203_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, l_linenumber = 1 AS is_a
+        FROM lineitem WHERE l_linenumber IN (1, 2)
+    ),
+    g AS (
+        SELECT v, COUNT(*) AS c, COUNT(*) FILTER (WHERE is_a) AS ca
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT v, c, ca,
+               COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS less
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+               CAST(SUM(c - ca) AS BIGINT) AS n2,
+               CAST(SUM(ca * (2 * less + c + 1)) AS BIGINT) AS r1_x2,
+               CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+        FROM r
+    )
+    SELECT n1, n2, r1_x2, tie_term,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           ROUND((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                        * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                           - CAST(tie_term AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6)
+               AS z_score
+    FROM tot
+    """,
+)
+def x203_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U over lineitem quantities, line 1 vs line 2 of
+    each order — doubled tie-averaged ranks keep every hashed rank
+    statistic integral; the z-score follows q145's identical-closed-
+    form double discipline."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber").isin(1, 2)
+    )
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("l_linenumber") == 1, 1).otherwise(0)).alias("ca"),
+    )
+    # cumulative count of strictly-smaller values: a window over the
+    # DISTINCT-VALUE domain (tiny by construction), not the raw rows
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("less", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    tot = r.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n2"),
+        F.sum(F.col("ca") * (2 * F.col("less") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    r1_x2, tie = F.col("r1_x2"), F.col("tie_term")
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    nd = (n1 + n2).cast("double")
+    z = (
+        u1_x2.cast("double") / 2.0 - n1.cast("double") * n2.cast("double") / 2.0
+    ) / F.sqrt(
+        (n1.cast("double") * n2.cast("double") / 12.0)
+        * ((nd + 1.0) - tie.cast("double") / (nd * (nd - 1.0)))
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        "tie_term",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        (2 * n1 * n2 - u1_x2).cast("bigint").alias("u2_x2"),
+        F.round(z, 6).alias("z_score"),
+    )

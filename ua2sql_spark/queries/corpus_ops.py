@@ -1627,3 +1627,119 @@ def x199_pii_structured_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("__ips") - F.size("__vip")).cast("bigint").alias("n_ip_rejects"),
         F.md5(scrubbed).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x202: cross-table reconciliation (round 11) — the keyed diff of two
+# independent tables (operators/reconcile.py), under the hard gate via
+# the deterministic-perturbation trick: the "migrated" right table is
+# derived from `documents` arithmetically (drop doc_id%13=0, append
+# ' v2' to text where %7=0, bump n_chars where %9=0, add synthetic
+# keys +2e9 for %17=0), so DuckDB replays the per-source audit report
+# with modular arithmetic alone — no join needed on the oracle side,
+# which is exactly what makes the hash a proof of the JOIN side: the
+# full-outer presence logic, the null-safe per-column comparison, and
+# the changed_cols assembly must all agree with closed-form counts.
+# Scale shape: ONE full-outer shuffle join on doc_id, map-side column
+# compares, one partial-agg shuffle for the report. No collect, no UDF.
+# ---------------------------------------------------------------------------
+@query(
+    "x202_table_reconcile",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source,
+               doc_id % 13 = 0 AS dropped,
+               doc_id % 7 = 0 AS text_mod,
+               doc_id % 9 = 0 AS chars_mod
+        FROM documents
+    ),
+    matched AS (
+        SELECT source,
+               COUNT(*) FILTER (WHERE dropped) AS only_left,
+               COUNT(*) FILTER (WHERE NOT dropped AND (text_mod OR chars_mod))
+                   AS changed,
+               COUNT(*) FILTER (WHERE NOT dropped AND NOT text_mod
+                                  AND NOT chars_mod) AS unchanged,
+               COUNT(*) FILTER (WHERE NOT dropped AND text_mod)
+                   AS text_changed,
+               COUNT(*) FILTER (WHERE NOT dropped AND chars_mod)
+                   AS nchars_changed
+        FROM base GROUP BY source
+    ),
+    extra AS (
+        SELECT source, COUNT(*) AS only_right
+        FROM base WHERE doc_id % 17 = 0 GROUP BY source
+    )
+    SELECT m.source,
+           CAST(m.only_left AS BIGINT) AS only_left,
+           CAST(COALESCE(e.only_right, 0) AS BIGINT) AS only_right,
+           CAST(m.changed AS BIGINT) AS changed,
+           CAST(m.unchanged AS BIGINT) AS unchanged,
+           CAST(m.text_changed AS BIGINT) AS text_changed,
+           CAST(m.nchars_changed AS BIGINT) AS nchars_changed
+    FROM matched m LEFT JOIN extra e USING (source)
+    ORDER BY m.source
+    """,
+)
+def x202_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-validation audit: reconcile `documents` against a
+    deterministically perturbed twin and report, per source, how many
+    rows vanished, appeared, changed (and in which columns), or
+    survived bit-identical."""
+    from ua2sql_spark.operators.reconcile import reconcile_tables
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    right = (
+        d.filter(did % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(did % 9 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+        )
+        .unionByName(
+            d.filter(did % 17 == 0).withColumn("doc_id", did + 2_000_000_000)
+        )
+    )
+    rec = reconcile_tables(
+        d,
+        right,
+        key_cols=["doc_id"],
+        compare_cols=["text", "lang", "n_chars"],
+        carry_cols=["source"],
+    )
+    return (
+        rec.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "only_left", 1).otherwise(0))
+            .cast("bigint")
+            .alias("only_left"),
+            F.sum(F.when(F.col("status") == "only_right", 1).otherwise(0))
+            .cast("bigint")
+            .alias("only_right"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+            .cast("bigint")
+            .alias("changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+            .cast("bigint")
+            .alias("unchanged"),
+            F.sum(
+                F.when(F.array_contains(F.col("changed_cols"), "text"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("text_changed"),
+            F.sum(
+                F.when(
+                    F.array_contains(F.col("changed_cols"), "n_chars"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nchars_changed"),
+        )
+        .orderBy("source")
+    )

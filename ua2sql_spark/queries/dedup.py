@@ -1318,3 +1318,82 @@ def x196_bloom_fingerprint_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fn_free"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2k: LSH index health report (round 11) — the number the
+# compact/rebuild decision needs, the x198 discipline applied to the
+# near-dup index: round 11 shipped compact_lsh_index (drop replay
+# debris, coalesce partitions) with an explicit-adoption contract;
+# this row ships the per-band report that tells an operator WHEN to
+# run it. The fixture index is built from `documents` (xxhash64 — the
+# production family; the report never inspects hash values, only
+# counts) with one clean append and one REPLAYED append, so the dup
+# accounting is pure arithmetic: every doc mints exactly num_bands
+# band rows, the replay duplicates exactly the batch's rows, and
+# compaction would keep exactly base+batch per band. The
+# hash-dependent health numbers (bucket fill, hottest group) are
+# emitted as invariant verdict bits — true by construction, pinned so
+# the computation provably ran. History = doc_id % 3 != 0,
+# batch = doc_id % 3 = 0, default geometry (16 hashes / band_size 8
+# -> bands 1 and 2).
+# ---------------------------------------------------------------------------
+@query(
+    "x204_lsh_index_health",
+    oracle="""
+    WITH c AS (
+        SELECT COUNT(*) FILTER (WHERE doc_id % 3 <> 0) AS n_base,
+               COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS n_batch
+        FROM documents
+    )
+    SELECT CAST(b.band_no AS INTEGER) AS band_no,
+           CAST(n_base + 2 * n_batch AS BIGINT) AS n_rows,
+           CAST(n_batch AS BIGINT) AS n_dup_rows,
+           CAST(n_base + n_batch AS BIGINT) AS n_rows_after_compact,
+           CAST(1 AS INTEGER) AS geometry_ok,
+           CAST(1 AS INTEGER) AS hot_group_le_docs
+    FROM c CROSS JOIN (VALUES (1), (2)) AS b(band_no)
+    ORDER BY band_no
+    """,
+)
+def x204_lsh_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report over a persisted LSH band index carrying replay
+    debris: per band, total/dup/post-compaction row counts (arithmetic
+    under the hash) plus bucket-geometry and hot-group invariants as
+    verdict bits."""
+    from ua2sql_spark.operators.dedup import (
+        LSH_INDEX_BUCKETS,
+        append_lsh_index,
+        lsh_index_health,
+        save_lsh_index,
+    )
+    from ua2sql_spark.queries.common import fixture_artifact
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(path: str) -> None:
+        save_lsh_index(d.filter(F.col("doc_id") % 3 != 0), path)
+        batch = d.filter(F.col("doc_id") % 3 == 0).localCheckpoint(eager=False)
+        append_lsh_index(batch, path)
+        append_lsh_index(batch, path)  # at-least-once replay: exact dups
+
+    path = fixture_artifact(spark, sf_dir, "x204idx", "documents", build)
+    h = lsh_index_health(spark, path)
+    return h.select(
+        F.col("band_no").cast("int").alias("band_no"),
+        "n_rows",
+        "n_dup_rows",
+        F.col("n_distinct_rows").alias("n_rows_after_compact"),
+        F.when(
+            (F.col("n_buckets_used") <= F.lit(LSH_INDEX_BUCKETS))
+            & (F.col("n_hash_groups") >= F.col("n_buckets_used")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("geometry_ok"),
+        F.when(F.col("max_hash_group") <= F.col("n_distinct_rows"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hot_group_le_docs"),
+    ).orderBy("band_no")

@@ -333,3 +333,94 @@ def x200_corpus_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X12d: RESTORE under the hard gate (round 11). `rollback`
+# (operators/snapshot.py:940) — the manifest-only restore-to-version
+# primitive, Delta's RESTORE — has been locally tested since r6 but
+# never faced the driver. Same deterministic-injection discipline as
+# x186/x190/x200: the table is built in-query from `customer` with a
+# fixed commit sequence, so DuckDB replays both emitted states
+# arithmetically and one hash pins the whole recovery path: the v1
+# CoW update, the v2 CoW delete, the RESTORE's manifest copy (v3),
+# and that reading v3 reverts BOTH mutations (updates rolled back,
+# deleted keys resurrected at their original balance).
+#
+# Commit sequence (partition = grp, key = custkey, custkey <= 350):
+#   v0  opening state: bal = acctbal
+#   v1  custkey % 6 = 0 -> bal + 25      (updates)
+#   v2  delete custkey % 5 = 0           (erasure)
+#   v3  rollback(path, to_version=0)     (RESTORE)
+# Emitted: v2's live rows (row_kind='pre_restore' — pins that the
+# mutations really happened) UNION v3's rows (row_kind='restored' —
+# pins that RESTORE reverted them).
+# ---------------------------------------------------------------------------
+@query(
+    "x201_snapshot_restore",
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey AS custkey,
+               CAST(c_nationkey % 4 AS VARCHAR) AS grp,
+               CAST(c_acctbal AS DECIMAL(28,8)) AS bal0,
+               c_custkey % 6 = 0 AS u1
+        FROM customer WHERE c_custkey <= 350
+    )
+    SELECT custkey, grp,
+           CAST(CAST(CASE WHEN u1
+                          THEN CAST(bal0 + 25 AS DECIMAL(28,8))
+                          ELSE bal0 END AS VARCHAR) AS DOUBLE) AS bal,
+           'pre_restore' AS row_kind
+    FROM v WHERE custkey % 5 <> 0
+    UNION ALL
+    SELECT custkey, grp,
+           CAST(CAST(bal0 AS VARCHAR) AS DOUBLE) AS bal,
+           'restored' AS row_kind
+    FROM v
+    """,
+)
+def x201_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE-to-version audit: a CoW table takes an update commit and
+    an erasure commit, then rolls back to the opening version; the query
+    emits the pre-restore and post-restore states side by side so the
+    oracle hash pins that RESTORE reverted both mutations. Reference
+    parity: ua2sql.py has no table history at all (latest-state rows,
+    ua2sql.py:223-236); recovery-by-restore is this engine's extension
+    (SURVEY §2.11 X12)."""
+    from ua2sql_spark.operators.snapshot import (
+        delete_cow,
+        read_snapshot,
+        rollback,
+        upsert_cow,
+    )
+
+    def build(path: str) -> None:
+        base = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 350)
+            .select(
+                F.col("c_custkey").alias("custkey"),
+                (F.col("c_nationkey") % 4).cast("string").alias("grp"),
+                F.col("c_acctbal").cast(DEC).alias("bal"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        upsert_cow(base, path, ["custkey"], "grp")  # v0: opening state
+        v1 = base.filter(F.col("custkey") % 6 == 0).withColumn(
+            "bal", (F.col("bal") + 25).cast(DEC)
+        )
+        upsert_cow(v1, path, ["custkey"], "grp")  # v1: updates
+        delete_cow(spark, path, F.col("custkey") % 5 == 0, "grp")  # v2: erasure
+        rollback(spark, path, 0)  # v3: RESTORE
+
+    path = _fixture_table(spark, sf_dir, "x201", build)
+
+    def state(version: int, kind: str) -> DataFrame:
+        return read_snapshot(spark, path, version).select(
+            "custkey",
+            F.col("grp").cast("string").alias("grp"),
+            F.col("bal").cast("double").alias("bal"),
+            F.lit(kind).alias("row_kind"),
+        )
+
+    return state(2, "pre_restore").unionByName(state(3, "restored"))

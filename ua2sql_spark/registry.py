@@ -292,6 +292,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # q21 variance), q159 (events keep q35/q38/q82), x181 (the banded-LSH
 # recall geometry is measured stronger by x194's index-probe recall
 # row; pair listing keeps incoming x43 + x179).
+#
+# Late-r11 swaps for the operators built in the round's second half,
+# each swap-out driver-green in r10 and leaving a family member in
+# window: q153 -> x201 (SQL surface keeps q154/q155; scripting was
+# first-gated r10 — RESTORE is X12's never-gated recovery primitive),
+# q157 -> x203 (set ops keep q12, itself in this window; Mann-Whitney
+# U adds the rank-based tier to the stats family beside q114/q21),
+# x197 -> x202 (similarity keeps x133/x155/x47/x198; cross-table
+# reconciliation is a NEW migration-validation family with no other
+# driver row), x196 -> x204 (the bloom contract was first-gated r10
+# and the exact-dedup family keeps x41/x42/x101/x117; the LSH index
+# health report is the maintenance number compact_lsh_index — built
+# this round — needs, gated from birth like x198).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins (q02/q03 last green r4, q10/q12 r2)
     "q01_pricing_summary",
@@ -317,16 +330,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q38_funnel",
     "q82_sliding_window",
     "q158_range_frame_rolling",
-    # SQL surface (q156 swapped out late-r11 for x200 — GROUP BY ALL
-    # driver-green r10; the surface keeps q153/q154/q155/q157)
-    "q153_sql_scripting",
+    # SQL surface (q156 swapped out late-r11 for x200, q153/q157 for
+    # x201/x203 — all driver-green r10; the surface keeps q154/q155)
     "q154_sql_udf",
     "q155_lateral_topk",
-    "q157_setop_all_variants",
     # versioned tables — X12's driver rows (x200 new late-r11: the
-    # per-source corpus version-drift report over the CoW change feed)
+    # per-source corpus version-drift report over the CoW change feed;
+    # x201 gates RESTORE, the recovery primitive, same-round)
     "x190_delete_erasure",
     "x200_corpus_version_drift",
+    "x201_snapshot_restore",
+    # cross-table reconciliation — a new migration-validation family
+    # (keyed full-outer diff; x197 rotated out, similarity keeps
+    # x133/x155/x47/x198)
+    "x202_table_reconcile",
+    # stats: the rank-based nonparametric tier (q157 rotated out, set
+    # ops keep q12 in this window)
+    "x203_mann_whitney_u",
     # dedup tiers: the minhash/dedup family whose shared substrate
     # (operators/dedup.py, functions/text.py) was edited r9-r11 — all
     # last driver-green r5 or earlier (rotation #9's priority cohort)
@@ -339,15 +359,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x101_minhash_fast_exact_tier",
     "x117_incremental_dedup",
     "x179_prefix_simjoin",
-    "x196_bloom_fingerprint_probe",
     "x194_lsh_index_probe",
     "x195_fuzzy_editdist_join",
+    "x204_lsh_index_health",
     # similarity / embedding math (x47 last green r2; x198 new this
     # round — the IVF drift/health report, VERDICT r10 #5)
     "x47_embedding_math",
     "x133_quantized_recall_contract",
     "x155_pr_calibration",
-    "x197_triplet_mining",
     "x198_ivf_health_report",
     # text analysis / corpus quality
     "x188_repetition_signals",
