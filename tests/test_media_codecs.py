@@ -1180,3 +1180,55 @@ def test_thumbnail_applies_orientation_before_downscale():
     assert (tw2, th2) == (8, 4)
     thumb3, tw3, th3 = thumbnail_real(base, 8, 95)
     assert (tw3, th3) == (8, 4)
+
+
+# ---------------------------------------------------------------------------
+# encode_png_gray + dhash64 (round 11, the x205 substrate)
+# ---------------------------------------------------------------------------
+
+
+def test_png_gray_roundtrip_is_lossless():
+    from ua2sql_spark.functions.media import decode_raster, encode_png_gray
+
+    w, h = 27, 16
+    raster = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    dw, dh, ch, out = decode_raster(encode_png_gray(w, h, raster))
+    assert (dw, dh, ch) == (w, h, 1)
+    assert out == raster  # bit-exact: PNG is lossless
+
+
+def test_dhash64_matches_hand_computation_and_perturbation_bound():
+    from ua2sql_spark.functions.media import dhash64, encode_png_gray
+
+    w, h = 27, 16
+    base = bytes((x * 31 + y * 57) % 256 for y in range(h) for x in range(w))
+    lo0, hi0 = dhash64(encode_png_gray(w, h, base))
+    # hand-compute from the definition on the SOURCE raster
+    grid = [[base[(gy * h // 8) * w + gx * w // 9] for gx in range(9)] for gy in range(8)]
+    lo, hi = 0, 0
+    for gy in range(8):
+        for gx in range(8):
+            if grid[gy][gx + 1] > grid[gy][gx]:
+                b = gy * 8 + gx
+                if b < 32:
+                    lo |= 1 << b
+                else:
+                    hi |= 1 << (b - 32)
+    assert (lo0, hi0) == (lo, hi)
+    assert 0 <= lo0 < 2**32 and 0 <= hi0 < 2**32
+    # perturbing ONE sampled grid pixel flips at most its two adjacent
+    # comparison bits (the x205 within-pair Hamming <= 2 argument)
+    pert = bytearray(base)
+    pert[6 * w + 12] = (pert[6 * w + 12] + 128) % 256  # grid (4,3)
+    lo1, hi1 = dhash64(encode_png_gray(w, h, bytes(pert)))
+    d = bin(lo0 ^ lo1).count("1") + bin(hi0 ^ hi1).count("1")
+    assert d <= 2
+
+
+def test_dhash64_rejects_tiny_images():
+    import pytest as _pytest
+
+    from ua2sql_spark.functions.media import dhash64, encode_png_gray
+
+    with _pytest.raises(NotImplementedError, match="9x8"):
+        dhash64(encode_png_gray(8, 8, bytes(64)))

@@ -81,7 +81,7 @@ def test_driver_window_families():
         "x138_domain_pagerank",
         "x179_prefix_simjoin",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
-        "x187_oriented_thumbs",
+        "x205_image_dhash_neardup",  # late-r11: media seam + codec round trip
         "x188_repetition_signals", "x189_word_rarity",
         "q154_sql_udf",
         "x190_delete_erasure", "x200_corpus_version_drift",

@@ -74,6 +74,10 @@ STRIDE = 100_000_000  # divisible by every doc_id/vec_id modulus in use
 #   lists/ scan + two partial-agg folds -> linear in band rows (the
 #   vocab bijection keeps copies' band hashes disjoint, so group
 #   sizes don't inflate cross-copy).
+# * x205 image dhash (round 11): hash minting is per-doc map work
+#   (4x); the doc_id stride keeps within-pair structure intact per
+#   copy and the 16-bit band join's candidate traffic stays tiny at
+#   these corpus sizes -> linear.
 SLOPE_QUERIES = {
     "x174_semdedup": 4 * 1.6,
     "x178_kmeans_lloyd": 16 * 1.6,
@@ -86,6 +90,7 @@ SLOPE_QUERIES = {
     "x200_corpus_version_drift": 4 * 1.6,
     "x202_table_reconcile": 4 * 1.6,
     "x204_lsh_index_health": 4 * 1.6,
+    "x205_image_dhash_neardup": 4 * 1.6,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -1414,3 +1414,70 @@ def probe_webp(payload: bytes) -> dict:
         h = int.from_bytes(payload[27:30], "little") + 1
         return {"width": w, "height": h, "variant": "extended"}
     raise NotImplementedError(f"WebP chunk {fourcc!r} unsupported")
+
+
+def encode_png_gray(width: int, height: int, raster: bytes) -> bytes:
+    """Encode an 8-bit grayscale raster as a real PNG (filter 0 rows,
+    one zlib IDAT) — the lossless counterpart of jpeg.encode_jpeg:
+    ``decode_raster(encode_png_gray(w, h, r)) == (w, h, 1, r)`` exactly,
+    which is what makes PNG the right carrier for pixel-exact codec
+    round-trip contracts (x205)."""
+    if len(raster) != width * height:
+        raise ValueError(f"raster {len(raster)} != {width}x{height}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + raster[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def dhash64(payload: bytes) -> tuple[int, int]:
+    """Perceptual difference-hash of a decodable image, returned as two
+    non-negative 32-bit halves (lo = bits 0-31, hi = bits 32-63) so
+    downstream engines can band/XOR them without touching a signed
+    64-bit sign bit.
+
+    The classic dHash recipe with every step pinned to integer
+    arithmetic: decode via the production codec tier, collapse channels
+    by integer mean, sample a 9x8 grid nearest-floor
+    (``sx = gx*w//9``, ``sy = gy*h//8``), and set bit ``gy*8+gx`` when
+    the right neighbor is strictly brighter. Unsupported payloads
+    raise ``NotImplementedError`` from the decode tier."""
+    width, height, channels, raster = decode_raster(payload)
+    if width < 9 or height < 8:
+        raise NotImplementedError(f"dhash64 needs >=9x8 pixels, got {width}x{height}")
+
+    def gray(sx: int, sy: int) -> int:
+        base = (sy * width + sx) * channels
+        if channels == 1:
+            return raster[base]
+        return sum(raster[base : base + channels]) // channels
+
+    grid = [
+        [gray(gx * width // 9, gy * height // 8) for gx in range(9)]
+        for gy in range(8)
+    ]
+    lo = hi = 0
+    for gy in range(8):
+        for gx in range(8):
+            if grid[gy][gx + 1] > grid[gy][gx]:
+                b = gy * 8 + gx
+                if b < 32:
+                    lo |= 1 << b
+                else:
+                    hi |= 1 << (b - 32)
+    return lo, hi

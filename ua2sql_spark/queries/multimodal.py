@@ -507,3 +507,183 @@ def x187_oriented_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thumb_w int, thumb_h int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X6h: perceptual-hash image near-dup (round 11) — the multimodal
+# bridge into the X2 dedup family: dHash64 over REAL PNG-codec
+# round-tripped images, then banded Hamming blocking with a pigeonhole
+# recall guarantee (4 bands of 16 bits: any pair within Hamming 3
+# shares at least one intact band, so the band join loses nothing at
+# the gated threshold).
+#
+# Determinism: each doc synthesizes a 27x16 grayscale raster from a
+# two-round integer mixer (Knuth multiply -> xor-fold -> multiply;
+# every intermediate < 2^63) and runs the PRODUCTION chain:
+# encode_png_gray -> decode_raster -> 9x8 nearest-floor grid -> dHash.
+# PNG is lossless, so decode(encode(r)) == r EXACTLY — the oracle
+# replays the grid pixels arithmetically (sampled source coords
+# (3gx, 2gy) fold the mixer constants to 291/1282) and must land on
+# identical 64-bit hashes: any codec bug, sampling drift, or banding
+# error breaks the hash. Docs pair up as (2g, 2g+1): the odd twin
+# perturbs ONE sampled pixel (+128 at grid (4,3)), flipping at most 2
+# dHash bits, so every within-pair lands under the threshold.
+#
+# Scale shape: one Arrow-batched mapInPandas mints (doc_id, lo, hi) —
+# 16 B/doc, localCheckpoint-barriered so the self-join can't re-run
+# the Python stage; the band join is a pure equi-join on
+# (band_no, band_val) whose traffic the 16-bit geometry bounds
+# (measured: ~10.5k candidates / 2558 survivors at 5k docs, max
+# bucket 20); Hamming verify is two codegen'd XOR+bit_counts. The
+# id_a < id_b predicate sits inside the join condition.
+# ---------------------------------------------------------------------------
+_DH_K = 2654435761  # Knuth 32-bit multiplicative constant
+_DH_W, _DH_H = 27, 16
+
+
+@query(
+    "x205_image_dhash_neardup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS i, doc_id // 2 AS g, doc_id % 2 AS odd
+        FROM documents
+    ),
+    grid AS (
+        SELECT i,
+               gx.x AS gx, gy.y AS gy,
+               CASE WHEN odd = 1 AND gx.x = 4 AND gy.y = 3 THEN
+                   (xor((((g * {_DH_K}) % 16777216 + gx.x * 291 + gy.y * 1282)
+                         * {_DH_K}) % 4294967296,
+                        ((((g * {_DH_K}) % 16777216 + gx.x * 291 + gy.y * 1282)
+                          * {_DH_K}) % 4294967296) // 65536)
+                    * 40503) % 4294967296 // 16777216 + 128
+               ELSE
+                   (xor((((g * {_DH_K}) % 16777216 + gx.x * 291 + gy.y * 1282)
+                         * {_DH_K}) % 4294967296,
+                        ((((g * {_DH_K}) % 16777216 + gx.x * 291 + gy.y * 1282)
+                          * {_DH_K}) % 4294967296) // 65536)
+                    * 40503) % 4294967296 // 16777216
+               END % 256 AS p
+        FROM d, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)
+    ),
+    bits AS (
+        SELECT a.i, a.gy * 8 + a.gx AS b,
+               CASE WHEN n.p > a.p THEN 1 ELSE 0 END AS bit
+        FROM grid a
+        JOIN grid n ON n.i = a.i AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8
+    ),
+    h AS (
+        SELECT i,
+               CAST(SUM(CASE WHEN b < 32
+                             THEN bit * (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN b >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY i
+    ),
+    bands AS (
+        SELECT i, lo, hi, bn.band_no,
+               CASE bn.band_no WHEN 0 THEN lo % 65536
+                               WHEN 1 THEN lo // 65536
+                               WHEN 2 THEN hi % 65536
+                               ELSE hi // 65536 END AS band_val
+        FROM h, (VALUES (0), (1), (2), (3)) bn(band_no)
+    ),
+    cand AS (
+        SELECT DISTINCT a.i AS id_a, b.i AS id_b,
+               a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+        FROM bands a
+        JOIN bands b ON a.band_no = b.band_no
+                    AND a.band_val = b.band_val
+                    AND a.i < b.i
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(lo_a, lo_b))
+                + bit_count(xor(hi_a, hi_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+    """,
+)
+def x205_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded dHash over real PNG round trips:
+    every within-pair twin (Hamming <= 2 by construction) must survive
+    the band blocking, and the oracle's arithmetic pixel replay pins
+    the full codec -> sample -> hash -> band -> verify chain."""
+    from ua2sql_spark.functions.media import dhash64, encode_png_gray
+
+    K, W, H = _DH_K, _DH_W, _DH_H
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # vectorized mixer: every intermediate < 2^63 fits int64, and
+        # the arithmetic is bit-identical to the oracle's BIGINT replay
+        base = np.arange(H, dtype=np.int64)[:, None] * 641 + np.arange(
+            W, dtype=np.int64
+        )[None, :] * 97
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g, odd = i // 2, i % 2
+                u = (g * K) % 16777216 + base
+                t1 = (u * K) % 4294967296
+                v = ((np.bitwise_xor(t1, t1 >> 16) * 40503) % 4294967296) >> 24
+                if odd:
+                    v[6, 12] = (v[6, 12] + 128) % 256
+                raster = v.astype(np.uint8).tobytes()
+                lo, hi = dhash64(encode_png_gray(W, H, raster))
+                rows.append((i, lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
+
+    d = load_table(spark, sf_dir, "documents")
+    # 16 B/row output; the per-row Python encode->decode->hash chain is
+    # the expensive part, so spread it (the x187 discipline), and
+    # barrier the result so the self-join runs the Python stage ONCE
+    hashes = (
+        d.select("doc_id")
+        .repartition(32, "doc_id")
+        .mapInPandas(batches, schema="doc_id bigint, lo bigint, hi bigint")
+        .localCheckpoint(eager=False)
+    )
+    bands = hashes.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.posexplode(
+            F.array(
+                F.col("lo") % 65536,
+                F.shiftright("lo", 16),
+                F.col("hi") % 65536,
+                F.shiftright("hi", 16),
+            )
+        ).alias("band_no", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("b.lo").alias("lo_b"),
+            F.col("b.hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -304,7 +304,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # driver row), x196 -> x204 (the bloom contract was first-gated r10
 # and the exact-dedup family keeps x41/x42/x101/x117; the LSH index
 # health report is the maintenance number compact_lsh_index — built
-# this round — needs, gated from birth like x198).
+# this round — needs, gated from birth like x198), x187 -> x205
+# (EXIF thumbnail geometry driver-green r10; x205 carries the same
+# mapInPandas media seam AND strengthens it — a lossless PNG
+# encode->decode round trip pinned pixel-exact through the dHash,
+# plus the banded-Hamming near-dup join bridging X6 into X2).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins (q02/q03 last green r4, q10/q12 r2)
     "q01_pricing_summary",
@@ -371,8 +375,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis / corpus quality
     "x188_repetition_signals",
     "x189_word_rarity",
-    # multimodal + Python-execution surface
-    "x187_oriented_thumbs",
+    # multimodal + Python-execution surface (x187 -> x205 late-r11:
+    # the dHash near-dup row keeps the mapInPandas media seam in
+    # window and adds the codec-round-trip + banded-Hamming contract)
+    "x205_image_dhash_neardup",
     # layout + iterative graph
     "x124_zorder_layout",
     "x138_domain_pagerank",
