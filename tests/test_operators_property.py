@@ -1319,3 +1319,49 @@ def test_lsh_index_health_agrees_with_compaction(spark, tmp_path):
         assert r["n_dup_rows"] == 4
         assert 1 <= r["n_buckets_used"] <= r["n_hash_groups"] <= 4
         assert r["max_hash_group"] <= r["n_distinct_rows"]
+
+
+def test_reconcile_snapshot_changes_audits_only_touched_keys(spark, tmp_path):
+    """Incremental reconcile: churn keys from the change feed only —
+    an untouched key that disagrees with the reference is NOT audited
+    (by contract), deletes read only_right, updates compare values."""
+    from ua2sql_spark.operators.reconcile import reconcile_snapshot_changes
+    from ua2sql_spark.operators.snapshot import delete_cow, upsert_cow
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, "a", "p"), (2, "b", "p"), (3, "c", "q"), (4, "d", "q")],
+        "k bigint, t string, part string",
+    )
+    upsert_cow(base, path, ["k"], "part")                      # v0
+    upd = spark.createDataFrame([(2, "B2", "p")], "k bigint, t string, part string")
+    upsert_cow(upd, path, ["k"], "part")                       # v1: update k=2
+    delete_cow(spark, path, F.col("k") == 3, "part")           # v2: delete k=3
+
+    reference = spark.createDataFrame(
+        # k=2 matches the update; k=3 still present (reads only_right);
+        # k=4 DISAGREES but was never touched -> must not appear
+        [(1, "a", "p"), (2, "B2", "p"), (3, "c", "q"), (4, "XX", "q")],
+        "k bigint, t string, part string",
+    )
+    rows = {
+        r["k"]: r
+        for r in reconcile_snapshot_changes(
+            spark, path, reference, ["k"], from_version=0,
+            compare_cols=["t"], carry_cols=["part"],
+        ).collect()
+    }
+    assert set(rows) == {2, 3}, f"only touched keys audited, got {set(rows)}"
+    assert rows[2]["status"] == "unchanged"
+    assert rows[3]["status"] == "only_right" and rows[3]["part"] == "q"
+    # from the very beginning (-1): v0 inserts make EVERY key touched,
+    # so the untouched-divergence k=4 now surfaces as changed
+    rows_all = {
+        r["k"]: r["status"]
+        for r in reconcile_snapshot_changes(
+            spark, path, reference, ["k"], from_version=-1, compare_cols=["t"]
+        ).collect()
+    }
+    assert rows_all == {
+        1: "unchanged", 2: "unchanged", 3: "only_right", 4: "changed",
+    }

@@ -91,6 +91,10 @@ SLOPE_QUERIES = {
     "x202_table_reconcile": 4 * 1.6,
     "x204_lsh_index_health": 4 * 1.6,
     "x205_image_dhash_neardup": 4 * 1.6,
+    # x206: change feed + semi-joins + keyed diff, all churn-bounded;
+    # churn scales with the tiled corpus -> linear (commit sequence is
+    # fixture-cached per sf_dir)
+    "x206_incremental_reconcile": 4 * 1.6,
 }
 
 pytestmark = pytest.mark.skipif(

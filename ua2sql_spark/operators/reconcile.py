@@ -71,7 +71,9 @@ def reconcile_tables(
     if compare_cols is None:
         shared = set(left.columns) & set(right.columns)
         compare_cols = sorted(shared - set(key_cols))
-    carry_cols = carry_cols or []
+    # key columns are always emitted; carrying one again would alias
+    # the output column name
+    carry_cols = [c for c in (carry_cols or []) if c not in key_cols]
 
     keep = list(dict.fromkeys(list(key_cols) + compare_cols + carry_cols))
     l = left.select(*keep, F.lit(1).alias("_l_present")).alias("l")
@@ -114,3 +116,53 @@ def reconcile_tables(
         F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c) for c in carry_cols
     )
     return j.select(*out)
+
+
+def reconcile_snapshot_changes(
+    spark,
+    snap_path: str,
+    reference: DataFrame,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+    compare_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Churn-proportional audit: reconcile ONLY the keys the snapshot
+    table touched in ``(from_version, to_version]`` against a
+    reference table — the daily follow-up to a full
+    :func:`reconcile_tables` baseline. At 100 TB a nightly full diff
+    re-reads the corpus twice; this reads the change feed (itself
+    churn-proportional — only changed files are diffed), semi-joins
+    both sides down to the touched keys, and diffs the slices.
+
+    Orientation: left = the snapshot's state at ``to_version``
+    restricted to touched keys, right = the reference's rows for those
+    keys. A key deleted from the snapshot therefore reads
+    ``only_right`` (still in the reference, gone from the table); a
+    key the reference never had reads ``only_left``. Untouched keys
+    are NOT audited — incremental means "since the last full audit",
+    stated here so nobody mistakes a green incremental run for a full
+    reconciliation.
+
+    Scale shape: change feed (churn-bounded) → distinct touched keys
+    (checkpointed once, consumed by two semi-joins) → one keyed diff
+    over churn-sized slices. Nothing scans the un-churned corpus."""
+    from ua2sql_spark.operators.snapshot import (
+        changes_since,
+        latest_version,
+        read_snapshot,
+    )
+
+    to_v = to_version if to_version is not None else latest_version(spark, snap_path)
+    feed = changes_since(spark, snap_path, from_version, key_cols, to_v)
+    keys = (
+        feed.select(*key_cols).distinct().localCheckpoint(eager=False)
+    )
+    snap_slice = read_snapshot(spark, snap_path, to_v).join(
+        keys, key_cols, "left_semi"
+    )
+    ref_slice = reference.join(keys, key_cols, "left_semi")
+    return reconcile_tables(
+        snap_slice, ref_slice, key_cols, compare_cols, carry_cols
+    )

@@ -1743,3 +1743,97 @@ def x202_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x206: incremental reconciliation (round 11) — the churn-proportional
+# follow-up to x202's full diff: a CoW snapshot takes an update commit
+# (text || ' v2' where doc_id%7=0) and an erasure commit (doc_id%10=1),
+# then reconcile_snapshot_changes audits ONLY the touched keys against
+# a reference that already carries the expected text update but a
+# deviating n_chars (+1 where doc_id%9=0) and no deletes. Touched =
+# %7=0 ∪ %10=1, so the per-source report is closed-form: deleted keys
+# read only_right, updated keys match on text and split changed/
+# unchanged on the %9 n_chars deviation, and only_left is pinned 0.
+# One hash covers change-feed key extraction, both semi-join slices,
+# and the keyed diff. Scale shape: feed → distinct keys (checkpointed
+# once) → two semi-joins → churn-sized full-outer diff; the un-churned
+# corpus is never scanned.
+# ---------------------------------------------------------------------------
+@query(
+    "x206_incremental_reconcile",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               doc_id % 10 = 1 AS deleted,
+               doc_id % 9 = 0 AS chars_dev
+        FROM documents
+        WHERE doc_id % 7 = 0 OR doc_id % 10 = 1
+    )
+    SELECT source,
+           CAST(0 AS BIGINT) AS only_left,
+           CAST(COUNT(*) FILTER (WHERE deleted) AS BIGINT) AS only_right,
+           CAST(COUNT(*) FILTER (WHERE NOT deleted AND chars_dev)
+               AS BIGINT) AS changed,
+           CAST(COUNT(*) FILTER (WHERE NOT deleted AND NOT chars_dev)
+               AS BIGINT) AS unchanged,
+           CAST(COUNT(*) AS BIGINT) AS touched
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def x206_incremental_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit only what changed: the snapshot's churn keys (from its own
+    change feed) reconciled against a reference table, per source."""
+    from ua2sql_spark.operators.reconcile import reconcile_snapshot_changes
+    from ua2sql_spark.operators.snapshot import delete_cow, upsert_cow
+    from ua2sql_spark.queries.common import fixture_artifact
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def build(path: str) -> None:
+        upsert_cow(d, path, ["doc_id"], "source")  # v0: opening corpus
+        updates = d.filter(did % 7 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" v2"))
+        )
+        upsert_cow(updates, path, ["doc_id"], "source")  # v1: updates
+        delete_cow(
+            spark,
+            path,
+            d.filter(did % 10 == 1).select("doc_id"),
+            "source",
+            key_cols=["doc_id"],
+        )  # v2: erasure
+
+    path = fixture_artifact(spark, sf_dir, "x206tbl", "documents", build)
+
+    reference = d.withColumn(
+        "text",
+        F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "n_chars",
+        F.when(did % 9 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+    )
+    rec = reconcile_snapshot_changes(
+        spark,
+        path,
+        reference,
+        key_cols=["doc_id"],
+        from_version=0,
+        compare_cols=["text", "lang", "n_chars"],
+        carry_cols=["source"],
+    )
+    count_of = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        rec.groupBy(F.col("source").cast("string").alias("source"))
+        .agg(
+            count_of(F.col("status") == "only_left").alias("only_left"),
+            count_of(F.col("status") == "only_right").alias("only_right"),
+            count_of(F.col("status") == "changed").alias("changed"),
+            count_of(F.col("status") == "unchanged").alias("unchanged"),
+            F.count(F.lit(1)).cast("bigint").alias("touched"),
+        )
+        .orderBy("source")
+    )

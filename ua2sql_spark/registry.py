@@ -308,7 +308,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (EXIF thumbnail geometry driver-green r10; x205 carries the same
 # mapInPandas media seam AND strengthens it — a lossless PNG
 # encode->decode round trip pinned pixel-exact through the dHash,
-# plus the banded-Hamming near-dup join bridging X6 into X2).
+# plus the banded-Hamming near-dup join bridging X6 into X2),
+# q154 -> x206 (catalog SQL UDFs driver-green r7 AND r10, surface
+# keeps q155; incremental reconciliation completes the x202 audit
+# lifecycle — churn keys from the change feed, semi-joined slices,
+# keyed diff — gated from birth).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins (q02/q03 last green r4, q10/q12 r2)
     "q01_pricing_summary",
@@ -335,8 +339,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q82_sliding_window",
     "q158_range_frame_rolling",
     # SQL surface (q156 swapped out late-r11 for x200, q153/q157 for
-    # x201/x203 — all driver-green r10; the surface keeps q154/q155)
-    "q154_sql_udf",
+    # x201/x203, q154 for x206 — all driver-green r10; keeps q155)
     "q155_lateral_topk",
     # versioned tables — X12's driver rows (x200 new late-r11: the
     # per-source corpus version-drift report over the CoW change feed;
@@ -346,8 +349,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x201_snapshot_restore",
     # cross-table reconciliation — a new migration-validation family
     # (keyed full-outer diff; x197 rotated out, similarity keeps
-    # x133/x155/x47/x198)
+    # x133/x155/x47/x198); x206 is its churn-proportional incremental
+    # tier over the change feed
     "x202_table_reconcile",
+    "x206_incremental_reconcile",
     # stats: the rank-based nonparametric tier (q157 rotated out, set
     # ops keep q12 in this window)
     "x203_mann_whitney_u",
