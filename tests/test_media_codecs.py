@@ -1232,3 +1232,24 @@ def test_dhash64_rejects_tiny_images():
 
     with _pytest.raises(NotImplementedError, match="9x8"):
         dhash64(encode_png_gray(8, 8, bytes(64)))
+
+
+def test_png_gray_roundtrip_property():
+    """Any 8-bit grayscale raster survives encode->decode bit-exactly —
+    the losslessness x205's hash contract rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ua2sql_spark.functions.media import decode_raster, encode_png_gray
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, seed):
+        raster = bytes((seed + i * 2654435761) % 256 for i in range(w * h))
+        assert decode_raster(encode_png_gray(w, h, raster)) == (w, h, 1, raster)
+
+    check()
