@@ -166,3 +166,59 @@ def reconcile_snapshot_changes(
     return reconcile_tables(
         snap_slice, ref_slice, key_cols, compare_cols, carry_cols
     )
+
+
+def repair_from_reference(
+    spark,
+    snap_path: str,
+    reference: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    compare_cols: list[str] | None = None,
+    delete_extra: bool = False,
+) -> dict:
+    """Converge a snapshot table onto a reference — the repair verb
+    that completes the diff: upsert every key the keyed diff reports
+    ``changed`` or ``only_right`` (missing from the table), and, when
+    ``delete_extra``, erase ``only_left`` keys the reference no longer
+    has. At most two CoW commits (one upsert, one delete), each
+    versioned — so the repair is itself auditable via the change feed
+    and reversible via ``rollback``.
+
+    Why not just ``upsert_cow(reference)``? A full-reference upsert
+    matches every partition and rewrites the whole table; diffing
+    first bounds the rewrite to partitions that actually contain
+    diverged keys — churn-proportional, like everything else in this
+    module. The diff's two driver-side ``count()`` jobs run over the
+    already-computed diff frame (checkpointed once), not the inputs.
+
+    Returns counts: ``{"upserted": n, "deleted": n}``."""
+    from ua2sql_spark.operators.snapshot import (
+        delete_cow,
+        latest_version,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    current = read_snapshot(spark, snap_path, latest_version(spark, snap_path))
+    rec = reconcile_tables(
+        current, reference, key_cols, compare_cols
+    ).localCheckpoint(eager=False)
+
+    fix_keys = rec.filter(
+        F.col("status").isin(CHANGED, ONLY_RIGHT)
+    ).select(*key_cols)
+    batch = reference.join(fix_keys, key_cols, "left_semi")
+    n_upsert = batch.count()
+    if n_upsert:
+        upsert_cow(batch, snap_path, key_cols, partition_col)
+
+    n_delete = 0
+    if delete_extra:
+        extra = rec.filter(F.col("status") == ONLY_LEFT).select(*key_cols)
+        n_delete = extra.count()
+        if n_delete:
+            delete_cow(
+                spark, snap_path, extra, partition_col, key_cols=key_cols
+            )
+    return {"upserted": n_upsert, "deleted": n_delete}
