@@ -83,8 +83,9 @@ def test_driver_window_families():
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
         "x205_image_dhash_neardup",  # late-r11: media seam + codec round trip
         "x188_repetition_signals", "x189_word_rarity",
-        "x190_delete_erasure", "x200_corpus_version_drift",
+        "x200_corpus_version_drift",
         "x201_snapshot_restore",  # late-r11: RESTORE under the gate
+        "x207_spearman_rank_corr",  # late-r11: rank-correlation tier
         "x202_table_reconcile",  # late-r11: new migration-validation family
         "x206_incremental_reconcile",  # late-r11: churn-proportional tier
         "x203_mann_whitney_u",  # late-r11: rank-based stats tier

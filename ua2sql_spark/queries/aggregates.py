@@ -880,3 +880,121 @@ def x203_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * n1 * n2 - u1_x2).cast("bigint").alias("u2_x2"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x207: Spearman rank correlation — the monotone-association tier
+# beside Pearson's linear r (q137) and the rank TESTS (x203 U, x173
+# KS): "do bigger orders get deeper discounts?" robust to any
+# monotone transform. Ties are everywhere in both columns, so the
+# naive 6·Σd² formula is invalid; the correct tie-handling is Pearson
+# over tie-AVERAGED ranks, which this computes exactly: ranks carried
+# DOUBLED (the x203 discipline) make every hashed moment a BIGINT
+# (Σr², Σrxry ≤ 4n³ — bigint-safe through sf well beyond the bench),
+# and only the final rho combines them in doubles under the q145
+# identical-closed-form rule. Σrx2 = Σry2 = n(n+1) exactly (averaging
+# preserves the rank total) — emitted as a cross-engine tripwire.
+#
+# Scale shape: each column reduces to per-VALUE counts first (50
+# quantities, 11 discount cells), the cumulative rank window runs
+# over those tiny distinct-value domains, and the doubled-rank maps
+# broadcast back onto the rows — no global sort, no row-domain
+# window, one row-scan plus two broadcast joins and one final fold.
+# ---------------------------------------------------------------------------
+@query(
+    "x207_spearman_rank_corr",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    gx AS (
+        SELECT x, COUNT(*) AS c,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS less
+        FROM s GROUP BY x
+    ),
+    gy AS (
+        SELECT y, COUNT(*) AS c,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS less
+        FROM s GROUP BY y
+    ),
+    r AS (
+        SELECT (2 * gx.less + gx.c + 1) AS rx2,
+               (2 * gy.less + gy.c + 1) AS ry2
+        FROM s JOIN gx USING (x) JOIN gy USING (y)
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sx,
+               CAST(SUM(ry2) AS BIGINT) AS sy,
+               CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+               CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+        FROM r
+    )
+    SELECT n, sxx, syy, sxy,
+           CAST(CASE WHEN sx = n * (n + 1) AND sy = n * (n + 1)
+                     THEN 1 ELSE 0 END AS INTEGER) AS rank_total_ok,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS rho
+    FROM m
+    """,
+)
+def x207_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rho between order quantity and discount
+    cell over lineitem — Pearson on doubled tie-averaged ranks, every
+    hashed moment integral."""
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+    )
+
+    def rank_map(col: str):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            s.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("less", F.coalesce(F.sum("c").over(w), F.lit(0)))
+            .select(col, (2 * F.col("less") + F.col("c") + 1).alias(f"r{col}2"))
+        )
+
+    r = s.join(F.broadcast(rank_map("x")), "x").join(
+        F.broadcast(rank_map("y")), "y"
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    nd, sxd, syd = n.cast("double"), sx.cast("double"), sy.cast("double")
+    rho = (nd * F.col("sxy").cast("double") - sxd * syd) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - sxd * sxd)
+        * (nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return m.select(
+        "n",
+        "sxx",
+        "syy",
+        "sxy",
+        F.when((sx == n * (n + 1)) & (sy == n * (n + 1)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rank_total_ok"),
+        F.round(rho, 6).alias("rho"),
+    )

@@ -312,7 +312,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # q154 -> x206 (catalog SQL UDFs driver-green r7 AND r10, surface
 # keeps q155; incremental reconciliation completes the x202 audit
 # lifecycle — churn keys from the change feed, semi-joined slices,
-# keyed diff — gated from birth).
+# keyed diff — gated from birth), x190 -> x207 (CoW delete+feed
+# driver-green r8 AND r10, X12 keeps x200/x201 in window; Spearman
+# completes the rank-statistics tier beside x203's U — Pearson over
+# doubled tie-averaged ranks, every hashed moment integral).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core + joins (q02/q03 last green r4, q10/q12 r2)
     "q01_pricing_summary",
@@ -343,8 +346,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q155_lateral_topk",
     # versioned tables — X12's driver rows (x200 new late-r11: the
     # per-source corpus version-drift report over the CoW change feed;
-    # x201 gates RESTORE, the recovery primitive, same-round)
-    "x190_delete_erasure",
+    # x201 gates RESTORE, the recovery primitive, same-round; x190
+    # out late-r11 for x207, delete+feed stays proven r8/r10)
     "x200_corpus_version_drift",
     "x201_snapshot_restore",
     # cross-table reconciliation — a new migration-validation family
@@ -354,8 +357,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x202_table_reconcile",
     "x206_incremental_reconcile",
     # stats: the rank-based nonparametric tier (q157 rotated out, set
-    # ops keep q12 in this window)
+    # ops keep q12 in this window; x207 adds rank correlation)
     "x203_mann_whitney_u",
+    "x207_spearman_rank_corr",
     # dedup tiers: the minhash/dedup family whose shared substrate
     # (operators/dedup.py, functions/text.py) was edited r9-r11 — all
     # last driver-green r5 or earlier (rotation #9's priority cohort)
