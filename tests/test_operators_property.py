@@ -1417,3 +1417,49 @@ def test_repair_from_reference_converges_and_bounds_rewrite(spark, tmp_path):
         spark, path, reference, ["k"], "part", delete_extra=True
     ) == {"upserted": 0, "deleted": 0}
     assert latest_version(spark, path) == 2
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(st.one_of(st.none(), st.sampled_from(["a", "b"])),
+                  st.integers(min_value=0, max_value=3)),
+        max_size=10,
+    ),
+    right=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(st.one_of(st.none(), st.sampled_from(["a", "b"])),
+                  st.integers(min_value=0, max_value=3)),
+        max_size=10,
+    ),
+)
+def test_reconcile_matches_bruteforce(spark, left, right):
+    """reconcile_tables vs a dict-based reference diff, including NULL
+    values on either side of a compare column."""
+    from ua2sql_spark.operators.reconcile import reconcile_tables
+
+    def mk(d):
+        rows = [(k, t, n) for k, (t, n) in sorted(d.items())]
+        return spark.createDataFrame(rows, "k bigint, t string, n bigint") \
+            if rows else spark.createDataFrame([], "k bigint, t string, n bigint")
+
+    out = {
+        r["k"]: (r["status"], tuple(r["changed_cols"]))
+        for r in reconcile_tables(mk(left), mk(right), ["k"]).collect()
+    }
+    expect = {}
+    for k in set(left) | set(right):
+        if k not in right:
+            expect[k] = ("only_left", ())
+        elif k not in left:
+            expect[k] = ("only_right", ())
+        else:
+            diffs = tuple(
+                name for name, i in (("n", 1), ("t", 0))
+                if left[k][i] != right[k][i]
+            )
+            # operator reports changed_cols in compare-col order (t, n)
+            diffs = tuple(sorted(diffs, key=lambda c: ("n", "t").index(c)))
+            expect[k] = (("changed", diffs) if diffs else ("unchanged", ()))
+    assert out == expect
