@@ -1463,3 +1463,20 @@ def test_reconcile_matches_bruteforce(spark, left, right):
             diffs = tuple(sorted(diffs, key=lambda c: ("n", "t").index(c)))
             expect[k] = (("changed", diffs) if diffs else ("unchanged", ()))
     assert out == expect
+
+
+def test_schema_drift_report(spark):
+    from ua2sql_spark.operators.reconcile import schema_drift_report
+
+    left = spark.createDataFrame([], "k bigint, t string, gone double")
+    right = spark.createDataFrame([], "k bigint, t int, added date")
+    rows = {
+        r["column"]: (r["status"], r["left_type"], r["right_type"])
+        for r in schema_drift_report(spark, left, right).collect()
+    }
+    assert rows == {
+        "k": ("match", "bigint", "bigint"),
+        "t": ("type_mismatch", "string", "int"),
+        "gone": ("only_left", "double", None),
+        "added": ("only_right", None, "date"),
+    }
