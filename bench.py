@@ -145,6 +145,59 @@ def _median_of(fn, n: int = 3) -> float:
     return round(statistics.median(runs), 4)
 
 
+def measure_canary(spark) -> dict:
+    """Machine-speed canary (VERDICT r11 #2): a fixed CPU-bound
+    microbench — constant work at EVERY scale factor, no I/O — so a
+    cross-round headline delta can be split into "the box is slower"
+    vs "the code is slower" without re-litigating host noise. Two
+    probes, each 1 warm-up + median-of-3 through the noop sink:
+
+    * cpu: 32M-row in-memory range -> integer hash chain -> single
+      partial-agg fold (whole-stage codegen, exchange carries 32 rows)
+      — sustained per-core arithmetic throughput.
+    * shuffle: 4M-row range -> groupBy(id % 65536) -> count — one real
+      65536-key exchange, the fixed cost of shuffle machinery.
+
+    3 warm-ups (JIT tier-up needs more than one pass on a ~0.1 s probe)
+    then median-of-5 — the probes are cheap enough that extra runs cost
+    less than one mis-adjudicated round.
+
+    Interpretation contract: headline totals are comparable across
+    rounds AFTER dividing by (this round's canary / reference round's
+    canary); a headline move the canary ratio fully explains is host
+    noise, a residual is code."""
+    from pyspark.sql import functions as F
+
+    def cpu():
+        (
+            spark.range(0, 32_000_000, 1, 32)
+            .select(
+                (
+                    (F.col("id") * F.lit(2654435761) + F.lit(1140071481932319848))
+                    % F.lit(1000003)
+                ).alias("h")
+            )
+            .agg(F.sum("h").alias("s"), F.max("h").alias("m"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def shuffle():
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .groupBy((F.col("id") % 65536).alias("k"))
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    for _ in range(3):
+        cpu()
+        shuffle()
+    return {
+        "canary_cpu_sec": _median_of(cpu, 5),
+        "canary_shuffle_sec": _median_of(shuffle, 5),
+    }
+
+
 def measure_extras(spark) -> dict:
     """Composed-artifact + lakehouse-layer bench lines (VERDICT r7
     next-round #3/#4). Not per-query medians: the e2e pipeline is one
@@ -300,6 +353,11 @@ def main() -> None:
         df.limit(1).count()
     execute(names[0])
 
+    # Machine-speed canary, bracketing the measured section: the START
+    # numbers normalize cross-round comparisons; END minus START exposes
+    # host-throughput drift WITHIN the run (the r11 signature).
+    canary_start = measure_canary(spark)
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:
@@ -327,6 +385,16 @@ def main() -> None:
     extras = measure_extras(spark)
     extras["gated_queries"] = gated
     extras["gated_window_total_sec"] = round(sum(gated.values()), 4)
+    extras.update(canary_start)
+    canary_end = measure_canary(spark)
+    # end-of-run raw numbers ride the detail sidecar (compact_line strips
+    # non-scalars); the compact line carries one drift ratio — >1 means
+    # the box got slower WHILE the suite ran (the r11 signature).
+    extras["canary_end"] = canary_end
+    extras["canary_drift"] = round(
+        canary_end["canary_cpu_sec"] / max(canary_start["canary_cpu_sec"], 1e-9),
+        4,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1288,6 +1288,51 @@ def test_reconcile_key_only_tables_never_report_changed(spark):
     assert rows == {1: "only_left", 2: "unchanged", 3: "only_right"}
 
 
+def test_reconcile_validate_keys_rejects_duplicates(spark):
+    """ADVICE r11 #1: duplicate keys silently explode the full-outer
+    join; validate_keys=True must fail fast naming the side, and clean
+    inputs must pass the guard unchanged."""
+    import pytest
+
+    from ua2sql_spark.operators.reconcile import reconcile_tables
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    duped = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "k bigint, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate key on right"):
+        reconcile_tables(clean, duped, ["k"], validate_keys=True)
+    with pytest.raises(ValueError, match="duplicate key on left"):
+        reconcile_tables(duped, clean, ["k"], validate_keys=True)
+    rows = {
+        r["k"]: r["status"]
+        for r in reconcile_tables(
+            clean, clean, ["k"], validate_keys=True
+        ).collect()
+    }
+    assert rows == {1: "unchanged", 2: "unchanged"}
+    # default stays guard-free (the documented expects-unique contract)
+    assert reconcile_tables(duped, clean, ["k"]).count() >= 3
+
+
+def test_repair_from_reference_rejects_duplicate_reference_keys(spark, tmp_path):
+    """The write path always guards: a duplicated reference key would
+    multiply the upsert batch, so repair raises before writing."""
+    import pytest
+
+    from ua2sql_spark.operators.reconcile import repair_from_reference
+    from ua2sql_spark.operators.snapshot import upsert_cow
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a", "p"), (2, "b", "p")], "k bigint, v string, part string")
+    upsert_cow(base, path, ["k"], "part")
+    bad_ref = spark.createDataFrame(
+        [(1, "a", "p"), (3, "c", "p"), (3, "c2", "p")], "k bigint, v string, part string"
+    )
+    with pytest.raises(ValueError, match="upsert batch"):
+        repair_from_reference(spark, path, bad_ref, ["k"], "part")
+
+
 def test_lsh_index_health_agrees_with_compaction(spark, tmp_path):
     """n_dup_rows is the compaction trigger: it must equal exactly what
     compact_lsh_index drops, and n_distinct_rows what it keeps."""

@@ -738,8 +738,12 @@ def test_bench_compact_line_survives_driver_tail_capture():
         "scan_full_sec": 9999.9999,
         "scan_manifest_pruned_sec": 9999.9999,
         "gated_window_total_sec": 9999.9999,
-        "future_scalar_a_sec": 9999.9999,
-        "future_scalar_b_sec": 9999.9999,
+        "canary_cpu_sec": 9999.9999,
+        "canary_shuffle_sec": 9999.9999,
+        "canary_drift": 9999.9999,
+        # end-of-run canary raws are a MAP — must be stripped like
+        # gated_queries
+        "canary_end": {"canary_cpu_sec": 9999.9999, "canary_shuffle_sec": 9999.9999},
         "gated_queries": {f"x{i}_per_query_map_entry": 999.9999 for i in range(60)},
     }
     line = bench.compact_line(
@@ -748,6 +752,8 @@ def test_bench_compact_line_survives_driver_tail_capture():
     assert len(line) < 1800, len(line)
     parsed = json.loads(line)
     assert "gated_queries" not in parsed["extras"]
+    assert "canary_end" not in parsed["extras"]
+    assert parsed["extras"]["canary_cpu_sec"] == 9999.9999
     assert parsed["extras"]["gated_window_total_sec"] == 9999.9999
     assert set(parsed["queries"]) == set(bench.HEADLINE)
 

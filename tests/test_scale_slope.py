@@ -15,9 +15,13 @@ cross-copy structure the original didn't have:
   (shingles, minhash, word sets) is preserved exactly while copies
   share zero vocabulary (no artificial cross-copy near-dup pairs that
   would quadratically inflate LSH buckets and masquerade as engine
-  superlinearity). doc_id offsets by a stride divisible by every
-  modulus the queries use (eval splits, centroid strides), so the
-  modular structure of each copy matches the original.
+  superlinearity). doc_id offsets by a large stride so copies' id
+  ranges are disjoint; the stride divides the ORIGINAL moduli in use
+  (eval splits, centroid strides), so those copies replay the exact
+  modular structure, while later rows with moduli the stride doesn't
+  divide (x202/x206's 7/9/13/17 perturbation keys) still see ~N/m
+  selected rows per copy — counts, and therefore timing slopes, are
+  preserved statistically even though the selected id SET shifts.
 * embeddings: copy k circularly shifts the vector by 16k dims —
   same-copy dot products are rotation-invariant (within-copy geometry
   identical), cross-copy cosines fall back to the random baseline.
@@ -36,7 +40,11 @@ from ua2sql_spark.registry import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = 4
-STRIDE = 100_000_000  # divisible by every doc_id/vec_id modulus in use
+# Divisible by the sampling/centroid moduli the older slope rows use
+# (powers of 10, 2, 5); NOT by x202/x206's 7/9/13/17 perturbation keys —
+# for those only the per-copy selected-row COUNT matters (~N/m holds for
+# any offset), not which ids are selected (ADVICE r11 #3).
+STRIDE = 100_000_000
 # Per-query slope gate = (work-model growth at 4x data) x 1.6 noise
 # margin (VERDICT r8 #5 asks <= ~1.5x super-linearity vs the MODEL;
 # the margin covers this box's measured +-15-45% sub-2s noise band).

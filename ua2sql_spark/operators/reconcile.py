@@ -45,12 +45,35 @@ CHANGED = "changed"
 UNCHANGED = "unchanged"
 
 
+def _assert_unique_keys(df: DataFrame, key_cols: list[str], side: str) -> None:
+    """Fail fast when a side carries duplicate keys: duplicates explode
+    the full-outer join and make per-key status/changed_cols ill-posed.
+    One aggregation over the key columns, short-circuited with
+    ``limit(1)`` — the scan is the price of the guarantee, which is why
+    the row-diff path only runs it behind ``validate_keys``."""
+    dup = (
+        df.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_repr = {k: dup[0][k] for k in key_cols}
+        raise ValueError(
+            f"reconcile: duplicate key on {side} side ({key_repr} appears "
+            f"{dup[0]['count']} times); keys must be unique per side — "
+            "dedup or re-key before diffing"
+        )
+
+
 def reconcile_tables(
     left: DataFrame,
     right: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
     carry_cols: list[str] | None = None,
+    validate_keys: bool = False,
 ) -> DataFrame:
     """Keyed diff of ``left`` vs ``right``.
 
@@ -66,8 +89,14 @@ def reconcile_tables(
       downstream grouping, e.g. per-source counts).
 
     ``compare_cols`` defaults to the non-key columns the two schemas
-    share. Keys are expected unique per side and non-null.
+    share. Keys are expected unique per side and non-null;
+    ``validate_keys=True`` spends one aggregation per side to enforce
+    that (raises ``ValueError`` naming the first duplicate) instead of
+    silently exploding the join.
     """
+    if validate_keys:
+        _assert_unique_keys(left, key_cols, "left")
+        _assert_unique_keys(right, key_cols, "right")
     if compare_cols is None:
         shared = set(left.columns) & set(right.columns)
         compare_cols = sorted(shared - set(key_cols))
@@ -209,6 +238,10 @@ def repair_from_reference(
         F.col("status").isin(CHANGED, ONLY_RIGHT)
     ).select(*key_cols)
     batch = reference.join(fix_keys, key_cols, "left_semi")
+    # A duplicated reference key would multiply the upsert batch and
+    # write conflicting rows for one key — always guard the write path
+    # (the read-only diff above leaves this opt-in via validate_keys).
+    _assert_unique_keys(batch, key_cols, "reference (upsert batch)")
     n_upsert = batch.count()
     if n_upsert:
         upsert_cow(batch, snap_path, key_cols, partition_col)

@@ -895,11 +895,13 @@ def x203_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical-closed-form rule. Σrx2 = Σry2 = n(n+1) exactly (averaging
 # preserves the rank total) — emitted as a cross-engine tripwire.
 #
-# Scale shape: each column reduces to per-VALUE counts first (50
-# quantities, 11 discount cells), the cumulative rank window runs
-# over those tiny distinct-value domains, and the doubled-rank maps
-# broadcast back onto the rows — no global sort, no row-domain
-# window, one row-scan plus two broadcast joins and one final fold.
+# Scale shape: ONE row-scan reduces lineitem to per-(x, y) CELL counts
+# (≤ 50 quantities × 11 discount cells), checkpointed once; both
+# doubled-rank maps derive from the cells, the cumulative rank window
+# runs over those tiny distinct-value domains, and every moment is a
+# count-WEIGHTED fold over the cell frame — the row domain is never
+# touched again (no global sort, no row-domain window, no join back
+# onto rows; ADVICE r11 #4).
 # ---------------------------------------------------------------------------
 @query(
     "x207_spearman_rank_corr",
@@ -960,26 +962,35 @@ def x207_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
     )
+    # The ONLY pass over the row domain; checkpointed so the two rank
+    # maps and the moment fold all reuse it instead of re-scanning
+    # lineitem (ADVICE r11 #4).
+    cells = (
+        s.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
 
     def rank_map(col: str):
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
         return (
-            s.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("less", F.coalesce(F.sum("c").over(w), F.lit(0)))
-            .select(col, (2 * F.col("less") + F.col("c") + 1).alias(f"r{col}2"))
+            cells.groupBy(col)
+            .agg(F.sum("c").alias("vc"))
+            .withColumn("less", F.coalesce(F.sum("vc").over(w), F.lit(0)))
+            .select(col, (2 * F.col("less") + F.col("vc") + 1).alias(f"r{col}2"))
         )
 
-    r = s.join(F.broadcast(rank_map("x")), "x").join(
+    r = cells.join(F.broadcast(rank_map("x")), "x").join(
         F.broadcast(rank_map("y")), "y"
     )
+    c = F.col("c")
     m = r.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("rx2").cast("bigint").alias("sx"),
-        F.sum("ry2").cast("bigint").alias("sy"),
-        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
-        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(c).cast("bigint").alias("n"),
+        F.sum(c * F.col("rx2")).cast("bigint").alias("sx"),
+        F.sum(c * F.col("ry2")).cast("bigint").alias("sy"),
+        F.sum(c * F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(c * F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(c * F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     nd, sxd, syd = n.cast("double"), sx.cast("double"), sy.cast("double")

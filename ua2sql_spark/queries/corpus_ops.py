@@ -1690,17 +1690,24 @@ def x202_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
+    # coalesce before perturbing: concat/+1 are NULL-propagating, so a
+    # NULL text/n_chars would otherwise "change" to NULL — unchanged
+    # under eqNullSafe — while the oracle counts it changed by modular
+    # arithmetic alone (ADVICE r11 #2).
     right = (
         d.filter(did % 13 != 0)
         .withColumn(
             "text",
-            F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
-                F.col("text")
-            ),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+            ).otherwise(F.col("text")),
         )
         .withColumn(
             "n_chars",
-            F.when(did % 9 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+            F.when(
+                did % 9 == 0, F.coalesce(F.col("n_chars"), F.lit(0)) + 1
+            ).otherwise(F.col("n_chars")),
         )
         .unionByName(
             d.filter(did % 17 == 0).withColumn("doc_id", did + 2_000_000_000)
@@ -1794,7 +1801,8 @@ def x206_incremental_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(path: str) -> None:
         upsert_cow(d, path, ["doc_id"], "source")  # v0: opening corpus
         updates = d.filter(did % 7 == 0).withColumn(
-            "text", F.concat(F.col("text"), F.lit(" v2"))
+            "text",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
         )
         upsert_cow(updates, path, ["doc_id"], "source")  # v1: updates
         delete_cow(
@@ -1807,14 +1815,19 @@ def x206_incremental_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = fixture_artifact(spark, sf_dir, "x206tbl", "documents", build)
 
+    # same NULL-guard as x202: perturbations must register as changes
+    # under eqNullSafe even for NULL inputs (ADVICE r11 #2)
     reference = d.withColumn(
         "text",
-        F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
-            F.col("text")
-        ),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        ).otherwise(F.col("text")),
     ).withColumn(
         "n_chars",
-        F.when(did % 9 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+        F.when(
+            did % 9 == 0, F.coalesce(F.col("n_chars"), F.lit(0)) + 1
+        ).otherwise(F.col("n_chars")),
     )
     rec = reconcile_snapshot_changes(
         spark,
