@@ -1539,14 +1539,17 @@ def test_shallow_clone_reads_time_travels_and_localizes(spark, tmp_path):
 
 
 def test_shallow_clone_vacuum_contract(spark, tmp_path):
-    """The stated vacuum interaction: vacuuming the SOURCE with the
-    union of its own and its clones' live files keeps every clone
-    readable; vacuuming against only the source's live set is
-    clone-invalidating (the documented failure mode)."""
+    """Clone-safe vacuum is the DEFAULT (VERDICT r11 #3): clone_snapshot
+    registers the clone in the source's sidecar, so the plain recipe
+    vacuum_orphans(live_files_union(src)) keeps every clone readable
+    with ZERO caller bookkeeping, even after the clone diverges.
+    Source-only vacuum is the explicit include_clones=False opt-in (the
+    documented clone-invalidating mode)."""
     from ua2sql_spark.operators.layout import vacuum_orphans
     from ua2sql_spark.operators.snapshot import (
         clone_snapshot,
         delete_versions_before,
+        list_clones,
         live_files_union,
         read_snapshot,
         upsert_cow,
@@ -1555,26 +1558,70 @@ def test_shallow_clone_vacuum_contract(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "clone")
     mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, val string")
-    upsert_cow(mk([(1, "d1", "a")]), src, ["id"], "day")   # src v0
+    upsert_cow(mk([(1, "d1", "a"), (2, "d2", "x")]), src, ["id"], "day")  # src v0
     clone_snapshot(spark, src, dst)                         # pins src v0's files
-    upsert_cow(mk([(1, "d1", "b")]), src, ["id"], "day")   # src v1 rewrites d1
+    assert list_clones(spark, src) == [dst]
+    # the clone DIVERGES (localizes d2) but still references src's d1
+    upsert_cow(mk([(2, "d2", "X2")]), dst, ["id"], "day")   # dst v1
+    upsert_cow(mk([(1, "d1", "b")]), src, ["id"], "day")    # src v1 rewrites d1
     # source shortens retention to v1 only: v0's file is now orphaned
     # FROM THE SOURCE'S OWN point of view, but the clone still needs it
     delete_versions_before(spark, src, keep_from=1)
 
-    # SAFE recipe: vacuum the source against source ∪ clone live sets
-    safe = live_files_union(spark, src).unionByName(
-        live_files_union(spark, dst)
-    ).distinct()
-    gone = vacuum_orphans(spark, src, safe, max_age_hours=0, dry_run=False)
+    # DEFAULT recipe — no clone bookkeeping at the call site
+    gone = vacuum_orphans(
+        spark, src, live_files_union(spark, src), max_age_hours=0, dry_run=False
+    )
     assert gone == []
-    assert _rows(read_snapshot(spark, dst)) == {(1, "d1"): "a"}
+    assert _rows(read_snapshot(spark, dst)) == {(1, "d1"): "a", (2, "d2"): "X2"}
 
-    # UNSAFE: source-only manifest sweeps the clone's foreign file —
+    # EXPLICIT source-only opt-in sweeps the clone's foreign file —
     # the documented clone-invalidating mode
     gone2 = vacuum_orphans(
-        spark, src, live_files_union(spark, src), max_age_hours=0, dry_run=False
+        spark,
+        src,
+        live_files_union(spark, src, include_clones=False),
+        max_age_hours=0,
+        dry_run=False,
     )
     assert len(gone2) >= 1
     with pytest.raises(Exception):
         read_snapshot(spark, dst).collect()
+
+
+def test_clone_registry_fails_vacuum_closed_and_unregisters(spark, tmp_path):
+    """A registered clone that was deleted from disk must make
+    live_files_union RAISE (fail closed) rather than silently skip —
+    skipping would hand vacuum a live set missing the clone's
+    references. unregister_clone retires it consciously; clones of
+    clones are unioned recursively."""
+    import shutil
+
+    from ua2sql_spark.operators.snapshot import (
+        clone_snapshot,
+        list_clones,
+        live_files_union,
+        unregister_clone,
+        upsert_cow,
+    )
+
+    src = str(tmp_path / "src")
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c1_of_c1")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, val string")
+    upsert_cow(mk([(1, "d1", "a")]), src, ["id"], "day")
+    clone_snapshot(spark, src, c1)
+    clone_snapshot(spark, c1, c2)  # grandclone registers on c1, not src
+    assert list_clones(spark, src) == [c1]
+    assert list_clones(spark, c1) == [c2]
+    # recursive union: src's live set covers the grandclone's files too
+    n_with = live_files_union(spark, src).count()
+    assert n_with >= live_files_union(spark, src, include_clones=False).count()
+
+    shutil.rmtree(c2)
+    with pytest.raises(ValueError, match="unreadable"):
+        live_files_union(spark, src).count()
+    unregister_clone(spark, c1, c2)
+    assert live_files_union(spark, src).count() == n_with  # same files: c2 was zero-copy
+    with pytest.raises(ValueError, match="not a registered clone"):
+        unregister_clone(spark, c1, c2)

