@@ -69,45 +69,54 @@ def test_driver_window_families():
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
         # text, multimodal, Pandas-UDF surface, training-data pipeline
-        # ops, versioned tables (round-11 rotation #9: registry.py's
+        # ops, versioned tables (round-12 rotation #10: registry.py's
         # rotation comment records which rows moved below the fold and
         # which family member covers each; every rotated-out row is
-        # driver-green in r10)
-        "q01_pricing_summary", "q09_join_theta", "q116_join_full_outer",
+        # driver-green in r11)
         "q35_asof_join",
-        "q114_approx_percentile_contract",
-        "q135_bloom_semijoin_reduction",
+        "q29_json_typed", "q32_date_funcs",  # scalar-family reps kept
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank",
         "x179_prefix_simjoin",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
-        "x205_image_dhash_neardup",  # late-r11: media seam + codec round trip
-        "x188_repetition_signals", "x189_word_rarity",
+        "x189_word_rarity",
         "x200_corpus_version_drift",
-        "x201_snapshot_restore",  # late-r11: RESTORE under the gate
-        "x207_spearman_rank_corr",  # late-r11: rank-correlation tier
-        "x202_table_reconcile",  # late-r11: new migration-validation family
-        "x206_incremental_reconcile",  # late-r11: churn-proportional tier
-        "x203_mann_whitney_u",  # late-r11: rank-based stats tier
+        "x201_snapshot_restore",
+        "x207_spearman_rank_corr",
+        "x202_table_reconcile",
+        "x206_incremental_reconcile",
+        "x203_mann_whitney_u",
         "q155_lateral_topk",
-        "q158_range_frame_rolling",
         "x193_group_split", "x194_lsh_index_probe",
         "x195_fuzzy_editdist_join",
-        "x204_lsh_index_health",  # late-r11: compaction-decision report
-        # rotation #9's freshness cohort: the minhash/dedup family whose
-        # shared substrate changed r9-r11, the r2-vintage scalar/
-        # relational rows, and this round's new driver-gated operators
-        "x41_exact_dedup", "x42_fingerprint_dedup",
-        "x43_minhash_lsh_neardup", "x44_simhash", "x81_neardup_dedup",
-        "x96_neardup_clusters", "x101_minhash_fast_exact_tier",
-        "x117_incremental_dedup",
-        "q02_filter_predicates", "q03_projection_case",
-        "q10_join_cross", "q12_setop_intersect_except",
-        "q17_cube", "q21_variance_exact",
-        "q29_json_typed", "q30_string_funcs", "q31_regexp",
-        "q32_date_funcs", "q33_math_funcs",
-        "q38_funnel", "q82_sliding_window", "x47_embedding_math",
-        "x198_ivf_health_report", "x199_pii_structured_scrub",
+        "x204_lsh_index_health",
+        "x198_ivf_health_report",
+        "x47_embedding_math",
+        # rotation #10's staleness cohort: the FULL r4-vintage set (the
+        # MAX_STALENESS=7 test starts failing for these in round 13)...
+        "q06_join_left_outer", "q11_setop_union", "q14_count_distinct",
+        "q15_approx_distinct", "q18_percentiles", "q23_window_lag_gap",
+        "q24_window_running", "q27_sort_nulls", "q36_range_join",
+        "q37_sessionize", "q39_retention", "q54_pivot",
+        "q56_correlated_exists", "q79_volume_shipping",
+        "x45_cosine_topk", "x50_langid", "x52_binary_metadata",
+        "x73_gini_pandas_udf",
+        # ...plus 6 of the r5 cohort by recently-edited substrate
+        "x53_decode_mapinpandas", "x100_ivf_knn_classify",
+        "x111_pii_scrub", "x112_embedding_quantize",
+        "x121_ivf_recall_contract", "x141_span_dedup",
+        # round-12 first-time gates: the repair verb (VERDICT r11 #5)
+        # and the re-keyed x125 (VERDICT r11 #6 — last local-only
+        # exception retired)
+        "x208_repair_convergence",
+        "x125_unigram_logprob",
+        # Kendall tau-b completes the rank tier, gated from birth
+        # (x205 below the fold r11-green; media keeps x52/x53/x73)
+        "x209_kendall_tau",
+        # Benford digit forensics joins the dataset-audit family, gated
+        # from birth (x188 below the fold r11-green; text keeps
+        # x189/x50/x125)
+        "x210_benford_digit_audit",
     }
     assert required <= set(DRIVER_WINDOW)
 
@@ -121,7 +130,9 @@ def test_driver_freshness_max_staleness():
     below-fold rows / ~24 rotated per round ≈ 6.4 → 7) — a session
     that skips its freshness rotation fails here the round after.
     Window rows are exempt (they are re-checked by the next driver
-    run); x125 is the documented local-only exception."""
+    run). Round 12 retired the x125 local-only carve-out: the row is
+    re-keyed to integer-exact whole-bit surprisal and gated like any
+    other."""
     import glob
     import json
     import os
@@ -149,7 +160,6 @@ def test_driver_freshness_max_staleness():
         f"{name} (last green r{last_green.get(name, 0)})"
         for name in all_queries()
         if name not in DRIVER_WINDOW
-        and name != "x125_unigram_logprob"
         and newest - last_green.get(name, 0) > MAX_STALENESS
     }
     assert not stale, (
@@ -161,10 +171,11 @@ def test_driver_freshness_max_staleness():
 def test_never_driver_checked_ledger_is_computed():
     """VERDICT r9 #7: the rotation ledger drifted twice when hand-counted
     (18 -> 19 vs the true 20). Derive never-driver-checked = registry −
-    ∪CORRECTNESS_r*.json and pin the EXPECTED set: after this round's
-    rotation #8 every row except x125 (documented local-only: its hashed
-    columns derive from ROUND(LN(p),4), the x155 determinism rule) is
-    either already driver-checked or inside the current DRIVER_WINDOW.
+    ∪CORRECTNESS_r*.json and pin the EXPECTED set: every row is either
+    already driver-checked or inside the current DRIVER_WINDOW (the
+    historical x125 carve-out — hashed ROUND(LN(p),4) columns — was
+    retired in round 12 when the row was re-keyed to integer bit-length
+    surprisal and windowed).
     A new query that is neither checked nor windowed must be added to
     the expected set here CONSCIOUSLY (it is the driver-gate contract)."""
     import glob
@@ -180,9 +191,9 @@ def test_never_driver_checked_ledger_is_computed():
             checked |= set(json.load(fh))
     never = set(all_queries()) - checked
     # Every never-checked row must be in the CURRENT window (scheduled
-    # for its first check next driver run) — except the documented
-    # local-only exception.
-    unscheduled = never - set(DRIVER_WINDOW) - {"x125_unigram_logprob"}
+    # for its first check next driver run). The x125 carve-out is
+    # retired as of round 12 (re-keyed and windowed).
+    unscheduled = never - set(DRIVER_WINDOW)
     assert not unscheduled, (
         f"never-driver-checked rows not in DRIVER_WINDOW: {sorted(unscheduled)}"
     )

@@ -103,6 +103,18 @@ SLOPE_QUERIES = {
     # churn scales with the tiled corpus -> linear (commit sequence is
     # fixture-cached per sf_dir)
     "x206_incremental_reconcile": 4 * 1.6,
+    # x203/x207 (round 12): rank stats over the now-TILED lineitem —
+    # both reduce to per-value/cell counts first, so 4x rows over a
+    # constant distinct-value domain must cost one 4x row scan; the
+    # window/rank-map work is value-domain-bounded and does not grow.
+    "x203_mann_whitney_u": 4 * 1.6,
+    "x207_spearman_rank_corr": 4 * 1.6,
+    # x201 (round 12): the commit sequence is fixture-cached per sf_dir
+    # and the base table is a <=350-row customer slice — the timed work
+    # is two bounded manifest reads + a tiny union, CONSTANT at any sf.
+    # Bound = 1x model with a wider 2.5 margin: sub-second rows see the
+    # box's +-45% noise band on BOTH numerator and denominator.
+    "x201_snapshot_restore": 1 * 2.5,
 }
 
 pytestmark = pytest.mark.skipif(
@@ -113,12 +125,28 @@ pytestmark = pytest.mark.skipif(
 
 def _build_4x(spark, src_dir: str, dst_dir: str) -> None:
     os.makedirs(dst_dir, exist_ok=True)
-    for t in (
-        "region nation customer supplier part orders lineitem events".split()
-    ):
+    for t in "region nation customer supplier part orders events".split():
         link = os.path.join(dst_dir, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(src_dir, f"{t}.parquet"), link)
+
+    # lineitem tiles by plain row copies with offset keys and IDENTICAL
+    # value columns: the rank-stats rows (x203/x207) reduce to
+    # per-VALUE/CELL counts, so 4x rows over a CONSTANT distinct-value
+    # domain is exactly their claimed linear regime — a slope above the
+    # bound would mean the work secretly scales with something other
+    # than the row scan (VERDICT r11 #7).
+    li = load_table(spark, src_dir, "lineitem")
+    li_copies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * STRIDE))
+        for k in range(COPIES)
+    ]
+    out = li_copies[0]
+    for c in li_copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, "lineitem.parquet")
+    )
 
     docs = load_table(spark, src_dir, "documents")
     doc_copies = []

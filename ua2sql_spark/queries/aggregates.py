@@ -781,10 +781,13 @@ def x185_cms_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFra
 #
 # Exactness discipline: tie-averaged ranks are half-integers, so the
 # statistic is carried DOUBLED (r1_x2, u1_x2, u2_x2) and every hashed
-# rank quantity is a BIGINT — no float enters until the final z-score,
-# which follows the q145 precedent (identical closed form in both
-# engines on identical integer operands, ROUND(,6)). The tie
-# correction term Σ(t³−t) is likewise integral.
+# rank quantity is an exact integer — held in a DECIMAL(38,0) interior
+# and emitted as a STRING (round 12: the rank sum grows as 2n² and the
+# tie term Σ(t³−t) as Σc³, both past BIGINT at counts a 100 TB table
+# reaches; the tiled slope smoke caught the sibling x207 overflowing).
+# No float enters until the final z-score, which follows the q145
+# precedent (identical closed form in both engines on identical exact
+# operands, ROUND(,6); DuckDB VARCHAR-mediates int128→double).
 #
 # Scale shape: ranking raw rows needs a GLOBAL sort — the classic
 # single-partition window trap. Instead the input is first reduced to
@@ -815,18 +818,23 @@ def x185_cms_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFra
     tot AS (
         SELECT CAST(SUM(ca) AS BIGINT) AS n1,
                CAST(SUM(c - ca) AS BIGINT) AS n2,
-               CAST(SUM(ca * (2 * less + c + 1)) AS BIGINT) AS r1_x2,
-               CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+               SUM(CAST(ca AS HUGEINT) * (2 * less + c + 1)) AS r1_x2,
+               SUM(CAST(c AS HUGEINT) * c * c - c) AS tie_term
         FROM r
     )
-    SELECT n1, n2, r1_x2, tie_term,
-           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
-           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
-           ROUND((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+    SELECT n1, n2,
+           CAST(r1_x2 AS VARCHAR) AS r1_x2,
+           CAST(tie_term AS VARCHAR) AS tie_term,
+           CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS VARCHAR) AS u1_x2,
+           CAST(2 * CAST(n1 AS HUGEINT) * n2
+                - (r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS VARCHAR)
+               AS u2_x2,
+           ROUND((CAST(CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                            AS VARCHAR) AS DOUBLE) / 2.0
                   - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
                  / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                         * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
-                           - CAST(tie_term AS DOUBLE)
+                           - CAST(CAST(tie_term AS VARCHAR) AS DOUBLE)
                              / (CAST(n1 + n2 AS DOUBLE)
                                 * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6)
                AS z_score
@@ -851,19 +859,23 @@ def x203_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT-VALUE domain (tiny by construction), not the raw rows
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     r = g.withColumn("less", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    # DECIMAL(38,0) interior (round 12, the x207 overflow lesson): the
+    # rank sum grows as 2n² and the tie term as Σc³ — both overflow
+    # BIGINT at per-value counts a 100 TB table reaches routinely. Big
+    # statistics are emitted as exact STRINGS; the z-score combines
+    # them in doubles (DuckDB VARCHAR-mediates its int128→double cast).
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    cD, caD = d19("c"), d19("ca")
     tot = r.agg(
         F.sum("ca").cast("bigint").alias("n1"),
         F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n2"),
-        F.sum(F.col("ca") * (2 * F.col("less") + F.col("c") + 1))
-        .cast("bigint")
-        .alias("r1_x2"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-        .cast("bigint")
-        .alias("tie_term"),
+        F.sum(caD * (2 * F.col("less") + F.col("c") + 1)).alias("r1_x2"),
+        F.sum(cD * cD * cD - cD).alias("tie_term"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
+    n1D = n1.cast("decimal(19,0)")
     r1_x2, tie = F.col("r1_x2"), F.col("tie_term")
-    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    u1_x2 = r1_x2 - n1D * (n1D + 1)
     nd = (n1 + n2).cast("double")
     z = (
         u1_x2.cast("double") / 2.0 - n1.cast("double") * n2.cast("double") / 2.0
@@ -874,10 +886,13 @@ def x203_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "n1",
         "n2",
-        "r1_x2",
-        "tie_term",
-        u1_x2.cast("bigint").alias("u1_x2"),
-        (2 * n1 * n2 - u1_x2).cast("bigint").alias("u2_x2"),
+        r1_x2.cast("string").alias("r1_x2"),
+        tie.cast("string").alias("tie_term"),
+        u1_x2.cast("decimal(38,0)").cast("string").alias("u1_x2"),
+        (2 * n1D * n2.cast("decimal(19,0)") - u1_x2)
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("u2_x2"),
         F.round(z, 6).alias("z_score"),
     )
 
@@ -889,11 +904,15 @@ def x203_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # monotone transform. Ties are everywhere in both columns, so the
 # naive 6·Σd² formula is invalid; the correct tie-handling is Pearson
 # over tie-AVERAGED ranks, which this computes exactly: ranks carried
-# DOUBLED (the x203 discipline) make every hashed moment a BIGINT
-# (Σr², Σrxry ≤ 4n³ — bigint-safe through sf well beyond the bench),
-# and only the final rho combines them in doubles under the q145
-# identical-closed-form rule. Σrx2 = Σry2 = n(n+1) exactly (averaging
-# preserves the rank total) — emitted as a cross-engine tripwire.
+# DOUBLED (the x203 discipline) keep every moment an exact integer —
+# held in a DECIMAL(38,0) interior because Σr² grows as 4n³, which
+# overflows BIGINT past n ≈ 1.3e6 rows (the round-12 tiled slope smoke
+# caught the original BIGINT version doing exactly that). The big
+# moments are emitted as exact STRINGS; only the final rho combines
+# them in doubles under the q145 identical-closed-form rule, with
+# DuckDB VARCHAR-mediating its int128→double casts (the common.py
+# correctness note). Σrx2 = Σry2 = n(n+1) exactly (averaging preserves
+# the rank total) — emitted as a cross-engine tripwire.
 #
 # Scale shape: ONE row-scan reduces lineitem to per-(x, y) CELL counts
 # (≤ 50 quantities × 11 discount cells), checkpointed once; both
@@ -911,43 +930,57 @@ def x203_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
         FROM lineitem
     ),
+    cells AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY x, y
+    ),
     gx AS (
-        SELECT x, COUNT(*) AS c,
-               COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+        SELECT x, SUM(c) AS vc,
+               COALESCE(SUM(SUM(c)) OVER (ORDER BY x
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS less
-        FROM s GROUP BY x
+        FROM cells GROUP BY x
     ),
     gy AS (
-        SELECT y, COUNT(*) AS c,
-               COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+        SELECT y, SUM(c) AS vc,
+               COALESCE(SUM(SUM(c)) OVER (ORDER BY y
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS less
-        FROM s GROUP BY y
+        FROM cells GROUP BY y
     ),
     r AS (
-        SELECT (2 * gx.less + gx.c + 1) AS rx2,
-               (2 * gy.less + gy.c + 1) AS ry2
-        FROM s JOIN gx USING (x) JOIN gy USING (y)
+        SELECT cells.c,
+               (2 * gx.less + gx.vc + 1) AS rx2,
+               (2 * gy.less + gy.vc + 1) AS ry2
+        FROM cells JOIN gx USING (x) JOIN gy USING (y)
     ),
     m AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(rx2) AS BIGINT) AS sx,
-               CAST(SUM(ry2) AS BIGINT) AS sy,
-               CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
-               CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
-               CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST(c AS HUGEINT) * rx2) AS sx,
+               SUM(CAST(c AS HUGEINT) * ry2) AS sy,
+               SUM(CAST(c AS HUGEINT) * rx2 * rx2) AS sxx,
+               SUM(CAST(c AS HUGEINT) * ry2 * ry2) AS syy,
+               SUM(CAST(c AS HUGEINT) * rx2 * ry2) AS sxy
         FROM r
     )
-    SELECT n, sxx, syy, sxy,
-           CAST(CASE WHEN sx = n * (n + 1) AND sy = n * (n + 1)
+    SELECT n,
+           CAST(sxx AS VARCHAR) AS sxx,
+           CAST(syy AS VARCHAR) AS syy,
+           CAST(sxy AS VARCHAR) AS sxy,
+           CAST(CASE WHEN sx = CAST(n AS HUGEINT) * (n + 1)
+                      AND sy = CAST(n AS HUGEINT) * (n + 1)
                      THEN 1 ELSE 0 END AS INTEGER) AS rank_total_ok,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           ROUND((CAST(n AS DOUBLE)
+                      * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE)
+                             * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                             * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                        * (CAST(n AS DOUBLE)
+                               * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                               * CAST(CAST(sy AS VARCHAR) AS DOUBLE))), 6)
                AS rho
     FROM m
     """,
@@ -983,29 +1016,195 @@ def x207_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = cells.join(F.broadcast(rank_map("x")), "x").join(
         F.broadcast(rank_map("y")), "y"
     )
-    c = F.col("c")
+    # DECIMAL(38,0) interior for the quadratic moments (round 12): the
+    # doubled-rank products grow as 4n³, which overflows BIGINT past
+    # n ≈ 1.3e6 rows — the tiled slope smoke caught exactly that. Each
+    # factor is cast decimal(19,0) first so the PRODUCT is computed in
+    # decimal (precision caps at 38: exact to n ≈ 3e12 rows); the big
+    # moments are emitted as STRINGS (exact at any magnitude, and
+    # DuckDB's int128→double cast is not correctly rounded past 2^53 —
+    # both engines VARCHAR-mediate before the rho math instead).
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    cD, rxD, ryD = d19("c"), d19("rx2"), d19("ry2")
     m = r.agg(
-        F.sum(c).cast("bigint").alias("n"),
-        F.sum(c * F.col("rx2")).cast("bigint").alias("sx"),
-        F.sum(c * F.col("ry2")).cast("bigint").alias("sy"),
-        F.sum(c * F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
-        F.sum(c * F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
-        F.sum(c * F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(cD * rxD).alias("sx"),
+        F.sum(cD * ryD).alias("sy"),
+        F.sum(cD * rxD * rxD).alias("sxx"),
+        F.sum(cD * ryD * ryD).alias("syy"),
+        F.sum(cD * rxD * ryD).alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    nd, sxd, syd = n.cast("double"), sx.cast("double"), sy.cast("double")
+    n = F.col("n")
+    nDec = n.cast("decimal(19,0)")
+    nd, sxd, syd = (
+        n.cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
     rho = (nd * F.col("sxy").cast("double") - sxd * syd) / F.sqrt(
         (nd * F.col("sxx").cast("double") - sxd * sxd)
         * (nd * F.col("syy").cast("double") - syd * syd)
     )
     return m.select(
         "n",
-        "sxx",
-        "syy",
-        "sxy",
-        F.when((sx == n * (n + 1)) & (sy == n * (n + 1)), 1)
+        F.col("sxx").cast("string").alias("sxx"),
+        F.col("syy").cast("string").alias("syy"),
+        F.col("sxy").cast("string").alias("sxy"),
+        F.when(
+            (F.col("sx") == nDec * (nDec + 1)) & (F.col("sy") == nDec * (nDec + 1)),
+            1,
+        )
         .otherwise(0)
         .cast("int")
         .alias("rank_total_ok"),
         F.round(rho, 6).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x209: Kendall's tau-b (round 12) — the concordance member of the
+# rank-statistics tier (x203 U tests location, x207 Spearman measures
+# monotone association via ranks; tau-b measures it via PAIR
+# concordance, the estimator of choice under heavy ties). The naive
+# definition is an O(n²) pair scan; over a bounded value grid it
+# collapses to the x207 cell trick: reduce lineitem to per-(x, y) cell
+# counts (≤ 50 quantities × 11 discount cells), then count concordant/
+# discordant PAIRS as a fold over CELL pairs — Σ c_i·c_j with both
+# strict inequalities agreeing / opposing — an O(cells²) ≈ 3·10⁵
+# product on broadcast-sized frames, independent of corpus size. Tie
+# terms come from the marginals (Σ C(c_x, 2), Σ C(c_y, 2)). The pair
+# sums grow as n², past BIGINT near 3e9 rows, so every big statistic
+# is held in a DECIMAL(38,0)/HUGEINT interior, carried DOUBLED (the
+# x203 discipline — no halving division anywhere), and emitted as an
+# exact STRING; tau_b combines them in doubles under the q145
+# identical-closed-form rule (sqrt is IEEE correctly-rounded, DuckDB
+# VARCHAR-mediates its int128→double casts).
+#
+# Scale shape: ONE row-scan → cell counts (checkpointed), one
+# broadcast self-join over the value grid, three tiny folds. The row
+# domain is touched exactly once.
+# ---------------------------------------------------------------------------
+@query(
+    "x209_kendall_tau",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY x, y),
+    pairs AS (
+        SELECT COALESCE(SUM(CAST(a.c AS HUGEINT) * b.c) FILTER (
+                   WHERE (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y)), 0) AS nc2,
+               COALESCE(SUM(CAST(a.c AS HUGEINT) * b.c) FILTER (
+                   WHERE (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y)), 0) AS nd2
+        FROM cells a, cells b
+    ),
+    margins AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST(c AS HUGEINT) * (c - 1)) AS txy2,
+               (SELECT SUM(CAST(cx AS HUGEINT) * (cx - 1))
+                FROM (SELECT SUM(c) AS cx FROM cells GROUP BY x)) AS tx2,
+               (SELECT SUM(CAST(cy AS HUGEINT) * (cy - 1))
+                FROM (SELECT SUM(c) AS cy FROM cells GROUP BY y)) AS ty2
+        FROM cells
+    )
+    SELECT n,
+           CAST(nc2 AS VARCHAR) AS concordant_x2,
+           CAST(nd2 AS VARCHAR) AS discordant_x2,
+           CAST(tx2 AS VARCHAR) AS ties_x_x2,
+           CAST(ty2 AS VARCHAR) AS ties_y_x2,
+           CAST(txy2 AS VARCHAR) AS ties_xy_x2,
+           ROUND((CAST(CAST(nc2 AS VARCHAR) AS DOUBLE) / 2.0
+                  - CAST(CAST(nd2 AS VARCHAR) AS DOUBLE) / 2.0)
+                 / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                         - CAST(CAST(tx2 AS VARCHAR) AS DOUBLE) / 2.0)
+                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                           - CAST(CAST(ty2 AS VARCHAR) AS DOUBLE) / 2.0)), 6)
+               AS tau_b
+    FROM pairs, margins
+    """,
+)
+def x209_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall tau-b between order quantity and discount
+    cell over lineitem — pair concordance counted as a fold over the
+    bounded value grid's cell pairs, every hashed count integral."""
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+    )
+    cells = (
+        s.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    # DECIMAL(38,0) interior, doubled counts, string emission — the
+    # x207 overflow lesson applied from birth: Σ c_i·c_j grows as n².
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    prod = d19("ac") * d19("bc")
+    conc = (F.col("ax") < F.col("bx")) & (F.col("ay") < F.col("by")) | (
+        (F.col("ax") > F.col("bx")) & (F.col("ay") > F.col("by"))
+    )
+    disc = (F.col("ax") < F.col("bx")) & (F.col("ay") > F.col("by")) | (
+        (F.col("ax") > F.col("bx")) & (F.col("ay") < F.col("by"))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    # the grid self-join: broadcast-sized by construction (≤ |x|·|y|
+    # cells), never the row domain
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.coalesce(F.sum(F.when(conc, prod)), zero).alias("nc2"),
+        F.coalesce(F.sum(F.when(disc, prod)), zero).alias("nd2"),
+    )
+    mx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg(
+            F.sum(F.col("cx").cast("decimal(19,0)") * (F.col("cx") - 1)).alias(
+                "tx2"
+            )
+        )
+    )
+    my = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg(
+            F.sum(F.col("cy").cast("decimal(19,0)") * (F.col("cy") - 1)).alias(
+                "ty2"
+            )
+        )
+    )
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(d19("c") * (F.col("c") - 1)).alias("txy2"),
+    )
+    m = (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+    )
+    nD = F.col("n").cast("double")
+    n0 = nD * (nD - 1.0) / 2.0
+    tau = (
+        (F.col("nc2").cast("double") / 2.0 - F.col("nd2").cast("double") / 2.0)
+        / F.sqrt(
+            (n0 - F.col("tx2").cast("double") / 2.0)
+            * (n0 - F.col("ty2").cast("double") / 2.0)
+        )
+    )
+    return m.select(
+        "n",
+        F.col("nc2").cast("string").alias("concordant_x2"),
+        F.col("nd2").cast("string").alias("discordant_x2"),
+        F.col("tx2").cast("string").alias("ties_x_x2"),
+        F.col("ty2").cast("string").alias("ties_y_x2"),
+        F.col("txy2").cast("string").alias("ties_xy_x2"),
+        F.round(tau, 6).alias("tau_b"),
     )

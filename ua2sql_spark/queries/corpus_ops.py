@@ -1850,3 +1850,95 @@ def x206_incremental_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x208: repair convergence (round 12, VERDICT r11 #5) — the reconcile
+# family's WRITE half under the driver gate. A perturbed twin of
+# `documents` becomes a CoW snapshot (three deterministic divergence
+# modes: %13 rows missing, %7 rows text-drifted, %17 rows extra under
+# shifted ids), repair_from_reference converges it onto the original
+# (diff-first bounds the rewrite; one upsert commit + one delete
+# commit), and the hash covers {upserted, deleted} plus the RESIDUAL
+# reconcile's status counts — which must read "every row unchanged,
+# nothing else" for the convergence claim to be a checked bit rather
+# than prose. All columns integer (the x202 discipline). The snapshot
+# builds fresh per call (one upsert_cow of the sf's documents) so the
+# row is idempotent — repair mutates its table, and a cached fixture
+# would make the second run's upserted count read 0.
+# Scale shape: diff = ONE full-outer join + map-side compares
+# (operators/reconcile.py); repair rewrites only partitions holding
+# diverged keys; residual audit is a second keyed diff + one fold.
+# ---------------------------------------------------------------------------
+@query(
+    "x208_repair_convergence",
+    oracle="""
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE doc_id % 13 = 0
+                                 OR doc_id % 7 = 0) AS BIGINT) AS n_upserted,
+        CAST(COUNT(*) FILTER (WHERE doc_id % 17 = 0) AS BIGINT) AS n_deleted,
+        CAST(0 AS BIGINT) AS n_only_left,
+        CAST(0 AS BIGINT) AS n_only_right,
+        CAST(0 AS BIGINT) AS n_changed,
+        CAST(COUNT(*) AS BIGINT) AS n_unchanged
+    FROM documents
+    """,
+)
+def x208_repair_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converge a diverged snapshot onto the reference corpus and prove
+    it: repair counts + a residual keyed diff that must read all-unchanged."""
+    import tempfile
+
+    from ua2sql_spark.operators.reconcile import (
+        reconcile_tables,
+        repair_from_reference,
+    )
+    from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    # the diverged table: drop %13, drift %7 text (NULL-guarded like
+    # x202), add %17 extras under collision-free shifted ids
+    diverged = (
+        d.filter(did % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                did % 7 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" drift")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(did % 17 == 0).withColumn("doc_id", did + 2_000_000_000)
+        )
+    )
+    path = tempfile.mkdtemp(prefix="x208_repair_") + "/tbl"
+    upsert_cow(diverged, path, ["doc_id"], "source")
+
+    stats = repair_from_reference(
+        spark,
+        path,
+        d,
+        key_cols=["doc_id"],
+        partition_col="source",
+        compare_cols=["text", "lang", "n_chars"],
+        delete_extra=True,
+    )
+
+    residual = reconcile_tables(
+        read_snapshot(spark, path),
+        d,
+        key_cols=["doc_id"],
+        compare_cols=["text", "lang", "n_chars"],
+    )
+    count_of = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("status") == s, 1).otherwise(0)
+    ).cast("bigint")
+    return residual.agg(
+        F.lit(stats["upserted"]).cast("bigint").alias("n_upserted"),
+        F.lit(stats["deleted"]).cast("bigint").alias("n_deleted"),
+        count_of("only_left").alias("n_only_left"),
+        count_of("only_right").alias("n_only_right"),
+        count_of("changed").alias("n_changed"),
+        count_of("unchanged").alias("n_unchanged"),
+    )

@@ -1241,3 +1241,101 @@ def x193_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leaked_domains",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x210: Benford first-digit audit (round 12) — numeric-column forensics
+# for the dataset-audit family (x175 profiles shape, x157 gates
+# declared invariants; this one screens a monetary column for the
+# fabricated-data / unit-mix-up signature auditors use: a first-
+# significant-digit histogram vs Benford's law). At 100 TB the audit
+# is one map-side projection + a 9-row aggregate — the cheapest
+# anomaly screen a corpus delivery can run.
+#
+# Determinism: the first significant digit comes from STRING arithmetic
+# over FLOOR(x) (integer-to-string renders identically everywhere) —
+# never log10 on the data path; the Benford expectations are PINNED
+# ppm literals computed once in Python and inlined into BOTH engines'
+# plans, so no libm runs anywhere at query time. Deviations are
+# integer ppm (the x192 floor-division pattern). TPC-H-ish prices are
+# bounded-uniform, NOT Benford — the row's value is the measured
+# deviation table itself, hash-pinned.
+# ---------------------------------------------------------------------------
+_BENFORD_PPM = {
+    d: int(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+}
+
+
+@query(
+    "x210_benford_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM lineitem
+        WHERE l_extendedprice >= 1
+    ),
+    hist AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+    expected(digit, expected_ppm) AS (
+        VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())}
+    )
+    SELECT e.digit,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_values,
+           CAST((1000000 * COALESCE(h.n, 0)) // t.total AS BIGINT)
+               AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(ABS((1000000 * COALESCE(h.n, 0)) // t.total
+                    - e.expected_ppm) AS BIGINT) AS deviation_ppm
+    FROM expected e LEFT JOIN hist h USING (digit) CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+)
+def x210_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit histogram of l_extendedprice vs Benford's
+    law, deviations in integer ppm — the fabricated-data screen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    hist = (
+        li.select(
+            F.substring(
+                F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = hist.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit bigint, expected_ppm bigint"
+    )
+    obs_ppm = F.expr("(1000000 * n0) div total").cast("bigint")
+    return (
+        expected.join(F.broadcast(hist), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n0"),
+            "expected_ppm",
+            "total",
+        )
+        .select(
+            "digit",
+            F.col("n0").alias("n_values"),
+            obs_ppm.alias("observed_ppm"),
+            F.col("expected_ppm").cast("bigint").alias("expected_ppm"),
+            F.abs(
+                F.expr("(1000000 * n0) div total") - F.col("expected_ppm")
+            )
+            .cast("bigint")
+            .alias("deviation_ppm"),
+        )
+        .orderBy("digit")
+    )

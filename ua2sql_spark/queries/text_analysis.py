@@ -361,12 +361,21 @@ def x91_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model side when the vocabulary is small); the corpus-total is a
 # 1-row broadcast. Contrast x108_vocab_oov, which checks against a
 # FIXED bounded vocabulary; this one trains on unbounded corpora.
-# Determinism: LN is rounded to 4 decimals per word (the q33 policy),
-# then summed exactly via the decimal interior; the mean itself is NOT
-# re-rounded — the exact sum cast to double divided by the count is one
-# IEEE division of identical operands (the davg pattern), whereas a
-# final ROUND(quotient, 4) disagrees between engines at .00005 ties
-# (observed at sf0.1: 9/5000 docs off by exactly 1e-4).
+#
+# Determinism RE-KEY (VERDICT r11 #6, retiring the last local-only
+# exception): the original hashed ROUND(LN(p), 4) — exactly the
+# multi-op transcendental chain that made x155 red in r7/r8 (libm LN
+# disagrees between engines at the .00005 rounding boundary). Scoring
+# is now WHOLE-BIT surprisal via integer bit length:
+# bits(n) = len(binary(n)) = floor(log2 n) + 1, computed by radix
+# conversion (Spark CONV(n,10,2) / DuckDB BIN(n)) — pure integer
+# arithmetic, zero libm anywhere — and
+# surprisal_bits(word) = bits(total) - bits(cnt) ≈ log2(total/cnt),
+# the LM surprisal at 1-bit resolution. Every hashed column is a
+# BIGINT; the mean is the exact sum over the exact count in one IEEE
+# division of identical operands (the davg pattern). Fractional
+# resolution stays available through x189's rational rarity
+# (total/cnt, a monotone twin of logprob at full precision).
 # ---------------------------------------------------------------------------
 @query(
     "x125_unigram_logprob",
@@ -379,14 +388,16 @@ def x91_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
     scored AS (
         SELECT w.doc_id,
-               ROUND(LN(CAST(v.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 4) AS lnp
+               CAST(LENGTH(BIN(t.total)) - LENGTH(BIN(v.cnt)) AS BIGINT)
+                   AS sbits
         FROM words w JOIN vocab v USING (word) CROSS JOIN tot t
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_scored,
-           CAST(CAST(SUM(CAST(lnp AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
-                 / COUNT(*) AS avg_logprob,
-           MIN(lnp) AS min_logprob
+           CAST(SUM(sbits) AS BIGINT) AS sum_surprisal_bits,
+           CAST(MIN(sbits) AS BIGINT) AS min_surprisal_bits,
+           CAST(MAX(sbits) AS BIGINT) AS max_surprisal_bits,
+           CAST(SUM(sbits) AS DOUBLE) / COUNT(*) AS avg_surprisal_bits
     FROM scored GROUP BY doc_id
     """,
 )
@@ -395,21 +406,21 @@ def x125_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
-    lnp = F.round(
-        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 4
-    )
+    bits = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    sbits = (bits(F.col("total")) - bits(F.col("cnt"))).cast("bigint")
     scored = (
         words.join(vocab, "word")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", lnp.alias("lnp"))
+        .select("doc_id", sbits.alias("sbits"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_scored"),
-        (
-            F.sum(F.col("lnp").cast("decimal(28,8)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_logprob"),
-        F.min("lnp").alias("min_logprob"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("sbits").cast("bigint").alias("sum_surprisal_bits"),
+        F.min("sbits").cast("bigint").alias("min_surprisal_bits"),
+        F.max("sbits").cast("bigint").alias("max_surprisal_bits"),
+        (F.sum("sbits").cast("double") / F.count(F.lit(1))).alias(
+            "avg_surprisal_bits"
+        ),
     )
 
 

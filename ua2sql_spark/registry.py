@@ -316,85 +316,121 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # driver-green r8 AND r10, X12 keeps x200/x201 in window; Spearman
 # completes the rank-statistics tier beside x203's U — Pearson over
 # doubled tie-averaged ranks, every hashed moment integral).
+# Round-12 rotation #10 (VERDICT r11 #1, executed per the written
+# guidance below and in PLANS.md): the staleness test (MAX_STALENESS=7,
+# tests/test_oracle.py) starts failing in round 13 for any row still
+# last-green r4, so the FULL r4 cohort of 18 rotates in
+# (q06/q11/q14/q15/q18/q23/q24/q27/q36/q37/q39/q54/q56/q79/x45/x50/
+# x52/x73) plus 6 of the r5 cohort chosen by recently-edited substrate
+# (x53 media seam + x111 PII — media.py/corpus_ops.py edited r11;
+# x100/x112/x121 — similarity/ivf edited r11; x141 span dedup —
+# dedup substrate edited r9-r11), plus the round's two first-time
+# gates: x208 (repair_from_reference, VERDICT r11 #5 — the reconcile
+# family's write half) and x125 (re-keyed to integer-exact whole-bit
+# surprisal, VERDICT r11 #6 — retiring the last local-only exception),
+# plus two operators BUILT this round and gated from birth: x209
+# Kendall tau-b (completing the rank-statistics tier; slot from x205,
+# r11-green, media keeps x52/x53/x73) and x210 Benford first-digit
+# audit (the dataset-audit family's numeric-forensics member; slot
+# from x188, r11-green, text keeps x189/x50/x125).
+# Out (26 + the x205/x188 late swaps), every one driver-green in r11
+# and each leaving an
+# in-window family member: q01/q02/q03 (relational keeps q79's
+# projection+filter archetype, q27 sorts, q56), q09 theta (non-equi
+# keeps q36 range join), q10 cross (joins keep q06/q36/q56), q116
+# full-outer (x202's reconcile IS a full-outer diff), q135 bloom semi
+# (EXISTS shape keeps q56), q12 (set ops keep incoming q11), q17 cube
+# (grouping keeps q54 pivot), q21/q114 (stats/sketches keep
+# x203/x207/q18/q15), q30/q31/q33 (scalars keep q29 JSON + q32 dates;
+# strings exercised by x195 edit-distance + x50 langid), q38/q82/q158
+# (windows/events keep q35 asof + incoming q23/q24/q37/q39),
+# x41/x42/x101/x117 (exact/fast dedup keeps incoming x141 + x204's
+# index maintenance), x43/x44/x81/x96 (minhash tiers keep x179/x194
+# over the same substrate), x199 (PII keeps incoming x111). All
+# rotated-out rows remain local-oracle green in tests/test_oracle.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core + joins (q02/q03 last green r4, q10/q12 r2)
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_projection_case",
-    "q09_join_theta",
-    "q10_join_cross",
-    "q116_join_full_outer",
-    "q135_bloom_semijoin_reduction",
-    "q12_setop_intersect_except",
-    # aggregates + sketches + stats (q17/q21 last green r2)
-    "q17_cube",
-    "q21_variance_exact",
-    "q114_approx_percentile_contract",
-    # scalar-function families (q29-q33 last green r2)
+    # relational core + joins (r4 staleness cohort)
+    "q06_join_left_outer",
+    "q27_sort_nulls",
+    "q36_range_join",
+    "q56_correlated_exists",
+    "q79_volume_shipping",
+    "q11_setop_union",
+    # aggregates + sketches (r4 staleness cohort)
+    "q14_count_distinct",
+    "q15_approx_distinct",
+    "q18_percentiles",
+    "q54_pivot",
+    # scalar-function family representatives (JSON + dates; re-proven
+    # r11, kept so the family never leaves the window)
     "q29_json_typed",
-    "q30_string_funcs",
-    "q31_regexp",
     "q32_date_funcs",
-    "q33_math_funcs",
-    # windows + event analytics (q38/q82 last green r2)
+    # windows + event analytics (r4 staleness cohort + q35 asof kept)
     "q35_asof_join",
-    "q38_funnel",
-    "q82_sliding_window",
-    "q158_range_frame_rolling",
-    # SQL surface (q156 swapped out late-r11 for x200, q153/q157 for
-    # x201/x203, q154 for x206 — all driver-green r10; keeps q155)
+    "q23_window_lag_gap",
+    "q24_window_running",
+    "q37_sessionize",
+    "q39_retention",
+    # SQL surface
     "q155_lateral_topk",
-    # versioned tables — X12's driver rows (x200 new late-r11: the
-    # per-source corpus version-drift report over the CoW change feed;
-    # x201 gates RESTORE, the recovery primitive, same-round; x190
-    # out late-r11 for x207, delete+feed stays proven r8/r10)
+    # versioned tables — X12's driver rows
     "x200_corpus_version_drift",
     "x201_snapshot_restore",
-    # cross-table reconciliation — a new migration-validation family
-    # (keyed full-outer diff; x197 rotated out, similarity keeps
-    # x133/x155/x47/x198); x206 is its churn-proportional incremental
-    # tier over the change feed
+    # reconciliation family: full diff, incremental tier, and the
+    # round's new WRITE half — repair convergence (x208, gated from
+    # birth per VERDICT r11 #5)
     "x202_table_reconcile",
     "x206_incremental_reconcile",
-    # stats: the rank-based nonparametric tier (q157 rotated out, set
-    # ops keep q12 in this window; x207 adds rank correlation)
+    "x208_repair_convergence",
+    # stats: the rank-based nonparametric tier, completed this round by
+    # Kendall tau-b (x209, gated from birth; x205 rotates out for the
+    # slot — r11-green, and the media/mapInPandas family keeps incoming
+    # x52/x53/x73)
     "x203_mann_whitney_u",
     "x207_spearman_rank_corr",
-    # dedup tiers: the minhash/dedup family whose shared substrate
-    # (operators/dedup.py, functions/text.py) was edited r9-r11 — all
-    # last driver-green r5 or earlier (rotation #9's priority cohort)
-    "x41_exact_dedup",
-    "x42_fingerprint_dedup",
-    "x43_minhash_lsh_neardup",
-    "x44_simhash",
-    "x81_neardup_dedup",
-    "x96_neardup_clusters",
-    "x101_minhash_fast_exact_tier",
-    "x117_incremental_dedup",
+    "x209_kendall_tau",
+    # dedup tiers: the persisted-index family stays (probe geometry
+    # changed this round: pair-exact pruning via one combined-key isin)
+    # + x141 span dedup rotates in from the r5 cohort
+    "x141_span_dedup",
     "x179_prefix_simjoin",
     "x194_lsh_index_probe",
     "x195_fuzzy_editdist_join",
     "x204_lsh_index_health",
-    # similarity / embedding math (x47 last green r2; x198 new this
-    # round — the IVF drift/health report, VERDICT r10 #5)
+    # similarity / embedding math: r4 cosine top-k + the r5 IVF pair
+    # (substrate edited r11) + kept contracts
+    "x45_cosine_topk",
+    "x100_ivf_knn_classify",
+    "x112_embedding_quantize",
+    "x121_ivf_recall_contract",
     "x47_embedding_math",
     "x133_quantized_recall_contract",
     "x155_pr_calibration",
     "x198_ivf_health_report",
-    # text analysis / corpus quality
-    "x188_repetition_signals",
+    # text analysis / corpus quality (x125 re-keyed this round to
+    # integer-exact whole-bit surprisal — first driver check ever;
+    # x188 rotates below the fold r11-green, its slot taken by x210 —
+    # text keeps x189/x50/x125)
+    "x50_langid",
+    "x125_unigram_logprob",
     "x189_word_rarity",
-    # multimodal + Python-execution surface (x187 -> x205 late-r11:
-    # the dHash near-dup row keeps the mapInPandas media seam in
-    # window and adds the codec-round-trip + banded-Hamming contract)
-    "x205_image_dhash_neardup",
+    # dataset-audit family: Benford first-digit forensics (round 12,
+    # gated from birth)
+    "x210_benford_digit_audit",
+    # multimodal + Python-execution surface (r4/r5 cohort: binary
+    # metadata, the fake-decode mapInPandas seam, the Gini pandas-UDF
+    # aggregation; x205's real-codec round trip is r11-green below the
+    # fold, its slot taken by x209)
+    "x52_binary_metadata",
+    "x53_decode_mapinpandas",
+    "x73_gini_pandas_udf",
     # layout + iterative graph
     "x124_zorder_layout",
     "x138_domain_pagerank",
-    # training-data pipeline (x199 new this round — checksum-validated
-    # structured PII scrub, VERDICT r10 #6)
+    # training-data pipeline (x111 PII scrub in from the r5 cohort —
+    # corpus_ops.py edited r11/r12)
     "x193_group_split",
-    "x199_pii_structured_scrub",
+    "x111_pii_scrub",
 )
 
 
