@@ -371,13 +371,19 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
 
     # Driver-gated rows outside the headline: 1 warm-up + 1 timed run.
+    # Write-path rows rebuild their table EVERY execution (idempotence
+    # harness), so a warm-up warms nothing and just doubles a ~20 s
+    # commit sequence — they run once, cold, which is also how the
+    # driver sees them.
     from ua2sql_spark.registry import DRIVER_WINDOW
 
+    WRITE_HEAVY = {"x208_repair_convergence"}
     gated: dict[str, float] = {}
     for name in DRIVER_WINDOW:
         if name in names or name not in specs:
             continue
-        execute(name)
+        if name not in WRITE_HEAVY:
+            execute(name)
         t0 = time.perf_counter()
         execute(name)
         gated[name] = round(time.perf_counter() - t0, 4)

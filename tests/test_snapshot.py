@@ -1625,3 +1625,53 @@ def test_clone_registry_fails_vacuum_closed_and_unregisters(spark, tmp_path):
     assert live_files_union(spark, src).count() == n_with  # same files: c2 was zero-copy
     with pytest.raises(ValueError, match="not a registered clone"):
         unregister_clone(spark, c1, c2)
+
+
+def test_snapshot_layout_health_agrees_with_compaction(spark, tmp_path):
+    """snapshot_layout_health is the compaction trigger (the
+    ivf_health/lsh_health discipline for table layout): would_compact
+    must name exactly the partitions compact_snapshot rewrites, and the
+    post-compaction report must read one file per touched partition."""
+    from ua2sql_spark.operators.snapshot import (
+        compact_snapshot,
+        snapshot_layout_health,
+        upsert_cow,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, v string")
+    upsert_cow(mk([(1, "d1", "a"), (2, "d2", "b")]), path, ["id"], "day")  # v0
+    upsert_cow(mk([(3, "d1", "c")]), path, ["id"], "day")                   # v1: d1 again
+    upsert_cow(mk([(4, "d1", "d")]), path, ["id"], "day")                   # v2: d1 again
+
+    h = {r["partition"]: r for r in snapshot_layout_health(spark, path).collect()}
+    d1 = next(k for k in h if "d1" in k)
+    d2 = next(k for k in h if "d2" in k)
+    # d1 was rewritten whole each CoW commit -> 1 file; CoW upsert
+    # coalesces the partition, so fragmentation here comes from the
+    # APPEND-shaped writes compact_snapshot targets. Check the report's
+    # arithmetic instead of assuming a layout: files/rows/bytes are
+    # positive and would_compact == (n_files >= 2) for every partition.
+    for r in h.values():
+        assert r["n_files"] >= 1 and r["total_bytes"] > 0
+        # manifest may not carry per-file row counts: NULL, never 0
+        assert r["n_rows"] is None or r["n_rows"] >= 1
+        assert r["would_compact"] == (r["n_files"] >= 2)
+    assert d1 != d2
+
+    # agreement contract: compact rewrites exactly the would_compact set
+    expected = sorted(k for k, r in h.items() if r["would_compact"])
+    _v, compacted = compact_snapshot(spark, path, "day")
+    assert sorted(compacted) == expected
+    if expected:
+        h2 = {
+            r["partition"]: r
+            for r in snapshot_layout_health(spark, path).collect()
+        }
+        for part in expected:
+            assert h2[part]["n_files"] == 1
+            assert not h2[part]["would_compact"]
+        # the data itself survives the rewrite
+        from ua2sql_spark.operators.snapshot import read_snapshot
+
+        assert read_snapshot(spark, path).count() == 4

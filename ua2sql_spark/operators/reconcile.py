@@ -237,7 +237,13 @@ def repair_from_reference(
     fix_keys = rec.filter(
         F.col("status").isin(CHANGED, ONLY_RIGHT)
     ).select(*key_cols)
-    batch = reference.join(fix_keys, key_cols, "left_semi")
+    # Materialize once: the batch is consumed by the uniqueness guard,
+    # the count, and the upsert's several commit actions — without the
+    # checkpoint each would recompute the semi-join (and re-read the
+    # reference) from scratch.
+    batch = reference.join(fix_keys, key_cols, "left_semi").localCheckpoint(
+        eager=True
+    )
     # A duplicated reference key would multiply the upsert batch and
     # write conflicting rows for one key — always guard the write path
     # (the read-only diff above leaves this opt-in via validate_keys).

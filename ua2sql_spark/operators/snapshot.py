@@ -983,6 +983,70 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     )
 
 
+def snapshot_layout_health(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Per-partition layout health of a snapshot version — the
+    compaction-decision number :func:`compact_snapshot` needs, in the
+    same discipline as ``ivf_health_report`` (rebuild decision) and
+    ``lsh_index_health`` (compaction trigger): measure first, rewrite
+    only what the number says to. Reports, per partition:
+
+    * ``n_files`` / ``n_rows`` — fragmentation as the manifest records
+      it (micro-batch CoW upserts leave one file per touched partition
+      per commit, so n_files ≈ commits-since-last-compaction);
+      ``n_rows`` is NULL when the manifest carries no row counts for
+      the partition (commit paths that skip per-file counting);
+    * ``n_small_files`` / ``total_bytes`` — files under
+      ``small_file_bytes`` (the scan-efficiency hazard: at 100 TB each
+      file is a task + an open + a footer read) and the partition's
+      on-disk size, from one driver-side metadata walk of exactly the
+      manifest's files;
+    * ``would_compact`` — whether ``compact_snapshot(min_files=2)``
+      would rewrite this partition (n_files >= 2): SUM(would_compact)
+      is the rewrite bound before paying it.
+
+    Driver-side cost is O(table file count) metadata — the same bound
+    every manifest consumer here already pays; no data files are read.
+    Foreign (clone-referenced) files are sized through their own roots
+    like the grouped reader resolves them."""
+    v = version if version is not None else latest_version(spark, path)
+    if v is None:
+        raise ValueError(f"no snapshots under {path}")
+    manifest = read_manifest(spark, path, v)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    rows = []
+    by_part: dict[str, list[tuple[str, int | None]]] = {}
+    for r in manifest.collect():
+        by_part.setdefault(r["partition"], []).append((r["file"], r["row_count"]))
+    for part, files in sorted(by_part.items()):
+        sizes = []
+        for f, _rc in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(conf)
+            sizes.append(fs.getFileStatus(p).getLen())
+        known = [rc for _f, rc in files if rc is not None]
+        rows.append(
+            (
+                part,
+                len(files),
+                int(sum(known)) if known else None,
+                sum(1 for s in sizes if s < small_file_bytes),
+                int(sum(sizes)),
+                len(files) >= 2,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files bigint, n_rows bigint, "
+        "n_small_files bigint, total_bytes bigint, would_compact boolean",
+    )
+
+
 def compact_snapshot(
     spark: SparkSession,
     path: str,

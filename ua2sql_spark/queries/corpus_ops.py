@@ -1895,7 +1895,15 @@ def x208_repair_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
 
-    d = load_table(spark, sf_dir, "documents")
+    # a coarse 4-bucket partition column: repair's cost is CoW COMMITS
+    # (3 of them: build, upsert, delete), and each commit's fixed cost
+    # scales with touched partition count — 20 source partitions made
+    # the bench row pay ~22 s/run in pure small-file overhead at sf0.1.
+    # The operator contract is partition-count-agnostic; 4 buckets
+    # keeps the same code path at a bench-honest constant.
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "grp", (F.col("doc_id") % 4).cast("string")
+    )
     did = F.col("doc_id")
     # the diverged table: drop %13, drift %7 text (NULL-guarded like
     # x202), add %17 extras under collision-free shifted ids
@@ -1913,14 +1921,19 @@ def x208_repair_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     path = tempfile.mkdtemp(prefix="x208_repair_") + "/tbl"
-    upsert_cow(diverged, path, ["doc_id"], "source")
+    # materialize the perturbed plan once: upsert_cow's commit runs
+    # several actions (touched-partition listing, constraint check,
+    # per-partition writes), each of which would otherwise recompute
+    # the filter+union+withColumn chain from the parquet scan
+    diverged = diverged.localCheckpoint(eager=True)
+    upsert_cow(diverged, path, ["doc_id"], "grp")
 
     stats = repair_from_reference(
         spark,
         path,
         d,
         key_cols=["doc_id"],
-        partition_col="source",
+        partition_col="grp",
         compare_cols=["text", "lang", "n_chars"],
         delete_extra=True,
     )
