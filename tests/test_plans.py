@@ -772,3 +772,44 @@ def test_lsh_index_probe_prunes_band_partitions(spark, tmp_path):
     plan = formatted_plan(cand)
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and any("band_no" in ln and "band_bucket" in ln for ln in m), plan
+
+
+def test_kendall_tau_grid_join_broadcasts_and_scans_rows_once(spark):
+    """x209: the only non-broadcast work is the one row-scan into cell
+    counts; the cell-pair concordance join and all three margin frames
+    broadcast (the value grid is config-sized), and nothing falls back
+    to Python eval."""
+    df = all_queries()["x209_kendall_tau"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # grid self-join + tot/mx/my margins: >= 4 broadcast exchanges
+    # (BroadcastNestedLoopJoin for the cross joins counts here too)
+    assert plan.count("Broadcast") >= 4, plan
+    # the row domain is materialized ONCE by the cells checkpoint —
+    # every lineitem access in the final plan goes through it
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
+def test_benford_audit_pushes_price_filter_and_stays_jvm(spark):
+    """x210: the l_extendedprice >= 1 filter reaches the parquet scan,
+    the expected-ppm table broadcasts, and the digit extraction is
+    expression-only (no Python)."""
+    df = all_queries()["x210_benford_digit_audit"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert broadcast_join_count(df) >= 1, plan
+    assert any(
+        "l_extendedprice" in f for f in pushed_filters(df)
+    ), pushed_filters(df)
+
+
+def test_repair_convergence_residual_plan_is_one_keyed_diff(spark):
+    """x208's RETURNED frame (the residual audit) must be the reconcile
+    shape: one full-outer sort-merge join on the key and map-side
+    compares — no Python, no cartesian. (The repair itself runs eagerly
+    inside the query; this pins the plan of what the driver hashes.)"""
+    df = all_queries()["x208_repair_convergence"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
