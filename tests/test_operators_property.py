@@ -1525,3 +1525,94 @@ def test_schema_drift_report(spark):
         "gone": ("only_left", "double", None),
         "added": ("only_right", None, "date"),
     }
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),
+                  st.integers(min_value=0, max_value=4)),
+        min_size=2, max_size=40,
+    )
+)
+def test_kendall_tau_cell_fold_matches_bruteforce(spark, pts):
+    """x209's cell-pair fold vs the O(n²) textbook pair count: the
+    doubled concordant/discordant/tie statistics must agree exactly on
+    arbitrary tied integer data (the whole point of the cell collapse
+    is that it is an identity, not an approximation)."""
+    import itertools
+
+    from ua2sql_spark.queries.aggregates import x209_kendall_tau  # noqa: F401
+    # drive the same math through a minimal inline twin of the cell
+    # fold (the registered query is lineitem-bound; the operator's
+    # arithmetic is what we pin here)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    cells = df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(F.col("x").alias("ax"), F.col("y").alias("ay"),
+                     F.col("c").alias("ac"))
+    b = cells.select(F.col("x").alias("bx"), F.col("y").alias("by"),
+                     F.col("c").alias("bc"))
+    prod = F.col("ac").cast("decimal(19,0)") * F.col("bc").cast("decimal(19,0)")
+    conc = (F.col("ax") < F.col("bx")) & (F.col("ay") < F.col("by")) | (
+        (F.col("ax") > F.col("bx")) & (F.col("ay") > F.col("by")))
+    disc = (F.col("ax") < F.col("bx")) & (F.col("ay") > F.col("by")) | (
+        (F.col("ax") > F.col("bx")) & (F.col("ay") < F.col("by")))
+    row = (
+        a.crossJoin(F.broadcast(b))
+        .agg(
+            F.coalesce(F.sum(F.when(conc, prod)), F.lit(0)).alias("nc2"),
+            F.coalesce(F.sum(F.when(disc, prod)), F.lit(0)).alias("nd2"),
+        )
+        .collect()[0]
+    )
+    nc = nd = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+        if (x1 < x2 and y1 < y2) or (x1 > x2 and y1 > y2):
+            nc += 1
+        elif (x1 < x2 and y1 > y2) or (x1 > x2 and y1 < y2):
+            nd += 1
+    assert (int(row["nc2"]), int(row["nd2"])) == (2 * nc, 2 * nd)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    base=st.dictionaries(st.integers(min_value=0, max_value=9),
+                         st.sampled_from(["a", "b", "c"]),
+                         min_size=1, max_size=8),
+    ref=st.dictionaries(st.integers(min_value=0, max_value=9),
+                        st.sampled_from(["a", "b", "c"]),
+                        min_size=1, max_size=8),
+)
+def test_repair_converges_for_arbitrary_divergence(spark, tmp_path_factory, base, ref):
+    """Random table/reference pairs: repair_from_reference(delete_extra)
+    must always leave the table exactly equal to the reference, with a
+    residual reconcile reading all-unchanged — convergence as a
+    property, not an example."""
+    from ua2sql_spark.operators.reconcile import (
+        reconcile_tables,
+        repair_from_reference,
+    )
+    from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
+
+    path = str(tmp_path_factory.mktemp("conv") / "tbl")
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        [(k, v, str(k % 2)) for k, v in sorted(d.items())],
+        "k bigint, v string, part string",
+    )
+    upsert_cow(mk(base), path, ["k"], "part")
+    repair_from_reference(
+        spark, path, mk(ref), ["k"], "part", delete_extra=True
+    )
+    final = {(r["k"], r["v"]) for r in read_snapshot(spark, path).collect()}
+    assert final == set(ref.items())
+    statuses = {
+        r["status"]
+        for r in reconcile_tables(
+            read_snapshot(spark, path), mk(ref), ["k"]
+        ).collect()
+    }
+    assert statuses <= {"unchanged"}
