@@ -79,7 +79,6 @@ def test_driver_window_families():
         "x138_domain_pagerank",
         "x179_prefix_simjoin",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
-        "x189_word_rarity",
         "x200_corpus_version_drift",
         "x201_snapshot_restore",
         "x207_spearman_rank_corr",
@@ -115,8 +114,12 @@ def test_driver_window_families():
         "x209_kendall_tau",
         # Benford digit forensics joins the dataset-audit family, gated
         # from birth (x188 below the fold r11-green; text keeps
-        # x189/x50/x125)
+        # x50/x125)
         "x210_benford_digit_audit",
+        # chi-squared independence completes the categorical-association
+        # side of the stats tier, gated from birth (slot from x189,
+        # r11-green)
+        "x211_chi_squared_independence",
     }
     assert required <= set(DRIVER_WINDOW)
 

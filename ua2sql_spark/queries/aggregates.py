@@ -1208,3 +1208,102 @@ def x209_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("txy2").cast("string").alias("ties_xy_x2"),
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x211: chi-squared test of independence (round 12) — the categorical-
+# association member of the statistics tier (x182 kappa measures
+# agreement, x163 MI measures dependence in bits, the rank tier
+# handles ordinal data; chi² is the workhorse "are these two labels
+# independent?" readout over a contingency table). Computed over the
+# returnflag × linestatus grid of lineitem.
+#
+# Scale shape: ONE row-scan to contingency cells (≤ |rf|·|ls| rows,
+# checkpointed), margins and the grand total fold from the cells and
+# broadcast back onto them — the row domain is touched exactly once
+# and every join operand is grid-sized.
+#
+# Determinism: observed counts and margins are exact integers; each
+# cell's expected count and contribution are ONE identical closed-form
+# double expression in both engines (the q145 rule); per-cell
+# contributions are ROUNDed to 6dp and then summed through the exact
+# decimal interior (the dsum rule — a plain SUM(double) over cells
+# would be summation-order-dependent), so chi2 is bit-equal.
+# ---------------------------------------------------------------------------
+@query(
+    "x211_chi_squared_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM lineitem GROUP BY rf, ls
+    ),
+    rowm AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY rf),
+    colm AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY ls),
+    tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT rf) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT ls) AS BIGINT) AS nc
+        FROM cells
+    ),
+    scored AS (
+        SELECT o,
+               CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+               ROUND((CAST(o AS DOUBLE)
+                      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(o AS DOUBLE)
+                        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(n AS DOUBLE)), 6) AS contrib,
+               n, nr, nc
+        FROM cells JOIN rowm USING (rf) JOIN colm USING (ls) CROSS JOIN tot
+    )
+    SELECT MAX(n) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS dof,
+           CAST(CAST(SUM(CAST(contrib AS DECIMAL(28,8))) AS VARCHAR)
+                AS DOUBLE) AS chi2,
+           ROUND(MIN(e), 6) AS min_expected,
+           ROUND(MAX(contrib), 6) AS max_contrib
+    FROM scored
+    """,
+)
+def x211_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence of returnflag × linestatus over
+    lineitem — contingency cells from one scan, grid-sized margins
+    broadcast back, contributions decimal-summed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    )
+    cells = (
+        li.groupBy("rf", "ls")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rowm = cells.groupBy("rf").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("ls").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("rf").cast("bigint").alias("nr"),
+        F.countDistinct("ls").cast("bigint").alias("nc"),
+    )
+    j = (
+        cells.join(F.broadcast(rowm), "rf")
+        .join(F.broadcast(colm), "ls")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    diff = F.col("o").cast("double") - e
+    contrib = F.round(diff * diff / e, 6)
+    return j.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("bigint").alias("dof"),
+        F.sum(contrib.cast("decimal(28,8)")).cast("double").alias("chi2"),
+        F.round(F.min(e), 6).alias("min_expected"),
+        F.round(F.max(contrib), 6).alias("max_contrib"),
+    )

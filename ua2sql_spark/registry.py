@@ -332,7 +332,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Kendall tau-b (completing the rank-statistics tier; slot from x205,
 # r11-green, media keeps x52/x53/x73) and x210 Benford first-digit
 # audit (the dataset-audit family's numeric-forensics member; slot
-# from x188, r11-green, text keeps x189/x50/x125).
+# from x188, r11-green, text keeps x50/x125) and x211 chi-squared
+# independence (categorical-association stats; slot from x189,
+# r11-green — x188/x189 both sit below the fold freshly proven).
 # Out (26 + the x205/x188 late swaps), every one driver-green in r11
 # and each leaving an
 # in-window family member: q01/q02/q03 (relational keeps q79's
@@ -389,6 +391,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x203_mann_whitney_u",
     "x207_spearman_rank_corr",
     "x209_kendall_tau",
+    # chi-squared independence joins the stats tier late-r12, gated
+    # from birth (slot from x189 — r11-green, text keeps x50/x125)
+    "x211_chi_squared_independence",
     # dedup tiers: the persisted-index family stays (probe geometry
     # changed this round: pair-exact pruning via one combined-key isin)
     # + x141 span dedup rotates in from the r5 cohort
@@ -413,7 +418,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text keeps x189/x50/x125)
     "x50_langid",
     "x125_unigram_logprob",
-    "x189_word_rarity",
     # dataset-audit family: Benford first-digit forensics (round 12,
     # gated from birth)
     "x210_benford_digit_audit",
