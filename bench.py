@@ -377,7 +377,16 @@ def main() -> None:
     # driver sees them.
     from ua2sql_spark.registry import DRIVER_WINDOW
 
-    WRITE_HEAVY = {"x208_repair_convergence"}
+    # Rows whose TIMED execution commits table versions every call
+    # (fresh-build idempotence harnesses) — their cost is dominated by
+    # commit fixed costs, not plan quality, so they report under their
+    # own subtotal and the cross-round 2x watch reads the read tier
+    # (VERDICT r12 #3: r12's gated total jumped 31->123 s purely
+    # because rotation pulled x208+x206 into the window on a degraded
+    # host). Fixture-CACHED rows (x200/x201/x204/x212/...) commit only
+    # in their warm-up build; their timed run is a read and stays in
+    # the read tier.
+    WRITE_HEAVY = {"x208_repair_convergence", "x206_incremental_reconcile"}
     gated: dict[str, float] = {}
     for name in DRIVER_WINDOW:
         if name in names or name not in specs:
@@ -391,6 +400,12 @@ def main() -> None:
     extras = measure_extras(spark)
     extras["gated_queries"] = gated
     extras["gated_window_total_sec"] = round(sum(gated.values()), 4)
+    # read tier = gated_window_total_sec - gated_write_heavy_sec (kept
+    # derivable rather than emitted: the compact line is 2000-char
+    # tail-capture bounded and the redundant scalar was the margin)
+    extras["gated_write_heavy_sec"] = round(
+        sum(v for k, v in gated.items() if k in WRITE_HEAVY), 4
+    )
     extras.update(canary_start)
     canary_end = measure_canary(spark)
     # end-of-run raw numbers ride the detail sidecar (compact_line strips
@@ -401,6 +416,14 @@ def main() -> None:
         canary_end["canary_cpu_sec"] / max(canary_start["canary_cpu_sec"], 1e-9),
         4,
     )
+    # Canary-normalized headline, VALID only when the box held steady
+    # (VERDICT r12 #5: the r12 anchors disagreed 245-466 canary-units
+    # exactly on the runs whose within-run drift was far from 1 — a
+    # normalization by a moving denominator is noise, so the ratio is
+    # emitted with an explicit validity bit and consumers must ignore
+    # it when canary_valid = 0).
+    drift = extras["canary_drift"]
+    extras["canary_valid"] = 1 if abs(drift - 1.0) <= 0.15 else 0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -408,6 +431,14 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 4)
+    # headline in machine-speed units: headline total / mean bracketing
+    # canary cpu time — the cross-round comparator when canary_valid=1
+    # (a stable box makes start/end agree, so the mean is just noise
+    # reduction, not a fudge).
+    mean_canary = (
+        canary_start["canary_cpu_sec"] + canary_end["canary_cpu_sec"]
+    ) / 2
+    extras["headline_per_canary"] = round(total / max(mean_canary, 1e-9), 2)
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -437,10 +468,30 @@ def main() -> None:
     print(line)
 
 
+# When the compact line would exceed its budget, extras are shed in
+# THIS order (least cross-round-critical first) until it fits — every
+# shed key still rides bench_runs.json and the BENCH_RUNS_DETAIL line.
+# The driver-contract keys (queries map, gated totals, canary drift/
+# validity/normalization) are never in this list.
+_EXTRAS_SHED_ORDER = [
+    "scan_prune_decision_sec",
+    "join_bucketed_sec",
+    "join_shuffle_sec",
+    "scan_manifest_pruned_sec",
+    "scan_full_sec",
+    "pipeline_e2e_sec",
+    "canary_shuffle_sec",
+]
+
+
 def compact_line(total, timings, extras, n_runs, sf_val) -> str:
     """Serialize the driver-facing final stdout line, enforcing the size
     contract (unit-tested in tests/test_plans.py so a growing headline
-    set or a new extras map fails in CI, not in the driver's record)."""
+    set or a new extras map fails in CI, not in the driver's record).
+    Self-healing under growth: worst-case width overflows shed
+    low-priority extras scalars (``_EXTRAS_SHED_ORDER``) instead of
+    shipping a line the driver's 2000-char tail capture would clip
+    mid-JSON."""
     scalar_extras = {
         k: v for k, v in extras.items() if isinstance(v, (int, float, str))
     }
@@ -454,6 +505,11 @@ def compact_line(total, timings, extras, n_runs, sf_val) -> str:
         "sf": sf_val,
     }
     line = json.dumps(compact)
+    for k in _EXTRAS_SHED_ORDER:
+        if len(line) < 1800:
+            break
+        if scalar_extras.pop(k, None) is not None:
+            line = json.dumps(compact)
     assert len(line) < 1800, (
         f"compact bench line is {len(line)} chars (driver captures 2000); "
         "move any new per-query data to bench_runs.json, not the final line"

@@ -69,57 +69,48 @@ def test_driver_window_families():
         # one per family: relational/joins, temporal, windows, JSON,
         # streaming mirror, dedup tiers, similarity tiers + recall gate,
         # text, multimodal, Pandas-UDF surface, training-data pipeline
-        # ops, versioned tables (round-12 rotation #10: registry.py's
+        # ops, versioned tables (round-13 rotation #11: registry.py's
         # rotation comment records which rows moved below the fold and
         # which family member covers each; every rotated-out row is
-        # driver-green in r11)
+        # driver-green in r12)
         "q35_asof_join",
-        "q29_json_typed", "q32_date_funcs",  # scalar-family reps kept
+        "q28_json_extract", "q32_date_funcs",  # scalar-family reps
+        "q11_setop_union",  # set ops — the family's only driver row
+        "q15_approx_distinct", "q18_percentiles",  # sketch/percentile reps
         "x124_zorder_layout", "x133_quantized_recall_contract",
         "x138_domain_pagerank",
         "x179_prefix_simjoin",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
         "x200_corpus_version_drift",
         "x201_snapshot_restore",
-        "x207_spearman_rank_corr",
-        "x202_table_reconcile",
-        "x206_incremental_reconcile",
-        "x203_mann_whitney_u",
+        "x202_table_reconcile",  # reconcile family rep (x206/x208 r12-green)
+        "x209_kendall_tau",  # rank-stats rep (x203/x207 r12-green)
+        "x211_chi_squared_independence",
         "q155_lateral_topk",
         "x193_group_split", "x194_lsh_index_probe",
-        "x195_fuzzy_editdist_join",
-        "x204_lsh_index_health",
         "x198_ivf_health_report",
-        "x47_embedding_math",
-        # rotation #10's staleness cohort: the FULL r4-vintage set (the
-        # MAX_STALENESS=7 test starts failing for these in round 13)...
-        "q06_join_left_outer", "q11_setop_union", "q14_count_distinct",
-        "q15_approx_distinct", "q18_percentiles", "q23_window_lag_gap",
-        "q24_window_running", "q27_sort_nulls", "q36_range_join",
-        "q37_sessionize", "q39_retention", "q54_pivot",
-        "q56_correlated_exists", "q79_volume_shipping",
-        "x45_cosine_topk", "x50_langid", "x52_binary_metadata",
-        "x73_gini_pandas_udf",
-        # ...plus 6 of the r5 cohort by recently-edited substrate
-        "x53_decode_mapinpandas", "x100_ivf_knn_classify",
-        "x111_pii_scrub", "x112_embedding_quantize",
-        "x121_ivf_recall_contract", "x141_span_dedup",
-        # round-12 first-time gates: the repair verb (VERDICT r11 #5)
-        # and the re-keyed x125 (VERDICT r11 #6 — last local-only
-        # exception retired)
-        "x208_repair_convergence",
-        "x125_unigram_logprob",
-        # Kendall tau-b completes the rank tier, gated from birth
-        # (x205 below the fold r11-green; media keeps x52/x53/x73)
-        "x209_kendall_tau",
-        # Benford digit forensics joins the dataset-audit family, gated
-        # from birth (x188 below the fold r11-green; text keeps
-        # x50/x125)
         "x210_benford_digit_audit",
-        # chi-squared independence completes the categorical-association
-        # side of the stats tier, gated from birth (slot from x189,
-        # r11-green)
-        "x211_chi_squared_independence",
+        "x50_langid", "x52_binary_metadata", "x53_decode_mapinpandas",
+        "x111_pii_scrub",
+        # rotation #11's staleness cohort: the FULL r5-vintage set (the
+        # MAX_STALENESS=7 test starts failing for these in round 14)...
+        "q04_join_inner", "q07_join_semi", "q08_join_anti",
+        "q13_groupby_having", "q16_rollup", "q19_max_by_checkpoint",
+        "q20_collect_set", "q22_window_rank", "q25_topk_per_group",
+        "q26_order_limit", "q28_json_extract", "q34_array_funcs",
+        "q40_tumbling_window", "q86_supplier_wait", "q95_market_share",
+        "x104_global_shuffle", "x127_classifier_scores",
+        "x130_hybrid_search_rrf", "x148_dsir_importance",
+        "x46_ann_bucketed", "x48_token_stats",
+        "x77_zscore_applyinpandas",
+        # ...plus 2 of the r6 cohort, oldest-first by family risk
+        "q05_join_star_broadcast", "x71_ivf_ann",
+        # round-13 first-time gate: the measure-first maintenance trio's
+        # last member (VERDICT r12 #2)
+        "x212_snapshot_layout_health",
+        # x204's hashed frame gained the compaction-idempotence columns
+        # this round (VERDICT r12 #7) — must be re-proven in-window
+        "x204_lsh_index_health",
     }
     assert required <= set(DRIVER_WINDOW)
 

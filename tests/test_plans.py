@@ -738,6 +738,12 @@ def test_bench_compact_line_survives_driver_tail_capture():
         "scan_full_sec": 9999.9999,
         "scan_manifest_pruned_sec": 9999.9999,
         "gated_window_total_sec": 9999.9999,
+        # round-13 tier split (VERDICT r12 #3) + canary validity
+        # (VERDICT r12 #5): three more scalars must fit (the read tier
+        # is derivable as window_total - write_heavy, not emitted)
+        "gated_write_heavy_sec": 9999.9999,
+        "canary_valid": 1,
+        "headline_per_canary": 9999.99,
         "canary_cpu_sec": 9999.9999,
         "canary_shuffle_sec": 9999.9999,
         "canary_drift": 9999.9999,
@@ -753,9 +759,24 @@ def test_bench_compact_line_survives_driver_tail_capture():
     parsed = json.loads(line)
     assert "gated_queries" not in parsed["extras"]
     assert "canary_end" not in parsed["extras"]
+    # driver-contract scalars survive worst-case shedding (they are
+    # deliberately absent from bench._EXTRAS_SHED_ORDER)
     assert parsed["extras"]["canary_cpu_sec"] == 9999.9999
     assert parsed["extras"]["gated_window_total_sec"] == 9999.9999
+    assert parsed["extras"]["gated_write_heavy_sec"] == 9999.9999
+    assert parsed["extras"]["canary_drift"] == 9999.9999
+    assert parsed["extras"]["canary_valid"] == 1
+    assert parsed["extras"]["headline_per_canary"] == 9999.99
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+    for key in (
+        "gated_window_total_sec",
+        "gated_write_heavy_sec",
+        "canary_drift",
+        "canary_valid",
+        "headline_per_canary",
+        "canary_cpu_sec",
+    ):
+        assert key not in bench._EXTRAS_SHED_ORDER
 
 
 def test_lsh_index_probe_prunes_band_partitions(spark, tmp_path):

@@ -115,6 +115,29 @@ SLOPE_QUERIES = {
     # Bound = 1x model with a wider 2.5 margin: sub-second rows see the
     # box's +-45% noise band on BOTH numerator and denominator.
     "x201_snapshot_restore": 1 * 2.5,
+    # x209 Kendall tau-b (round 13, VERDICT r12 #6): the doubled-rank
+    # cell fold and the concordance grid self-join are VALUE-DOMAIN
+    # bounded by claim (|quantity| x |discount| cells over the tiled
+    # lineitem's CONSTANT distinct-value domain) — 4x rows must cost
+    # one 4x row scan into cells and nothing more. This is the same
+    # family whose x207 row caught the BIGINT overflow at this very
+    # tile in r12; the slope row makes the quadratic hazard a measured
+    # number.
+    "x209_kendall_tau": 4 * 1.6,
+    # x210 Benford (round 13): map-side first-digit projection + a
+    # 9-row aggregate against pinned ppm literals -> one row scan,
+    # linear.
+    "x210_benford_digit_audit": 4 * 1.6,
+    # x211 chi-squared (round 13): one row-scan to contingency cells
+    # (<= |rf| x |ls| rows, constant domain under the tiling); margins
+    # and contributions are grid-sized -> linear.
+    "x211_chi_squared_independence": 4 * 1.6,
+    # x212 snapshot layout health (round 13, gated from birth): the
+    # six-slice fixture build is cached per sf_dir (warm-up pays it);
+    # the timed report is one 6-row manifest read + one listStatus per
+    # partition dir (3 dirs at ANY sf) -> CONSTANT, x201's sub-second
+    # noise margin.
+    "x212_snapshot_layout_health": 1 * 2.5,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -1675,3 +1675,143 @@ def test_snapshot_layout_health_agrees_with_compaction(spark, tmp_path):
         from ua2sql_spark.operators.snapshot import read_snapshot
 
         assert read_snapshot(spark, path).count() == 4
+
+
+def test_manifest_records_exact_row_counts(spark, tmp_path):
+    """Round 13: every committer records per-file footer row counts
+    (the Delta numRecords stat) via ONE distributed footer pass, so
+    snapshot_layout_health's n_rows is exact instead of NULL and
+    carried entries propagate counts forward."""
+    from ua2sql_spark.operators.snapshot import (
+        bootstrap_snapshot,
+        compact_snapshot,
+        delete_cow,
+        read_manifest,
+        snapshot_layout_health,
+        upsert_cow,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, v string")
+
+    # bootstrap adoption records counts
+    path = str(tmp_path / "adopted")
+    mk([(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")]).coalesce(1).write.partitionBy(
+        "day"
+    ).parquet(path)
+    bootstrap_snapshot(spark, path, "day")
+    per_part = {
+        r["partition"]: r["row_count"]
+        for r in read_manifest(spark, path, 0).collect()
+    }
+    assert per_part == {"day=d1": 2, "day=d2": 1}
+
+    # upsert / delete / compact all record counts; carried entries keep
+    # their previous version's counts
+    path2 = str(tmp_path / "cow")
+    upsert_cow(mk([(1, "d1", "a"), (2, "d2", "b")]), path2, ["id"], "day")
+    upsert_cow(mk([(3, "d1", "c")]), path2, ["id"], "day")  # d1 -> 2 rows
+    m1 = read_manifest(spark, path2, 1).collect()
+    assert all(r["row_count"] is not None for r in m1)
+    assert sum(r["row_count"] for r in m1) == 3
+    delete_cow(spark, path2, F.col("id") == 3, "day")
+    m2 = read_manifest(spark, path2, 2).collect()
+    assert sum(r["row_count"] for r in m2) == 2
+    compact_snapshot(spark, path2, "day")
+    h = {
+        r["partition"]: r
+        for r in snapshot_layout_health(spark, path2).collect()
+    }
+    assert h["day=d1"]["n_rows"] == 1 and h["day=d2"]["n_rows"] == 1
+
+
+def test_layout_health_min_files_matches_compaction_threshold(spark, tmp_path):
+    """ADVICE r12 #2: would_compact must agree with
+    compact_snapshot(min_files=k) for ANY k, not only the default 2."""
+    from ua2sql_spark.operators.snapshot import (
+        bootstrap_snapshot,
+        compact_snapshot,
+        snapshot_layout_health,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, v string")
+    # three single-task appends into d1, one into d2 -> 3 + 1 files
+    for rows in ([(1, "d1", "a")], [(2, "d1", "b")], [(3, "d1", "c")], [(4, "d2", "d")]):
+        mk(rows).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    bootstrap_snapshot(spark, path, "day")
+
+    h3 = {
+        r["partition"]: r["would_compact"]
+        for r in snapshot_layout_health(spark, path, min_files=3).collect()
+    }
+    assert h3 == {"day=d1": True, "day=d2": False}
+    _v, compacted = compact_snapshot(spark, path, "day", min_files=3)
+    assert compacted == ["day=d1"]
+
+
+def test_sidecar_writes_are_staged_and_fail_closed(spark, tmp_path):
+    """ADVICE r12 #1: _clones.json mutates via stage + rename; a crash
+    between delete and rename (simulated: stage present, final gone)
+    makes readers raise instead of reporting an empty registry — the
+    empty answer is exactly the vacuum data loss the sidecar prevents."""
+    import os
+
+    from ua2sql_spark.operators.snapshot import (
+        clone_snapshot,
+        list_clones,
+        upsert_cow,
+    )
+
+    src = str(tmp_path / "src")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", "a")], "id bigint, day string, v string"),
+        src,
+        ["id"],
+        "day",
+    )
+    clone_snapshot(spark, src, str(tmp_path / "c1"))
+    assert list_clones(spark, src) == [str(tmp_path / "c1")]
+    snap_root = os.path.join(src, "_snapshots")
+    # no stage residue after a clean write
+    assert not [
+        n for n in os.listdir(snap_root) if n.startswith(".tmp-_clones.json-")
+    ]
+    # simulate the crash window: stage exists, final missing (drop the
+    # local FS's checksum twin too, or the recovery read would validate
+    # the new bytes against the OLD file's crc)
+    with open(os.path.join(snap_root, ".tmp-_clones.json-deadbeef"), "w") as fh:
+        fh.write("[]")
+    os.remove(os.path.join(snap_root, "_clones.json"))
+    crc = os.path.join(snap_root, "._clones.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="crashed between delete and rename"):
+        list_clones(spark, src)
+    # recovery: rename the stage into place
+    os.rename(
+        os.path.join(snap_root, ".tmp-_clones.json-deadbeef"),
+        os.path.join(snap_root, "_clones.json"),
+    )
+    assert list_clones(spark, src) == []
+
+
+def test_live_files_union_names_clone_registry_cycles(spark, tmp_path):
+    """ADVICE r12 #4: a hand-corrupted _clones.json (self-registration)
+    must surface as a named diagnostic on the vacuum path, not an
+    unbounded RecursionError."""
+    import json
+    import os
+
+    from ua2sql_spark.operators.snapshot import live_files_union, upsert_cow
+
+    src = str(tmp_path / "src")
+    upsert_cow(
+        spark.createDataFrame([(1, "d1", "a")], "id bigint, day string, v string"),
+        src,
+        ["id"],
+        "day",
+    )
+    with open(os.path.join(src, "_snapshots", "_clones.json"), "w") as fh:
+        json.dump([src], fh)  # self-registration: the simplest cycle
+    with pytest.raises(ValueError, match="clone registry cycle"):
+        live_files_union(spark, src).count()

@@ -127,6 +127,38 @@ def file_stats(
     )
 
 
+def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
+    """``file -> parquet footer num_rows`` for an EXPLICIT file list,
+    read DISTRIBUTED like :func:`file_stats` (one metadata page per
+    file, never the data); the returned map is file-count-bounded, so
+    the one collect is the same O(files-touched) the caller's manifest
+    commit already pays. Committers record these in the manifest so
+    downstream consumers (``snapshot_layout_health``, change
+    accounting) get exact per-partition row counts without re-scanning
+    data — the Delta ``numRecords`` per-file stat."""
+    if not files:
+        return {}
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def read_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fpath in pdf["file"]:
+                local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
+                rows.append((fpath, pq.ParquetFile(local).metadata.num_rows))
+            yield pd.DataFrame(rows, columns=["file", "row_count"])
+
+    return {
+        r["file"]: r["row_count"]
+        for r in paths_df.repartition(min(len(files), 64))
+        .mapInPandas(read_counts, schema="file string, row_count bigint")
+        .collect()
+    }
+
+
 def prune_files(
     manifest: DataFrame, col: str, lo, hi, cast: str = "bigint"
 ) -> list[str] | None:

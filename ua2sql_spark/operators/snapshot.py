@@ -271,7 +271,10 @@ def delete_versions_before(spark: SparkSession, path: str, keep_from: int) -> li
 
 
 def live_files_union(
-    spark: SparkSession, path: str, include_clones: bool = True
+    spark: SparkSession,
+    path: str,
+    include_clones: bool = True,
+    _visited: frozenset | None = None,
 ) -> DataFrame:
     """Union of every retained snapshot's file list — pass as the
     ``manifest`` to ``layout.vacuum_orphans`` to sweep only files no
@@ -285,7 +288,17 @@ def live_files_union(
     be read raises instead of being silently skipped, because skipping
     it would let vacuum delete files the clone still references.
     ``unregister_clone`` retires a deleted clone; source-only vacuum is
-    the explicit opt-in ``include_clones=False``."""
+    the explicit opt-in ``include_clones=False``.
+
+    The recursion carries a visited-path set (ADVICE r12 #4): the API
+    cannot create a cycle (``clone_snapshot`` requires a fresh dst),
+    but a hand-edited or corrupted ``_clones.json`` (self-registration,
+    A↔B) must surface as a named diagnostic on the vacuum path, not an
+    unbounded ``RecursionError``. Detection is by exact path STRING —
+    the registry stores the strings passed to ``clone_snapshot``, so
+    two spellings of one directory are the registry's corruption to
+    fix, not this guard's."""
+    seen = (_visited or frozenset()) | {path}
     versions = list_versions(spark, path)
     if not versions:
         raise ValueError(f"no snapshots under {path}")
@@ -295,9 +308,18 @@ def live_files_union(
         df = part if df is None else df.unionByName(part)
     if include_clones:
         for c in list_clones(spark, path):
+            if c in seen:
+                raise ValueError(
+                    f"clone registry cycle: {c!r} is registered under "
+                    f"{path!r} but is already on the recursion path "
+                    f"{sorted(seen)}; _clones.json is corrupted — "
+                    "unregister_clone() the bogus entry"
+                )
             try:
-                df = df.unionByName(live_files_union(spark, c))
+                df = df.unionByName(live_files_union(spark, c, _visited=seen))
             except ValueError as e:
+                if "clone registry cycle" in str(e):
+                    raise
                 raise ValueError(
                     f"registered clone {c!r} of {path!r} is unreadable "
                     f"({e}); if the clone was deleted, unregister_clone() "
@@ -331,16 +353,33 @@ def _list_partition_files(
     return out
 
 
+def _manifest_rows_with_counts(
+    spark: SparkSession, files: list[tuple[str, str]]
+) -> list[tuple[str, str, int | None]]:
+    """Attach exact per-file row counts to (file, partition) pairs via
+    ONE distributed footer pass (``manifest.file_row_counts`` — the
+    Delta ``numRecords`` stat). Every committer records them, so
+    ``snapshot_layout_health``'s ``n_rows`` is real instead of NULL and
+    carried manifest entries propagate the counts forward for free.
+    Cost: one job over the files THIS commit wrote (churn-bounded,
+    metadata pages only)."""
+    from ua2sql_spark.operators.manifest import file_row_counts
+
+    counts = file_row_counts(spark, [f for f, _p in files])
+    return [(f, part, counts.get(f)) for f, part in files]
+
+
 def bootstrap_snapshot(
     spark: SparkSession, path: str, partition_col: str
 ) -> int:
     """v0 for a pre-existing hive-partitioned table: one root listing
-    (paid ONCE, at adoption time — every later version lists only the
-    partitions it touches)."""
+    plus one DISTRIBUTED footer pass for per-file row counts (both paid
+    ONCE, at adoption time — every later version lists only the
+    partitions it touches and carries the counts forward)."""
     if latest_version(spark, path) is not None:
         raise ValueError(f"{path} already has snapshots")
     jvm, fs, root = _jfs(spark, path)
-    rows = []
+    pairs = []
     it = fs.listFiles(root, True)
     prefix = f"/{_SNAP_DIR}/"
     while it.hasNext():
@@ -355,7 +394,8 @@ def bootstrap_snapshot(
         # fully-qualified (scheme+authority kept): manifests must be
         # readable on non-default filesystems (s3a:// at 100 TB), and
         # vacuum_orphans normalizes both forms identically
-        rows.append((p.toString(), part, None))
+        pairs.append((p.toString(), part))
+    rows = _manifest_rows_with_counts(spark, pairs)
     return _commit_manifest(
         spark, path, 0, rows, operation="BOOTSTRAP",
         op_metrics={"n_adopted_files": len(rows)},
@@ -787,9 +827,9 @@ def upsert_cow(
     before = _list_partition_files(spark, path, touched_dir_names)
     out.write.mode("append").partitionBy(partition_col).parquet(path)
     after = _list_partition_files(spark, path, touched_dir_names)
-    new_files = [
-        (f, part, None) for f, (part, _sz) in after.items() if f not in before
-    ]
+    new_files = _manifest_rows_with_counts(
+        spark, [(f, part) for f, (part, _sz) in after.items() if f not in before]
+    )
 
     version = (prev if prev is not None else -1) + 1
     stats_df = None
@@ -919,9 +959,9 @@ def delete_cow(
     before = _list_partition_files(spark, path, list(touched_dirs))
     keep.write.mode("append").partitionBy(partition_col).parquet(path)
     after = _list_partition_files(spark, path, list(touched_dirs))
-    new_files = [
-        (f, part, None) for f, (part, _sz) in after.items() if f not in before
-    ]
+    new_files = _manifest_rows_with_counts(
+        spark, [(f, part) for f, (part, _sz) in after.items() if f not in before]
+    )
 
     version = prev + 1
     stats_df = None
@@ -988,6 +1028,7 @@ def snapshot_layout_health(
     path: str,
     version: int | None = None,
     small_file_bytes: int = 32 * 1024 * 1024,
+    min_files: int = 2,
 ) -> DataFrame:
     """Per-partition layout health of a snapshot version — the
     compaction-decision number :func:`compact_snapshot` needs, in the
@@ -998,46 +1039,68 @@ def snapshot_layout_health(
     * ``n_files`` / ``n_rows`` — fragmentation as the manifest records
       it (micro-batch CoW upserts leave one file per touched partition
       per commit, so n_files ≈ commits-since-last-compaction);
-      ``n_rows`` is NULL when the manifest carries no row counts for
-      the partition (commit paths that skip per-file counting);
+      ``n_rows`` is exact for every file written since commits began
+      recording footer counts, NULL only for legacy manifest entries
+      that never carried one;
     * ``n_small_files`` / ``total_bytes`` — files under
       ``small_file_bytes`` (the scan-efficiency hazard: at 100 TB each
       file is a task + an open + a footer read) and the partition's
       on-disk size, from one driver-side metadata walk of exactly the
       manifest's files;
-    * ``would_compact`` — whether ``compact_snapshot(min_files=2)``
-      would rewrite this partition (n_files >= 2): SUM(would_compact)
-      is the rewrite bound before paying it.
+    * ``would_compact`` — whether ``compact_snapshot(min_files=...)``
+      would rewrite this partition (n_files >= min_files, the SAME
+      threshold semantics, so the report's rewrite bound agrees with
+      what compaction actually does for any caller-chosen min_files —
+      ADVICE r12 #2): SUM(would_compact) is the rewrite bound before
+      paying it.
 
-    Driver-side cost is O(table file count) metadata — the same bound
-    every manifest consumer here already pays; no data files are read.
-    Foreign (clone-referenced) files are sized through their own roots
-    like the grouped reader resolves them."""
+    Driver-side RPC cost is O(partition directories), not O(files):
+    files are sized via ONE ``listStatus`` per parent directory
+    (grouped from the manifest's fully-qualified paths — VERDICT r12
+    #4; the previous per-file ``getFileStatus`` loop was hours at a
+    10⁵–10⁶-file table), with a per-file fallback only for a file
+    missing from its directory listing (a concurrently-vacuumed or
+    hand-moved file — never a healthy table). No data files are read.
+    Foreign (clone-referenced) files group under their own parent
+    directories, so clones cost the same bound."""
     v = version if version is not None else latest_version(spark, path)
     if v is None:
         raise ValueError(f"no snapshots under {path}")
     manifest = read_manifest(spark, path, v)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    rows = []
+    HPath = jvm.org.apache.hadoop.fs.Path
     by_part: dict[str, list[tuple[str, int | None]]] = {}
+    by_dir: dict[str, list[str]] = {}
     for r in manifest.collect():
         by_part.setdefault(r["partition"], []).append((r["file"], r["row_count"]))
+        by_dir.setdefault(r["file"].rsplit("/", 1)[0], []).append(r["file"])
+    sizes: dict[str, int] = {}
+    for dname, fl in by_dir.items():
+        dp = HPath(dname)
+        fs = dp.getFileSystem(conf)
+        listing = (
+            {st.getPath().toString(): st.getLen() for st in fs.listStatus(dp)}
+            if fs.exists(dp)
+            else {}
+        )
+        for f in fl:
+            sz = listing.get(f)
+            if sz is None:
+                sz = fs.getFileStatus(HPath(f)).getLen()
+            sizes[f] = sz
+    rows = []
     for part, files in sorted(by_part.items()):
-        sizes = []
-        for f, _rc in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            fs = p.getFileSystem(conf)
-            sizes.append(fs.getFileStatus(p).getLen())
+        fsizes = [sizes[f] for f, _rc in files]
         known = [rc for _f, rc in files if rc is not None]
         rows.append(
             (
                 part,
                 len(files),
                 int(sum(known)) if known else None,
-                sum(1 for s in sizes if s < small_file_bytes),
-                int(sum(sizes)),
-                len(files) >= 2,
+                sum(1 for s in fsizes if s < small_file_bytes),
+                int(sum(fsizes)),
+                len(files) >= min_files,
             )
         )
     return spark.createDataFrame(
@@ -1104,9 +1167,9 @@ def compact_snapshot(
             .parquet(path)
         )
     after = _list_partition_files(spark, path, frag_dirs)
-    new_files = [
-        (f, part, None) for f, (part, _sz) in after.items() if f not in before
-    ]
+    new_files = _manifest_rows_with_counts(
+        spark, [(f, part) for f, (part, _sz) in after.items() if f not in before]
+    )
     version = prev + 1
     stats_df = None
     prev_stats = snapshot_stats(spark, path, prev)
@@ -1168,9 +1231,9 @@ def cluster_snapshot(
     before = _list_partition_files(spark, path, part_dirs)
     out.write.mode("append").partitionBy(partition_col).parquet(path)
     after = _list_partition_files(spark, path, part_dirs)
-    new_files = [
-        (f, part, None) for f, (part, _sz) in after.items() if f not in before
-    ]
+    new_files = _manifest_rows_with_counts(
+        spark, [(f, part) for f, (part, _sz) in after.items() if f not in before]
+    )
     version = prev + 1
     # stats over the zorder columns are the entire point of the rewrite;
     # keep any previously-stats'd columns too
@@ -1556,24 +1619,20 @@ _TAGS_SIDECAR = "_tags.json"
 
 
 def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
-    """name -> version for every tag on the table."""
+    """name -> version for every tag on the table. Fails closed on a
+    half-committed sidecar, same as :func:`list_clones`."""
     import json as _json
 
-    jvm, fs, _ = _jfs(spark, path)
-    raw = _read_sidecar_text(jvm, fs, _snap_root(path), _TAGS_SIDECAR)
+    raw = _read_sidecar_fail_closed(spark, path, _TAGS_SIDECAR)
     return _json.loads(raw) if raw else {}
 
 
 def _write_tags(spark: SparkSession, path: str, tags: dict[str, int]) -> None:
     import json as _json
 
-    jvm, fs, _ = _jfs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(_snap_root(path), _TAGS_SIDECAR)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(_json.dumps(tags, sort_keys=True).encode("utf-8")))
-    finally:
-        out.close()
+    _write_sidecar_atomic(
+        spark, path, _TAGS_SIDECAR, _json.dumps(tags, sort_keys=True)
+    )
 
 
 def tag_snapshot(
@@ -1633,27 +1692,79 @@ def _resolve_version(
 _CLONES_SIDECAR = "_clones.json"
 
 
+def _write_sidecar_atomic(
+    spark: SparkSession, path: str, name: str, text: str
+) -> None:
+    """Mutable-sidecar commit idiom (ADVICE r12 #1): stage the new
+    content under a unique ``.tmp-`` name, delete the old file, rename
+    the stage into place — a reader never observes a torn write, which
+    the previous ``fs.create(overwrite)`` allowed (a crash mid-write
+    left truncated JSON that broke every later read). The remaining
+    crash window (between delete and rename) leaves the stage file
+    behind with no final file; :func:`_read_sidecar_fail_closed` turns
+    that state into a named recovery error instead of an empty
+    registry. Mutation runs under the table's single-writer commit
+    contract, same as every manifest commit here."""
+    import uuid
+
+    jvm, fs, _ = _jfs(spark, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = _snap_root(path)
+    tmp = HPath(root, f".tmp-{name}-{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    final = HPath(root, name)
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"sidecar rename failed for {name} under {path}")
+
+
+def _read_sidecar_fail_closed(spark: SparkSession, path: str, name: str):
+    """Read a mutable sidecar; if the final file is MISSING but a
+    staged ``.tmp-`` twin exists, a writer crashed between delete and
+    rename — fail closed with recovery instructions rather than return
+    "no registrations" (for ``_clones.json`` that empty answer is
+    exactly the silent vacuum data loss the sidecar exists to
+    prevent)."""
+    jvm, fs, _ = _jfs(spark, path)
+    raw = _read_sidecar_text(jvm, fs, _snap_root(path), name)
+    if raw is None:
+        root_p = jvm.org.apache.hadoop.fs.Path(_snap_root(path))
+        if fs.exists(root_p):
+            for st in fs.listStatus(root_p):
+                n = st.getPath().getName()
+                if n.startswith(f".tmp-{name}-"):
+                    raise ValueError(
+                        f"staged sidecar {n} exists but {name} is missing "
+                        f"under {path}: a writer crashed between delete and "
+                        "rename; inspect the stage and rename it into place "
+                        f"as {name} to recover"
+                    )
+    return raw
+
+
 def list_clones(spark: SparkSession, path: str) -> list[str]:
     """Destination paths of every shallow clone registered on this
     table (written by :func:`clone_snapshot` at clone time). Entries
-    are the exact path strings passed to ``clone_snapshot``."""
+    are the exact path strings passed to ``clone_snapshot``. Fails
+    closed on a half-committed sidecar (crashed writer) — see
+    :func:`_read_sidecar_fail_closed`."""
     import json as _json
 
-    jvm, fs, _ = _jfs(spark, path)
-    raw = _read_sidecar_text(jvm, fs, _snap_root(path), _CLONES_SIDECAR)
+    raw = _read_sidecar_fail_closed(spark, path, _CLONES_SIDECAR)
     return _json.loads(raw) if raw else []
 
 
 def _write_clones(spark: SparkSession, path: str, clones: list[str]) -> None:
     import json as _json
 
-    jvm, fs, _ = _jfs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(_snap_root(path), _CLONES_SIDECAR)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(_json.dumps(sorted(clones)).encode("utf-8")))
-    finally:
-        out.close()
+    _write_sidecar_atomic(
+        spark, path, _CLONES_SIDECAR, _json.dumps(sorted(clones))
+    )
 
 
 def unregister_clone(spark: SparkSession, src_path: str, dst_path: str) -> None:
@@ -1700,7 +1811,13 @@ def clone_snapshot(
     phantom registration (vacuum fails closed until
     ``unregister_clone``), never an unregistered clone (silent data
     loss). Source-only vacuum is the explicit opt-in
-    ``live_files_union(src, include_clones=False)``."""
+    ``live_files_union(src, include_clones=False)``.
+
+    Registration is a read-modify-write of the source's sidecar and
+    runs under the source table's SINGLE-WRITER commit contract (the
+    same one every manifest commit assumes): two concurrent
+    ``clone_snapshot`` calls against one source must be externally
+    serialized or one registration can be lost (ADVICE r12 #1)."""
     src_v = _resolve_version(spark, src_path, version)
     if latest_version(spark, dst_path) is not None:
         raise ValueError(f"{dst_path} already has snapshots")

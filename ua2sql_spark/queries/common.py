@@ -114,3 +114,34 @@ def fixture_artifact(spark, sf_dir: str, tag: str, source_table: str, build) -> 
     build(path)
     _FIXTURE_CACHE[key] = path
     return path
+
+
+def fresh_artifact(spark, tag: str) -> str:
+    """A NEVER-cached artifact dir under the ``fixture_artifact`` naming
+    scheme (ADVICE r12 #3): per-call freshness is the caller's contract
+    (x208 rebuilds its diverged snapshot every execution — a cached
+    fixture would make its idempotence claim false), but the
+    ``ua2sql_<tag>_<pid>_`` prefix lets the SAME stale-artifact sweep
+    reclaim prior calls' dirs, so repeated executions (bench + every
+    emulation run) don't leak a corpus copy per run. Sweeps through the
+    table-side Hadoop FS like :func:`fixture_artifact`, and never a dir
+    a live cache key still points at."""
+    import os
+    import tempfile
+    import uuid
+
+    from ua2sql_spark.operators.snapshot import _jfs
+
+    prefix = f"ua2sql_{tag}_{os.getpid()}_"
+    tmp_root = tempfile.gettempdir()
+    jvm, fs, _ = _jfs(spark, tmp_root)
+    root_p = jvm.org.apache.hadoop.fs.Path(tmp_root)
+    live = {
+        os.path.basename(v) for v in _FIXTURE_CACHE.values() if v is not None
+    }
+    if fs.exists(root_p):
+        for st in fs.listStatus(root_p):
+            name = st.getPath().getName()
+            if name.startswith(prefix) and name not in live:
+                fs.delete(st.getPath(), True)
+    return os.path.join(tmp_root, prefix + uuid.uuid4().hex)

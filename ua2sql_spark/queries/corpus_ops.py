@@ -1887,13 +1887,12 @@ def x206_incremental_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x208_repair_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Converge a diverged snapshot onto the reference corpus and prove
     it: repair counts + a residual keyed diff that must read all-unchanged."""
-    import tempfile
-
     from ua2sql_spark.operators.reconcile import (
         reconcile_tables,
         repair_from_reference,
     )
     from ua2sql_spark.operators.snapshot import read_snapshot, upsert_cow
+    from ua2sql_spark.queries.common import fresh_artifact
 
     # a coarse 4-bucket partition column: repair's cost is CoW COMMITS
     # (3 of them: build, upsert, delete), and each commit's fixed cost
@@ -1920,7 +1919,9 @@ def x208_repair_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(did % 17 == 0).withColumn("doc_id", did + 2_000_000_000)
         )
     )
-    path = tempfile.mkdtemp(prefix="x208_repair_") + "/tbl"
+    # fresh dir per call (per-call rebuild IS the idempotence harness),
+    # named so the fixture sweep reclaims prior runs (ADVICE r12 #3)
+    path = fresh_artifact(spark, "x208repair") + "/tbl"
     # materialize the perturbed plan once: upsert_cow's commit runs
     # several actions (touched-partition listing, constraint check,
     # per-partition writes), each of which would otherwise recompute

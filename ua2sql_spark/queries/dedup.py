@@ -1337,6 +1337,16 @@ def x196_bloom_fingerprint_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the computation provably ran. History = doc_id % 3 != 0,
 # batch = doc_id % 3 = 0, default geometry (16 hashes / band_size 8
 # -> bands 1 and 2).
+#
+# Round 13 (VERDICT r12 #7): the fixture build now also COMPACTS the
+# debris index (compact_lsh_index into path/compact1), and the row
+# hashes the maintenance loop's idempotence as arithmetic: per band,
+# the compacted index must hold exactly n_rows_after_compact rows
+# (compact_kept_ok = 1) and carry ZERO remaining duplicates
+# (recompact_would_drop = 0 — n_dup_rows is BY CONTRACT exactly what a
+# second compaction would drop, so the pinned 0 makes "re-compacting a
+# clean index drops nothing" a driver-checked bit every rotation, not
+# an e2e-test-only claim).
 # ---------------------------------------------------------------------------
 @query(
     "x204_lsh_index_health",
@@ -1351,7 +1361,9 @@ def x196_bloom_fingerprint_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_batch AS BIGINT) AS n_dup_rows,
            CAST(n_base + n_batch AS BIGINT) AS n_rows_after_compact,
            CAST(1 AS INTEGER) AS geometry_ok,
-           CAST(1 AS INTEGER) AS hot_group_le_docs
+           CAST(1 AS INTEGER) AS hot_group_le_docs,
+           CAST(0 AS BIGINT) AS recompact_would_drop,
+           CAST(1 AS INTEGER) AS compact_kept_ok
     FROM c CROSS JOIN (VALUES (1), (2)) AS b(band_no)
     ORDER BY band_no
     """,
@@ -1359,11 +1371,14 @@ def x196_bloom_fingerprint_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x204_lsh_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Health report over a persisted LSH band index carrying replay
     debris: per band, total/dup/post-compaction row counts (arithmetic
-    under the hash) plus bucket-geometry and hot-group invariants as
-    verdict bits."""
+    under the hash), bucket-geometry and hot-group invariants as
+    verdict bits, plus the compaction-idempotence columns — the
+    compacted twin's residual dup count (pinned 0) and kept-row
+    agreement with the debris report's prediction."""
     from ua2sql_spark.operators.dedup import (
         LSH_INDEX_BUCKETS,
         append_lsh_index,
+        compact_lsh_index,
         lsh_index_health,
         save_lsh_index,
     )
@@ -1376,24 +1391,42 @@ def x204_lsh_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = d.filter(F.col("doc_id") % 3 == 0).localCheckpoint(eager=False)
         append_lsh_index(batch, path)
         append_lsh_index(batch, path)  # at-least-once replay: exact dups
+        # the maintenance verb under test: compact the debris into the
+        # explicit-adoption twin (inside the fixture dir so the sweep
+        # reclaims both together)
+        compact_lsh_index(spark, path, path + "/compact1")
 
     path = fixture_artifact(spark, sf_dir, "x204idx", "documents", build)
     h = lsh_index_health(spark, path)
-    return h.select(
-        F.col("band_no").cast("int").alias("band_no"),
-        "n_rows",
-        "n_dup_rows",
-        F.col("n_distinct_rows").alias("n_rows_after_compact"),
-        F.when(
-            (F.col("n_buckets_used") <= F.lit(LSH_INDEX_BUCKETS))
-            & (F.col("n_hash_groups") >= F.col("n_buckets_used")),
-            1,
+    hc = lsh_index_health(spark, path + "/compact1").select(
+        "band_no",
+        F.col("n_dup_rows").alias("__c_dups"),
+        F.col("n_rows").alias("__c_rows"),
+    )
+    return (
+        h.join(hc, "band_no")  # num_bands rows each side
+        .select(
+            F.col("band_no").cast("int").alias("band_no"),
+            "n_rows",
+            "n_dup_rows",
+            F.col("n_distinct_rows").alias("n_rows_after_compact"),
+            F.when(
+                (F.col("n_buckets_used") <= F.lit(LSH_INDEX_BUCKETS))
+                & (F.col("n_hash_groups") >= F.col("n_buckets_used")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("geometry_ok"),
+            F.when(F.col("max_hash_group") <= F.col("n_distinct_rows"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("hot_group_le_docs"),
+            F.col("__c_dups").cast("bigint").alias("recompact_would_drop"),
+            F.when(F.col("__c_rows") == F.col("n_distinct_rows"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("compact_kept_ok"),
         )
-        .otherwise(0)
-        .cast("int")
-        .alias("geometry_ok"),
-        F.when(F.col("max_hash_group") <= F.col("n_distinct_rows"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("hot_group_le_docs"),
-    ).orderBy("band_no")
+        .orderBy("band_no")
+    )

@@ -424,3 +424,104 @@ def x201_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return state(2, "pre_restore").unionByName(state(3, "restored"))
+
+
+# ---------------------------------------------------------------------------
+# x212: snapshot layout health (round 13, VERDICT r12 #2) — the
+# measure-first maintenance trio's LAST member under the driver gate
+# (IVF has x198, the LSH index has x204; this is the table-layout
+# report compact_snapshot consumes). The fixture table is adopted via
+# bootstrap_snapshot from a layout built with EXACT file-count control:
+# each (partition, slice) lands as its own single-task write job —
+# coalesce(1) per slice, one write action per slice — so the manifest
+# records grp=0 with 3 files, grp=1 with 2, grp=2 with 1, independent
+# of shuffle hashing or parallelism. Row counts come from the
+# bootstrap's distributed footer pass, so n_rows is exact integer
+# arithmetic over `documents` (doc_id % 3 buckets). would_compact uses
+# the operator's min_files parameter (default 2 — ADVICE r12 #2), so
+# the hash pins the agreement between the report and what
+# compact_snapshot(min_files=2) would rewrite: grp=0 and grp=1 yes,
+# grp=2 no.
+#
+# total_bytes is EXCLUDED from the frame (encoder-dependent — parquet
+# page layout is not contract); n_small_files rides with the threshold
+# pinned ABOVE any encoding (1 TiB), so it equals n_files by
+# construction at every sf — the column proves the size walk ran
+# without hashing encoder bytes.
+#
+# Scale shape: the report is one manifest read + ONE listStatus per
+# partition directory (O(partitions) RPCs, never O(files) — VERDICT
+# r12 #4); nothing reads data files. The fixture build is cached per
+# (process, sf_dir) like every other CoW fixture.
+# ---------------------------------------------------------------------------
+@query(
+    "x212_snapshot_layout_health",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id % 3 AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY doc_id % 3
+    ),
+    layout(grp, n_files) AS (VALUES (0, 3), (1, 2), (2, 1))
+    SELECT 'grp=' || CAST(g.grp AS VARCHAR) AS "partition",
+           CAST(l.n_files AS BIGINT) AS n_files,
+           g.n_rows,
+           CAST(l.n_files AS BIGINT) AS n_small_files,
+           CAST(CASE WHEN l.n_files >= 2 THEN 1 ELSE 0 END AS INTEGER)
+               AS would_compact
+    FROM g JOIN layout l ON g.grp = l.grp
+    ORDER BY "partition"
+    """,
+)
+def x212_snapshot_layout_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition layout health over a file-count-pinned adopted
+    snapshot: fragmentation, exact footer row counts, and the
+    compaction decision bit, all integer arithmetic over `documents`."""
+    from ua2sql_spark.operators.snapshot import (
+        bootstrap_snapshot,
+        snapshot_layout_health,
+    )
+    from ua2sql_spark.queries.common import fixture_artifact
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")
+    )
+
+    def build(path: str) -> None:
+        # one single-task write job per slice -> deterministic file
+        # counts per partition dir: grp=0 gets 3 files, grp=1 two,
+        # grp=2 one (doc_id % 9 partitions doc_id % 3 exactly)
+        slices = [
+            F.col("doc_id") % 9 == 0,
+            F.col("doc_id") % 9 == 3,
+            F.col("doc_id") % 9 == 6,
+            (F.col("doc_id") % 9).isin(1, 4),
+            F.col("doc_id") % 9 == 7,
+            F.col("doc_id") % 3 == 2,
+        ]
+        for cond in slices:
+            (
+                d.filter(cond)
+                .coalesce(1)
+                .write.mode("append")
+                .partitionBy("grp")
+                .parquet(path)
+            )
+        bootstrap_snapshot(spark, path, "grp")
+
+    path = fixture_artifact(spark, sf_dir, "x212layout", "documents", build)
+    h = snapshot_layout_health(
+        spark,
+        path,
+        # pinned ABOVE any parquet encoding so n_small_files = n_files
+        # deterministically (sizes are encoder-dependent; the driver
+        # hash can only pin size-INDEPENDENT integers)
+        small_file_bytes=1 << 40,
+        min_files=2,
+    )
+    return h.select(
+        "partition",
+        "n_files",
+        "n_rows",
+        "n_small_files",
+        F.col("would_compact").cast("int").alias("would_compact"),
+    ).orderBy("partition")

@@ -350,89 +350,122 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # index maintenance), x43/x44/x81/x96 (minhash tiers keep x179/x194
 # over the same substrate), x199 (PII keeps incoming x111). All
 # rotated-out rows remain local-oracle green in tests/test_oracle.py.
+# Round-13 rotation #11 (VERDICT r12 #1, executed per the written
+# guidance below and in PLANS.md): the staleness test (MAX_STALENESS=7,
+# tests/test_oracle.py) starts failing in round 14 for any row still
+# last-green r5, so the FULL r5 cohort of 22 rotates in
+# (q04/q07/q08/q13/q16/q19/q20/q22/q25/q26/q28/q34/q40/q86/q95/
+# x46/x48/x77/x104/x127/x130/x148) plus 2 of the 19-row r6 cohort,
+# oldest-first by family risk (q05 star-broadcast — the plan-pinned
+# BHJ archetype; x71 IVF ANN — the similarity family's cell-join
+# spine, substrate edited r11), plus the round's first-time gate: x212
+# snapshot_layout_health (VERDICT r12 #2 — the measure-first
+# maintenance trio's last ungated member, windowed from birth like
+# x198/x204 before it). x204 STAYS in window because its hashed frame
+# changed this round (compaction-idempotence columns, VERDICT r12 #7).
+# Out (25), every one driver-green in r12 and each leaving an
+# in-window family member: q06 left-outer (joins keep incoming
+# q04/q05/q07/q08; the full-outer diff shape stays via x202), q27
+# (sorts keep incoming q26), q36 range (temporal keeps q35 asof), q56
+# (EXISTS/NOT-EXISTS archetype kept stronger by incoming q86), q79
+# (archetypes keep q86/q95), q14 (distincts keep q15 approx + incoming
+# q13/q16/q19/q20 aggs), q54 pivot (grouping keeps incoming q16
+# rollup), q29 (JSON keeps incoming q28; q32 dates stays), q23/q24
+# (windows keep incoming q22/q25), q37/q39 (events keep incoming q40
+# + q35), x45 (similarity keeps incoming x130 — brute-force cosine
+# lives inside its top-N — and x46), x100 (IVF keeps incoming x71 +
+# kept x198), x112 (quantization keeps x133's recall contract), x121
+# (IVF contracts keep x133 + x198), x141 span dedup (dedup keeps
+# x179/x194/x204), x195 fuzzy join (exact-similarity joins keep x179),
+# x203/x207 (rank stats keep x209 Kendall + x211 chi²), x206/x208
+# (reconcile keeps x202; the write half's idempotence harness is
+# driver-proven r12 from birth), x125 (text keeps incoming x48 + kept
+# x50), x73 (Python surface keeps incoming x77 applyInPandas + x127
+# mapInPandas + kept x53), x47 (array higher-order math kept by
+# incoming q34 + the embedding rows). All rotated-out rows remain
+# local-oracle green in tests/test_oracle.py.
+# NEXT (rotation #12, round 14): the 17 remaining r6 rows (q123, q147,
+# q150, x136, x142, x143, x151, x153, x154, x170, x175, x176, x177,
+# x178, x182, x184, x97) hit the staleness bound entering r14 — rotate
+# them all, plus the oldest r7 rows as slots allow (the 24-row r7
+# cohort fails entering r15).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core + joins (r4 staleness cohort)
-    "q06_join_left_outer",
-    "q27_sort_nulls",
-    "q36_range_join",
-    "q56_correlated_exists",
-    "q79_volume_shipping",
-    "q11_setop_union",
-    # aggregates + sketches (r4 staleness cohort)
-    "q14_count_distinct",
+    # relational core + joins (r5 staleness cohort + the r6 broadcast
+    # archetype)
+    "q04_join_inner",
+    "q05_join_star_broadcast",
+    "q07_join_semi",
+    "q08_join_anti",
+    "q86_supplier_wait",
+    "q95_market_share",
+    # aggregates + sketches (r5 cohort; q15/q18 kept so the
+    # approx-sketch and percentile families never leave the window)
+    "q13_groupby_having",
+    "q16_rollup",
+    "q19_max_by_checkpoint",
+    "q20_collect_set",
     "q15_approx_distinct",
     "q18_percentiles",
-    "q54_pivot",
-    # scalar-function family representatives (JSON + dates; re-proven
-    # r11, kept so the family never leaves the window)
-    "q29_json_typed",
+    # set ops (kept — the family's only driver row)
+    "q11_setop_union",
+    # scalar functions (q28 JSON in from the r5 cohort; q32 dates kept)
+    "q28_json_extract",
     "q32_date_funcs",
-    # windows + event analytics (r4 staleness cohort + q35 asof kept)
+    "q34_array_funcs",
+    # windows + sorts (r5 cohort)
+    "q22_window_rank",
+    "q25_topk_per_group",
+    "q26_order_limit",
+    # temporal + event analytics (q35 asof kept; q40 in from r5)
     "q35_asof_join",
-    "q23_window_lag_gap",
-    "q24_window_running",
-    "q37_sessionize",
-    "q39_retention",
+    "q40_tumbling_window",
     # SQL surface
     "q155_lateral_topk",
-    # versioned tables — X12's driver rows
+    # versioned tables — X12's driver rows + the round's first-time
+    # gate: snapshot layout health (VERDICT r12 #2, measure-first trio
+    # complete under the gate: x198 IVF / x204 LSH / x212 table layout)
     "x200_corpus_version_drift",
     "x201_snapshot_restore",
-    # reconciliation family: full diff, incremental tier, and the
-    # round's new WRITE half — repair convergence (x208, gated from
-    # birth per VERDICT r11 #5)
+    "x212_snapshot_layout_health",
+    # reconciliation family representative (x206/x208 below the fold,
+    # driver-green r12)
     "x202_table_reconcile",
-    "x206_incremental_reconcile",
-    "x208_repair_convergence",
-    # stats: the rank-based nonparametric tier, completed this round by
-    # Kendall tau-b (x209, gated from birth; x205 rotates out for the
-    # slot — r11-green, and the media/mapInPandas family keeps incoming
-    # x52/x53/x73)
-    "x203_mann_whitney_u",
-    "x207_spearman_rank_corr",
+    # stats: rank/categorical tier representatives (x203/x207 below
+    # the fold, driver-green r12)
     "x209_kendall_tau",
-    # chi-squared independence joins the stats tier late-r12, gated
-    # from birth (slot from x189 — r11-green, text keeps x50/x125)
     "x211_chi_squared_independence",
-    # dedup tiers: the persisted-index family stays (probe geometry
-    # changed this round: pair-exact pruning via one combined-key isin)
-    # + x141 span dedup rotates in from the r5 cohort
-    "x141_span_dedup",
+    # dedup tiers: exact-similarity contract + persisted-index family
+    # (x204's hashed frame CHANGED this round — compaction-idempotence
+    # columns — so it must be re-proven)
     "x179_prefix_simjoin",
     "x194_lsh_index_probe",
-    "x195_fuzzy_editdist_join",
     "x204_lsh_index_health",
-    # similarity / embedding math: r4 cosine top-k + the r5 IVF pair
-    # (substrate edited r11) + kept contracts
-    "x45_cosine_topk",
-    "x100_ivf_knn_classify",
-    "x112_embedding_quantize",
-    "x121_ivf_recall_contract",
-    "x47_embedding_math",
+    # similarity / embedding math: the r5 cohort's bucketed-ANN and RRF
+    # rows + the r6 IVF spine + kept contracts
+    "x46_ann_bucketed",
+    "x71_ivf_ann",
+    "x130_hybrid_search_rrf",
     "x133_quantized_recall_contract",
     "x155_pr_calibration",
     "x198_ivf_health_report",
-    # text analysis / corpus quality (x125 re-keyed this round to
-    # integer-exact whole-bit surprisal — first driver check ever;
-    # x188 rotates below the fold r11-green, its slot taken by x210 —
-    # text keeps x189/x50/x125)
+    # text analysis / corpus quality (x48 in from the r5 cohort; x50
+    # kept; x210 audit stays)
+    "x48_token_stats",
     "x50_langid",
-    "x125_unigram_logprob",
-    # dataset-audit family: Benford first-digit forensics (round 12,
-    # gated from birth)
     "x210_benford_digit_audit",
-    # multimodal + Python-execution surface (r4/r5 cohort: binary
-    # metadata, the fake-decode mapInPandas seam, the Gini pandas-UDF
-    # aggregation; x205's real-codec round trip is r11-green below the
-    # fold, its slot taken by x209)
+    # multimodal + Python-execution surface (x127 inference seam + x77
+    # applyInPandas in from the r5 cohort; x52/x53 kept)
     "x52_binary_metadata",
     "x53_decode_mapinpandas",
-    "x73_gini_pandas_udf",
+    "x77_zscore_applyinpandas",
+    "x127_classifier_scores",
     # layout + iterative graph
     "x124_zorder_layout",
     "x138_domain_pagerank",
-    # training-data pipeline (x111 PII scrub in from the r5 cohort —
-    # corpus_ops.py edited r11/r12)
+    # training-data pipeline (r5 cohort: global shuffle, RRF's sampling
+    # twin DSIR, plus kept group split and PII scrub)
+    "x104_global_shuffle",
+    "x148_dsir_importance",
     "x193_group_split",
     "x111_pii_scrub",
 )
