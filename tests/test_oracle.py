@@ -87,10 +87,10 @@ def test_driver_window_families():
         "x209_kendall_tau",  # rank-stats rep (x203/x207 r12-green)
         "x211_chi_squared_independence",
         "q155_lateral_topk",
-        "x193_group_split", "x194_lsh_index_probe",
+        "x194_lsh_index_probe",
         "x198_ivf_health_report",
         "x210_benford_digit_audit",
-        "x50_langid", "x52_binary_metadata", "x53_decode_mapinpandas",
+        "x50_langid", "x53_decode_mapinpandas",
         "x111_pii_scrub",
         # rotation #11's staleness cohort: the FULL r5-vintage set (the
         # MAX_STALENESS=7 test starts failing for these in round 14)...
@@ -111,6 +111,12 @@ def test_driver_window_families():
         # x204's hashed frame gained the compaction-idempotence columns
         # this round (VERDICT r12 #7) — must be re-proven in-window
         "x204_lsh_index_health",
+        # late-r13 builds, gated from birth: the trend member of the
+        # stats tier (slot from x52 — r12-green, multimodal keeps
+        # x53/x127/x77) and the split-leakage audit (slot from x193 —
+        # r12-green, sampling/split keeps x104/x148)
+        "x213_mann_kendall_trend",
+        "x214_split_leakage_audit",
     }
     assert required <= set(DRIVER_WINDOW)
 

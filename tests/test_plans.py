@@ -834,3 +834,43 @@ def test_repair_convergence_residual_plan_is_one_keyed_diff(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_mann_kendall_pair_grid_broadcasts_and_folds_months_once(spark):
+    """x213: the only corpus-sized work is the one month groupBy (orders
+    scan pruned to o_orderdate); the pair grid, tie fold and median
+    window all run over the checkpointed month frame (months²-bounded),
+    the non-equi grid join broadcasts, and nothing falls back to
+    Python eval."""
+    df = all_queries()["x213_mann_kendall_trend"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # month-grid self-join (BNLJ) + s/ties/med single-row cross joins
+    assert plan.count("Broadcast") >= 4, plan
+    # the month domain materializes ONCE (localCheckpoint); every later
+    # access reads the checkpoint, so orders is never re-scanned for
+    # pairs/ties/median
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # column pruning: the orders scan reads only the date column
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln]
+    assert all("o_totalprice" not in ln for ln in scans), scans
+
+
+def test_split_leakage_audit_is_pair_free_single_shuffle(spark):
+    """x214: the audit never materializes duplicate pairs — no join of
+    any kind in the plan (pair counts are per-fingerprint arithmetic),
+    one fingerprint-keyed exchange plus the final single-partition
+    fold, all expression-side."""
+    df = all_queries()["x214_split_leakage_audit"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # exactly two non-broadcast exchanges: fingerprint hashpartitioning
+    # + the SinglePartition final fold
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 2, plan

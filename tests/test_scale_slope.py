@@ -138,6 +138,16 @@ SLOPE_QUERIES = {
     # partition dir (3 dirs at ANY sf) -> CONSTANT, x201's sub-second
     # noise margin.
     "x212_snapshot_layout_health": 1 * 2.5,
+    # x213 Mann-Kendall (round 13): reads ORDERS, which the tiling
+    # symlinks (only lineitem/documents/embeddings scale) -> the month
+    # fold and months²-bounded grid are IDENTICAL at both scales ->
+    # constant, sub-second noise margin.
+    "x213_mann_kendall_trend": 1 * 2.5,
+    # x214 split-leakage audit (round 13): one fingerprint groupBy over
+    # the tiled documents; the vocab bijection keeps copies' word sets
+    # disjoint, so fingerprint groups never merge cross-copy and the
+    # per-group arithmetic stays group-size-bounded -> linear.
+    "x214_split_leakage_audit": 4 * 1.6,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -1307,3 +1307,156 @@ def x211_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.min(e), 6).alias("min_expected"),
         F.round(F.max(contrib), 6).alias("max_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x213: Mann-Kendall trend test + Theil-Sen slope (round 13) — the
+# TREND member of the nonparametric tier (x203 U compares two samples,
+# x207/x209 correlate two columns, x177 flags point anomalies; MK asks
+# "is this series monotonically drifting?" — the ops readout a corpus
+# team runs over ingest volume before blaming a pipeline change).
+# Series = monthly order counts from `orders`.
+#
+# Statistics, all exact integers until the one closed-form division:
+# S = Σ_{i<j} sgn(v_j − v_i) over the time-ordered series;
+# Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over value-tie groups;
+# significance at z=1.96 as pure integer arithmetic:
+# 180000·(|S|−1)² ≥ 38416·(18·Var) ⟺ ((|S|−1)/√Var)² ≥ 1.96².
+# Theil-Sen slope = MEDIAN of pairwise (Δv/Δmonth) — computed by an
+# EXPLICIT rank-and-average (row_number over the slope order, average
+# the ≤2 middle rows) so both engines evaluate the identical closed
+# form on identical operands; engine-native percentile/median
+# interpolation formulas differ in the last bits (the x155/x207
+# hazard) and are avoided.
+#
+# Scale shape: ONE corpus-sized shuffle (the month groupBy) collapses
+# the row domain to ≤ |months| rows; the pair grid, tie fold, and the
+# median window are all month²-bounded (≤ ~84² here) and explicitly
+# domain-bounded like x209's cell grid — never row-scaled. The global
+# median window orders a month²-row frame, not data.
+# ---------------------------------------------------------------------------
+@query(
+    "x213_mann_kendall_trend",
+    oracle="""
+    WITH m AS (
+        SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+                   + EXTRACT(MONTH FROM o_orderdate) AS mi,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_periods FROM m),
+    p AS (
+        SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_statistic
+        FROM m a JOIN m b ON b.mi > a.mi
+    ),
+    ties AS (
+        SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                   AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM m GROUP BY v HAVING COUNT(*) > 1)
+    ),
+    slopes AS (
+        SELECT (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE))
+                   / (b.mi - a.mi) AS slope
+        FROM m a JOIN m b ON b.mi > a.mi
+    ),
+    ranked AS (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS ns
+        FROM slopes
+    ),
+    med AS (
+        SELECT ROUND(AVG(slope), 6) AS theil_sen_slope
+        FROM ranked WHERE rn IN ((ns + 1) // 2, (ns + 2) // 2)
+    )
+    SELECT nn.n_periods,
+           p.s_statistic,
+           CAST(nn.n_periods * (nn.n_periods - 1) * (2 * nn.n_periods + 5)
+                - ties.tie_term AS BIGINT) AS var_num_x18,
+           CAST(CASE WHEN 180000 * (ABS(p.s_statistic) - 1)
+                              * (ABS(p.s_statistic) - 1)
+                          >= 38416 * (nn.n_periods * (nn.n_periods - 1)
+                                      * (2 * nn.n_periods + 5)
+                                      - ties.tie_term)
+                     THEN 1 ELSE 0 END AS INTEGER) AS trend_significant,
+           med.theil_sen_slope
+    FROM nn, p, ties, med
+    """,
+)
+def x213_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S + tie-corrected variance + integer significance
+    bit + Theil-Sen median slope over monthly order counts — one corpus
+    shuffle to <=|months| rows, everything after is month²-bounded."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    nn = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_periods"))
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    pairs = m.alias("a").join(
+        F.broadcast(m.alias("b")), F.col("b.mi") > F.col("a.mi")
+    )
+    s = pairs.agg(F.sum(sgn).cast("bigint").alias("s_statistic"))
+    t = F.col("t")
+    ties = (
+        m.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    slopes = pairs.select(
+        (
+            (F.col("b.v").cast("double") - F.col("a.v").cast("double"))
+            / (F.col("b.mi") - F.col("a.mi"))
+        ).alias("slope")
+    )
+    # explicit rank-and-average median: the window orders the
+    # month²-bounded slope frame, never row-scaled data
+    w = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("ns"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("ns") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("ns") + 2) / 2))
+    ).agg(F.round(F.avg("slope"), 6).alias("theil_sen_slope"))
+    var_num = (
+        F.col("n_periods")
+        * (F.col("n_periods") - 1)
+        * (2 * F.col("n_periods") + 5)
+        - F.col("tie_term")
+    ).cast("bigint")
+    abs_s1 = F.abs(F.col("s_statistic")) - 1
+    return (
+        nn.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_periods",
+            "s_statistic",
+            var_num.alias("var_num_x18"),
+            F.when(180000 * abs_s1 * abs_s1 >= 38416 * var_num, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("trend_significant"),
+            "theil_sen_slope",
+        )
+    )

@@ -1339,3 +1339,101 @@ def x210_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# x214: train/eval split leakage audit (round 13) — the dedup-aware
+# split check every LLM team runs before trusting an eval number:
+# exact duplicates that STRADDLE the train/val/test hash split leak
+# training text into evaluation ("Deduplicating Training Data Makes
+# Language Models Better" measures exactly this overlap). Composes the
+# x41/x117 fingerprint substrate with x70's hash split.
+#
+# The audit NEVER materializes pairs: one fingerprint groupBy yields
+# per-split copy counts (a, b, c) per group, and every pair count is
+# arithmetic on those — within-split C(k,2), cross-split k_i * k_j —
+# so cost is one corpus scan + one fingerprint-keyed shuffle at any
+# scale (the pair-free shape that survives a fingerprint with a
+# million copies, where a pair join would go quadratic).
+# leaky_eval_docs counts the ACTIONABLE unit (val/test docs whose
+# fingerprint also occurs in train — the docs to drop); leakage_ppm is
+# its integer-floor parts-per-million share of the eval side (the x192
+# pattern — no doubles anywhere).
+# ---------------------------------------------------------------------------
+@query(
+    "x214_split_leakage_audit",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS f,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100) AS bucket
+        FROM documents
+    ),
+    lab AS (
+        SELECT f,
+               CASE WHEN bucket < 10 THEN 'val'
+                    WHEN bucket < 20 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM fp
+    ),
+    g AS (
+        SELECT f,
+               CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (WHERE split = 'val') AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (WHERE split = 'test') AS BIGINT) AS c
+        FROM lab GROUP BY f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(*) FILTER (WHERE a + b + c > 1) AS BIGINT)
+               AS n_dup_fingerprints,
+           CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS pairs_within_train,
+           CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS pairs_within_val,
+           CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS pairs_within_test,
+           CAST(SUM(a * (b + c)) AS BIGINT) AS pairs_train_eval,
+           CAST(SUM(b * c) AS BIGINT) AS pairs_val_test,
+           CAST(SUM(CASE WHEN a > 0 THEN b + c ELSE 0 END) AS BIGINT)
+               AS leaky_eval_docs,
+           CAST(1000000 * SUM(CASE WHEN a > 0 THEN b + c ELSE 0 END)
+                // SUM(b + c) AS BIGINT) AS leakage_ppm
+    FROM g
+    """,
+)
+def x214_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup leakage across the train/val/test hash split: pair
+    counts and leaky-eval-doc share from per-fingerprint split counts —
+    one scan, one fingerprint shuffle, zero pair materialization."""
+    from ua2sql_spark.operators.split import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+        )
+    )
+    lab = hash_split(d, key_col="doc_id", val_pct=10, test_pct=10).select(
+        fingerprint.alias("f"), "split"
+    )
+    cnt = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("split") == s, 1).otherwise(0)
+    ).cast("bigint")
+    g = lab.groupBy("f").agg(
+        cnt("train").alias("a"), cnt("val").alias("b"), cnt("test").alias("c")
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    leaky = F.sum(F.when(a > 0, b + c).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum(F.when(a + b + c > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_fingerprints"),
+        F.sum(a * (a - 1) / 2).cast("bigint").alias("pairs_within_train"),
+        F.sum(b * (b - 1) / 2).cast("bigint").alias("pairs_within_val"),
+        F.sum(c * (c - 1) / 2).cast("bigint").alias("pairs_within_test"),
+        F.sum(a * (b + c)).cast("bigint").alias("pairs_train_eval"),
+        F.sum(b * c).cast("bigint").alias("pairs_val_test"),
+        leaky.cast("bigint").alias("leaky_eval_docs"),
+        F.floor(F.lit(1000000) * leaky / F.sum(b + c))
+        .cast("bigint")
+        .alias("leakage_ppm"),
+    )

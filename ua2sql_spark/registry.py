@@ -384,6 +384,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # mapInPandas + kept x53), x47 (array higher-order math kept by
 # incoming q34 + the embedding rows). All rotated-out rows remain
 # local-oracle green in tests/test_oracle.py.
+# Late-r13 swaps for the operators BUILT this round, gated from birth
+# (the x198/x204/x209 discipline), each swap-out driver-green in r12
+# and leaving an in-window family member: x52 -> x213 Mann-Kendall
+# trend + Theil-Sen slope (the nonparametric tier's TREND member —
+# x203 U / x207 rho / x209 tau / x211 chi² cover comparison,
+# correlation and association; multimodal keeps x53's decode seam plus
+# the x127/x77 Python surface), x193 -> x214 split-leakage audit (the
+# dedup-aware eval-contamination check: exact-dup pairs straddling the
+# train/val/test hash split, pair-free per-fingerprint arithmetic; the
+# sampling/split family keeps x104 + x148 in window and GAINS the
+# audit that makes x70/x193-style splits trustworthy).
 # NEXT (rotation #12, round 14): the 17 remaining r6 rows (q123, q147,
 # q150, x136, x142, x143, x151, x153, x154, x170, x175, x176, x177,
 # x178, x182, x184, x97) hit the staleness bound entering r14 — rotate
@@ -430,10 +441,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reconciliation family representative (x206/x208 below the fold,
     # driver-green r12)
     "x202_table_reconcile",
-    # stats: rank/categorical tier representatives (x203/x207 below
-    # the fold, driver-green r12)
+    # stats: rank/categorical/trend tier representatives (x203/x207
+    # below the fold, driver-green r12; x213 built this round, gated
+    # from birth — slot from x52, multimodal keeps x53/x127/x77)
     "x209_kendall_tau",
     "x211_chi_squared_independence",
+    "x213_mann_kendall_trend",
     # dedup tiers: exact-similarity contract + persisted-index family
     # (x204's hashed frame CHANGED this round — compaction-idempotence
     # columns — so it must be re-proven)
@@ -454,19 +467,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x50_langid",
     "x210_benford_digit_audit",
     # multimodal + Python-execution surface (x127 inference seam + x77
-    # applyInPandas in from the r5 cohort; x52/x53 kept)
-    "x52_binary_metadata",
+    # applyInPandas in from the r5 cohort; x53 kept; x52's slot taken
+    # by the late-r13 x213 swap, r12-green)
     "x53_decode_mapinpandas",
     "x77_zscore_applyinpandas",
     "x127_classifier_scores",
     # layout + iterative graph
     "x124_zorder_layout",
     "x138_domain_pagerank",
-    # training-data pipeline (r5 cohort: global shuffle, RRF's sampling
-    # twin DSIR, plus kept group split and PII scrub)
+    # training-data pipeline (r5 cohort: global shuffle, DSIR
+    # importance selection, plus kept PII scrub; x193's slot taken by
+    # the late-r13 x214 swap — the split family keeps x104/x148 and
+    # gains the leakage audit, gated from birth)
     "x104_global_shuffle",
     "x148_dsir_importance",
-    "x193_group_split",
+    "x214_split_leakage_audit",
     "x111_pii_scrub",
 )
 
