@@ -84,13 +84,12 @@ def test_driver_window_families():
         "x200_corpus_version_drift",
         "x201_snapshot_restore",
         "x202_table_reconcile",  # reconcile family rep (x206/x208 r12-green)
-        "x209_kendall_tau",  # rank-stats rep (x203/x207 r12-green)
-        "x211_chi_squared_independence",
+        "x209_kendall_tau",  # rank-stats rep (x203/x207/x211 r12-green)
         "q155_lateral_topk",
         "x194_lsh_index_probe",
         "x198_ivf_health_report",
         "x210_benford_digit_audit",
-        "x50_langid", "x53_decode_mapinpandas",
+        "x53_decode_mapinpandas",
         "x111_pii_scrub",
         # rotation #11's staleness cohort: the FULL r5-vintage set (the
         # MAX_STALENESS=7 test starts failing for these in round 14)...
@@ -117,6 +116,11 @@ def test_driver_window_families():
         # r12-green, sampling/split keeps x104/x148)
         "x213_mann_kendall_trend",
         "x214_split_leakage_audit",
+        # ...and the second late-r13 pair: OHLC downsampling (slot from
+        # x50 — r12-green, text keeps x48) and the retention-cohort
+        # matrix (slot from x211 — r12-green, stats keeps x209/x213)
+        "x215_ohlc_downsample",
+        "x216_retention_cohorts",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -874,3 +874,39 @@ def test_split_leakage_audit_is_pair_free_single_shuffle(spark):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert len(exchanges) == 2, plan
+
+
+def test_ohlc_downsample_reuses_one_bucket_exchange(spark):
+    """x215: the ranking windows partition on the SAME projected
+    (event_type, day) columns the aggregate groups on — exactly one
+    non-broadcast exchange in the whole plan, no joins, no Python."""
+    df = all_queries()["x215_ohlc_downsample"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
+    # exactly ONE corpus-sized hash exchange (window + aggregate share
+    # it); the only other exchange is the output sort's range partition
+    # over the |buckets|-row aggregate
+    hash_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1, plan
+
+
+def test_retention_cohorts_is_join_free_on_the_corpus_side(spark):
+    """x216: cohorting is a min-over-user window (no user-keyed join of
+    the activity frame); the only join in the plan is the broadcast of
+    the matrix's own offset-0 cells back onto the matrix."""
+    df = all_queries()["x216_retention_cohorts"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # corpus exchanges: the distinct + the user window repartition (the
+    # cell-sized matrix aggregate may add a third post-checkpoint)
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) <= 3, plan

@@ -148,6 +148,11 @@ SLOPE_QUERIES = {
     # disjoint, so fingerprint groups never merge cross-copy and the
     # per-group arithmetic stays group-size-bounded -> linear.
     "x214_split_leakage_audit": 4 * 1.6,
+    # x215/x216 (round 13): both read EVENTS, which the tiling symlinks
+    # (only lineitem/documents/embeddings scale) -> constant at the 4x
+    # tile, sub-second noise margin like the other constant rows.
+    "x215_ohlc_downsample": 1 * 2.5,
+    "x216_retention_cohorts": 1 * 2.5,
 }
 
 pytestmark = pytest.mark.skipif(

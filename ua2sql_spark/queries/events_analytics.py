@@ -1064,3 +1064,177 @@ def x183_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x215: OHLC time-bucket downsampling (round 13) — the hypertable
+# continuous-aggregate archetype (TimescaleDB time_bucket + first/last/
+# min/max, the candle every metrics store materializes): per
+# (event_type, day), open/close = value at the earliest/latest event,
+# high/low = extrema, n + exact-decimal volume.
+#
+# Determinism: open/close pick ONE raw double via a total order
+# (ts, event_id) — first/arg_min alone is tie-ambiguous the moment two
+# events share a microsecond, which at 100 TB is every bucket — so
+# both engines rank by the same total order and conditional-aggregate
+# rank 1. No arithmetic touches the picked values; volume uses the
+# decimal interior (dsum).
+#
+# Scale shape: ONE exchange on (event_type, day) serves both ranking
+# windows AND the final aggregate (same keys — Spark reuses the
+# partitioning, no second shuffle); work per bucket is a local sort,
+# the idiomatic distributed downsample.
+# ---------------------------------------------------------------------------
+@query(
+    "x215_ohlc_downsample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value")} AS volume
+    FROM ranked
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def x215_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) OHLC candles with total-order open/close
+    picks and exact-decimal volume — one exchange serves the ranking
+    windows and the bucket aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    # the window partitions on the SAME projected (event_type, day)
+    # columns the aggregate groups on, so the bucket aggregate reuses
+    # the window's hashpartitioning — one corpus exchange total
+    ev = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("volume"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x216: retention cohort matrix (round 13) — the full weekly cohort
+# triangle behind q39's two-row retention readout: users cohorted by
+# first-activity week, every (cohort_week, week_offset) cell counts
+# the cohort's users still active that week, with an integer-ppm
+# retention share (the x192 floor-division pattern — no doubles).
+# Both engines truncate weeks to ISO Monday, so the offset is an exact
+# day-difference // 7.
+#
+# Scale shape: JOIN-FREE on the corpus side — cohorting is a
+# min-over-user window on the distinct (user, week) activity (two
+# corpus exchanges: the distinct, then the user repartition; no
+# user-keyed join at all), the matrix aggregate is
+# |cohorts| x |offsets| rows, and cohort sizes come from the matrix's
+# own offset-0 cells (every user is active in their first week by
+# definition), joined back as a cohort-count-sized broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "x216_retention_cohorts",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    first_wk AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    ),
+    cohort_sz AS (
+        SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM first_wk GROUP BY cohort_wk
+    ),
+    cells AS (
+        SELECT f.cohort_wk,
+               CAST((a.wk - f.cohort_wk) // 7 AS INTEGER) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM act a JOIN first_wk f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           c.week_offset, c.n_active, s.n_cohort,
+           CAST(1000000 * c.n_active // s.n_cohort AS BIGINT)
+               AS retention_ppm
+    FROM cells c JOIN cohort_sz s ON c.cohort_wk = s.cohort_wk
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def x216_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort sizes, per-offset active
+    counts, integer-ppm retention — join-free cohorting via a
+    min-over-user window, cohort sizes from the matrix's own offset-0
+    cells."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    cohort_wk = F.min("wk").over(Window.partitionBy("user_id"))
+    cells = (
+        act.select(
+            cohort_wk.alias("cohort_wk"),
+            F.floor(F.datediff(F.col("wk"), cohort_wk) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .localCheckpoint(eager=False)
+    )
+    cohort_sz = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(cohort_sz), "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.floor(F.lit(1000000) * F.col("n_active") / F.col("n_cohort"))
+            .cast("bigint")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -394,7 +394,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # dedup-aware eval-contamination check: exact-dup pairs straddling the
 # train/val/test hash split, pair-free per-fingerprint arithmetic; the
 # sampling/split family keeps x104 + x148 in window and GAINS the
-# audit that makes x70/x193-style splits trustworthy).
+# audit that makes x70/x193-style splits trustworthy), x50 -> x215
+# OHLC time-bucket downsampling (the hypertable continuous-aggregate
+# archetype with total-order open/close picks; text keeps x48 in
+# window plus x125/x188/x189 r11/r12-green below the fold), x211 ->
+# x216 weekly retention-cohort matrix (the full cohort triangle behind
+# q39's readout, integer-ppm shares; the stats family keeps x209
+# Kendall + x213 Mann-Kendall in window, x211 chi² r12-green).
 # NEXT (rotation #12, round 14): the 17 remaining r6 rows (q123, q147,
 # q150, x136, x142, x143, x151, x153, x154, x170, x175, x176, x177,
 # x178, x182, x184, x97) hit the staleness bound entering r14 — rotate
@@ -427,9 +433,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q22_window_rank",
     "q25_topk_per_group",
     "q26_order_limit",
-    # temporal + event analytics (q35 asof kept; q40 in from r5)
+    # temporal + event analytics (q35 asof kept; q40 in from r5; x215
+    # OHLC downsample + x216 cohort matrix built this round, gated from
+    # birth — slots from x50 and x211, both r12-green)
     "q35_asof_join",
     "q40_tumbling_window",
+    "x215_ohlc_downsample",
+    "x216_retention_cohorts",
     # SQL surface
     "q155_lateral_topk",
     # versioned tables — X12's driver rows + the round's first-time
@@ -445,7 +455,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # below the fold, driver-green r12; x213 built this round, gated
     # from birth — slot from x52, multimodal keeps x53/x127/x77)
     "x209_kendall_tau",
-    "x211_chi_squared_independence",
     "x213_mann_kendall_trend",
     # dedup tiers: exact-similarity contract + persisted-index family
     # (x204's hashed frame CHANGED this round — compaction-idempotence
@@ -464,7 +473,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis / corpus quality (x48 in from the r5 cohort; x50
     # kept; x210 audit stays)
     "x48_token_stats",
-    "x50_langid",
     "x210_benford_digit_audit",
     # multimodal + Python-execution surface (x127 inference seam + x77
     # applyInPandas in from the r5 cohort; x53 kept; x52's slot taken
