@@ -1616,3 +1616,124 @@ def test_repair_converges_for_arbitrary_divergence(spark, tmp_path_factory, base
         ).collect()
     }
     assert statuses <= {"unchanged"}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    series=st.lists(st.integers(min_value=0, max_value=6),
+                    min_size=3, max_size=20),
+)
+def test_mann_kendall_statistics_match_bruteforce(spark, series):
+    """x213's S / tie-term / Theil-Sen arithmetic vs the textbook O(n²)
+    definitions on arbitrary tied integer series — the same inline-twin
+    discipline as the Kendall cell-fold pin (the registered query is
+    orders-bound; the arithmetic is what we pin)."""
+    import itertools
+    import statistics
+
+    from pyspark.sql import Window
+
+    pts = list(enumerate(series))  # (time index, value)
+    df = spark.createDataFrame(pts, "mi int, v bigint").localCheckpoint()
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    pairs = df.alias("a").join(
+        F.broadcast(df.alias("b")), F.col("b.mi") > F.col("a.mi")
+    )
+    s_row = pairs.agg(F.sum(sgn).cast("bigint").alias("s")).collect()[0]
+    t = F.col("t")
+    tie_row = (
+        df.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(t > 1)
+        .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).alias("tt"))
+        .collect()[0]
+    )
+    slopes_df = pairs.select(
+        (
+            (F.col("b.v").cast("double") - F.col("a.v").cast("double"))
+            / (F.col("b.mi") - F.col("a.mi"))
+        ).alias("slope")
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes_df.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("ns"),
+    )
+    med_row = ranked.filter(
+        (F.col("rn") == F.floor((F.col("ns") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("ns") + 2) / 2))
+    ).agg(F.avg("slope").alias("m")).collect()[0]
+
+    # brute force
+    s = 0
+    slopes = []
+    for (i, vi), (j, vj) in itertools.combinations(pts, 2):
+        s += (vj > vi) - (vj < vi)
+        slopes.append((vj - vi) / (j - i))
+    from collections import Counter
+
+    tt = sum(
+        c * (c - 1) * (2 * c + 5) for c in Counter(series).values() if c > 1
+    )
+    assert int(s_row["s"]) == s
+    assert int(tie_row["tt"]) == tt
+    assert med_row["m"] == pytest.approx(statistics.median(slopes), abs=1e-12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    # doc -> (fingerprint id, split id 0=train/1=val/2=test)
+    docs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),
+                  st.integers(min_value=0, max_value=2)),
+        min_size=1, max_size=30),
+)
+def test_split_leakage_group_arithmetic_matches_pair_enumeration(spark, docs):
+    """x214's pair-free per-group arithmetic vs brute-force enumeration
+    of every duplicate pair and its split placement."""
+    import itertools
+
+    rows = [(f"f{f}", ["train", "val", "test"][sp]) for f, sp in docs]
+    df = spark.createDataFrame(rows, "f string, split string")
+    cnt = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("split") == s, 1).otherwise(0)
+    ).cast("bigint")
+    g = df.groupBy("f").agg(
+        cnt("train").alias("a"), cnt("val").alias("b"), cnt("test").alias("c")
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    row = g.agg(
+        F.sum(a * (a - 1) / 2).cast("bigint").alias("wt"),
+        F.sum(b * (b - 1) / 2).cast("bigint").alias("wv"),
+        F.sum(c * (c - 1) / 2).cast("bigint").alias("ws"),
+        F.sum(a * (b + c)).cast("bigint").alias("te"),
+        F.sum(b * c).cast("bigint").alias("vt"),
+        F.sum(F.when(a > 0, b + c).otherwise(0)).cast("bigint").alias("leaky"),
+    ).collect()[0]
+
+    wt = wv = ws = te = vt = 0
+    for (f1, s1), (f2, s2) in itertools.combinations(docs, 2):
+        if f1 != f2:
+            continue
+        pair = {["train", "val", "test"][s1], ["train", "val", "test"][s2]}
+        if pair == {"train"}:
+            wt += 1
+        elif pair == {"val"}:
+            wv += 1
+        elif pair == {"test"}:
+            ws += 1
+        elif "train" in pair:
+            te += 1
+        else:
+            vt += 1
+    train_fps = {f for f, sp in docs if sp == 0}
+    leaky = sum(1 for f, sp in docs if sp != 0 and f in train_fps)
+    assert (row["wt"], row["wv"], row["ws"], row["te"], row["vt"],
+            row["leaky"]) == (wt, wv, ws, te, vt, leaky)

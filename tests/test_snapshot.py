@@ -1815,3 +1815,39 @@ def test_live_files_union_names_clone_registry_cycles(spark, tmp_path):
         json.dump([src], fh)  # self-registration: the simplest cycle
     with pytest.raises(ValueError, match="clone registry cycle"):
         live_files_union(spark, src).count()
+
+
+def test_compact_snapshot_partition_allowlist(spark, tmp_path):
+    """Round 13 OPTIMIZE-WHERE: compact_snapshot(partitions=[...])
+    rewrites ONLY the allowlisted partitions even when others are also
+    fragmented, and the health report drives the allowlist."""
+    from ua2sql_spark.operators.snapshot import (
+        bootstrap_snapshot,
+        compact_snapshot,
+        read_snapshot,
+        snapshot_layout_health,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, v string")
+    # both d1 and d2 fragmented (2 files each)
+    for rows in (
+        [(1, "d1", "a")], [(2, "d1", "b")],
+        [(3, "d2", "c")], [(4, "d2", "d")],
+    ):
+        mk(rows).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    bootstrap_snapshot(spark, path, "day")
+
+    flagged = [
+        r["partition"]
+        for r in snapshot_layout_health(spark, path).collect()
+        if r["would_compact"] and "d1" in r["partition"]
+    ]
+    _v, compacted = compact_snapshot(spark, path, "day", partitions=flagged)
+    assert compacted == ["day=d1"]
+    h = {
+        r["partition"]: r["n_files"]
+        for r in snapshot_layout_health(spark, path).collect()
+    }
+    assert h["day=d1"] == 1 and h["day=d2"] == 2  # d2 untouched
+    assert read_snapshot(spark, path).count() == 4

@@ -1115,6 +1115,7 @@ def compact_snapshot(
     path: str,
     partition_col: str,
     min_files: int = 2,
+    partitions: list[str] | None = None,
 ) -> tuple[int, list[str]]:
     """Compact fragmented partitions of the LATEST snapshot into one
     file each, committed as a new version — the maintenance pass that
@@ -1128,17 +1129,26 @@ def compact_snapshot(
     partitions driver-side; only THOSE partitions are read (by explicit
     file list, never a root listing) and rewritten with one task each
     (``repartition(partition_col)`` would shuffle everything — instead
-    each partition's files coalesce independently)."""
+    each partition's files coalesce independently).
+
+    ``partitions`` (escaped dir names, e.g. the ``partition`` column of
+    :func:`snapshot_layout_health`) restricts the rewrite to an
+    explicit allowlist — the OPTIMIZE-WHERE verb that lets a caller
+    compact exactly what the health report flagged (or only the
+    partitions a maintenance window budgets for) instead of every
+    fragmented partition at once."""
     prev = latest_version(spark, path)
     if prev is None:
         raise ValueError(f"no snapshots under {path}")
     manifest = read_manifest(spark, path, prev)
+    grouped = manifest.groupBy("partition").agg(
+        F.collect_list("file").alias("files")
+    )
+    if partitions is not None:
+        grouped = grouped.filter(F.col("partition").isin(list(partitions)))
     frag = [
         (r["partition"], r["files"])
-        for r in manifest.groupBy("partition")
-        .agg(F.collect_list("file").alias("files"))
-        .filter(F.size("files") >= min_files)
-        .collect()
+        for r in grouped.filter(F.size("files") >= min_files).collect()
     ]
     if not frag:
         return prev, []
