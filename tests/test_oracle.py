@@ -82,7 +82,6 @@ def test_driver_window_families():
         "x179_prefix_simjoin",
         "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
         "x200_corpus_version_drift",
-        "x201_snapshot_restore",
         "x202_table_reconcile",  # reconcile family rep (x206/x208 r12-green)
         "x209_kendall_tau",  # rank-stats rep (x203/x207/x211 r12-green)
         "q155_lateral_topk",
@@ -121,6 +120,9 @@ def test_driver_window_families():
         # matrix (slot from x211 — r12-green, stats keeps x209/x213)
         "x215_ohlc_downsample",
         "x216_retention_cohorts",
+        # ...and the maintained-join-view row (slot from x201 —
+        # r12-green, X12 keeps x200/x212 + the view row itself)
+        "x217_ivm_join_view",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -525,3 +525,122 @@ def x212_snapshot_layout_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_small_files",
         F.col("would_compact").cast("int").alias("would_compact"),
     ).orderBy("partition")
+
+
+# ---------------------------------------------------------------------------
+# x217: incrementally-maintained join view (round 13) — the standing
+# keyed join view V = A ⋈ B refreshed from BOTH base tables' change
+# feeds (operators/ivm_join.py), under the driver gate. The fixture
+# builds two CoW tables from `documents` arithmetic (A = every doc
+# keyed by doc_id; B = scores for doc_id % 3 <> 1), materializes the
+# view, then mutates BOTH sides (A: n_chars update %5, delete %11;
+# B: insert the %3=1 keys at score+100, delete %13) and refreshes —
+# so the final view state is closed-form: keys with %11<>0 AND %13<>0,
+# score = %7 (+100 for the late-insert %3=1 cohort). The row emits the
+# per-source view aggregate PLUS n_diff — the symmetric difference
+# between the maintained view and a from-scratch recompute — pinned 0:
+# recompute-equality is the soundness claim, checked by the driver
+# hash every rotation, not just by local tests.
+# Scale shape: refresh reads ONLY the touched-key slices of the
+# current base snapshots (semi-joins) and rewrites only view
+# partitions holding touched keys; the view is itself a CoW table, so
+# it inherits time travel / change feed / layout health.
+# ---------------------------------------------------------------------------
+@query(
+    "x217_ivm_join_view",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 1 THEN doc_id % 7 + 100
+                    ELSE doc_id % 7 END AS score
+        FROM documents
+        WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(0 AS BIGINT) AS n_diff
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def x217_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained join view after mutations on both bases: per-source
+    state plus a recompute-equality symmetric-difference count
+    (pinned 0)."""
+    from ua2sql_spark.operators.ivm_join import (
+        build_join_view,
+        refresh_join_view,
+    )
+    from ua2sql_spark.operators.snapshot import (
+        delete_cow,
+        read_snapshot,
+        upsert_cow,
+    )
+    from ua2sql_spark.queries.common import fixture_artifact
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def build(root: str) -> None:
+        a_path, b_path, v_path = root + "/a", root + "/b", root + "/v"
+        a0 = d.select(
+            "doc_id",
+            (did % 4).cast("string").alias("grp"),
+            "source",
+            "n_chars",
+        )
+        upsert_cow(a0, a_path, ["doc_id"], "grp")
+        b0 = d.filter(did % 3 != 1).select(
+            "doc_id",
+            (did % 7).cast("bigint").alias("score"),
+            (did % 4).cast("string").alias("bgrp"),
+        )
+        upsert_cow(b0, b_path, ["doc_id"], "bgrp")
+        build_join_view(spark, a_path, b_path, "doc_id", "grp", v_path)
+        # mutate A: update + delete
+        upsert_cow(
+            a0.filter(did % 5 == 0).withColumn(
+                "n_chars", F.coalesce(F.col("n_chars"), F.lit(0)) + 1
+            ),
+            a_path, ["doc_id"], "grp",
+        )
+        delete_cow(spark, a_path, did % 11 == 0, "grp")
+        # mutate B: late insert of the %3=1 cohort + delete
+        upsert_cow(
+            d.filter(did % 3 == 1).select(
+                "doc_id",
+                (did % 7 + 100).cast("bigint").alias("score"),
+                (did % 4).cast("string").alias("bgrp"),
+            ),
+            b_path, ["doc_id"], "bgrp",
+        )
+        delete_cow(spark, b_path, did % 13 == 0, "bgrp")
+        refresh_join_view(spark, v_path)
+
+    root = fixture_artifact(spark, sf_dir, "x217jv", "documents", build)
+    view = read_snapshot(spark, root + "/v").select(
+        "doc_id", "source", "score"
+    )
+    a1 = read_snapshot(spark, root + "/a")
+    b1 = read_snapshot(spark, root + "/b")
+    recompute = a1.join(b1.select("doc_id", "score"), "doc_id").select(
+        "doc_id", "source", "score"
+    )
+    n_diff = (
+        view.exceptAll(recompute).count()
+        + recompute.exceptAll(view).count()
+    )
+    return (
+        view.groupBy(F.col("source").cast("string").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .select(
+            "source",
+            "n_rows",
+            "sum_score",
+            F.lit(n_diff).cast("bigint").alias("n_diff"),
+        )
+        .orderBy("source")
+    )

@@ -400,7 +400,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # window plus x125/x188/x189 r11/r12-green below the fold), x211 ->
 # x216 weekly retention-cohort matrix (the full cohort triangle behind
 # q39's readout, integer-ppm shares; the stats family keeps x209
-# Kendall + x213 Mann-Kendall in window, x211 chi² r12-green).
+# Kendall + x213 Mann-Kendall in window, x211 chi² r12-green), and
+# x201 -> x217 incrementally-maintained join view (operators/
+# ivm_join.py: V = A ⋈ B kept current from both bases' change feeds,
+# recompute-equality pinned 0 in the hashed frame; RESTORE is
+# r12-green and X12 keeps x200 drift + x212 layout + the view row).
 # NEXT (rotation #12, round 14): the 17 remaining r6 rows (q123, q147,
 # q150, x136, x142, x143, x151, x153, x154, x170, x175, x176, x177,
 # x178, x182, x184, x97) hit the staleness bound entering r14 — rotate
@@ -446,8 +450,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # gate: snapshot layout health (VERDICT r12 #2, measure-first trio
     # complete under the gate: x198 IVF / x204 LSH / x212 table layout)
     "x200_corpus_version_drift",
-    "x201_snapshot_restore",
     "x212_snapshot_layout_health",
+    "x217_ivm_join_view",
     # reconciliation family representative (x206/x208 below the fold,
     # driver-green r12)
     "x202_table_reconcile",
