@@ -135,3 +135,39 @@ def test_build_rejects_non_key_column_collision(spark, tmp_path):
     with pytest.raises(ValueError, match="collision"):
         build_join_view(spark, a_path, b_path, "k", "grp",
                         str(tmp_path / "v"))
+
+
+def test_view_is_a_table_scd2_and_feed_compose(spark, tmp_path):
+    """The maintained view is a real CoW table: its OWN change feed and
+    an SCD2 history fold off it work exactly as they do on base tables
+    — scd2_as_of(view_history, v) equals read_snapshot(view, v) at
+    every view version across a refresh that upserts AND deletes."""
+    from ua2sql_spark.operators.ivm_join import refresh_join_view
+    from ua2sql_spark.operators.scd2 import build_scd2, scd2_as_of
+    from ua2sql_spark.operators.snapshot import (
+        delete_cow,
+        list_versions,
+        read_snapshot,
+        upsert_cow,
+    )
+
+    a_path, b_path, v_path = _setup(spark, tmp_path)
+    upsert_cow(
+        _mk(spark, [(1, "g0", "A1v2")], "k bigint, grp string, a_val string"),
+        a_path, ["k"], "grp",
+    )
+    delete_cow(spark, b_path, F.col("k") == 2, "k")
+    refresh_join_view(spark, v_path)
+
+    hist = build_scd2(spark, v_path, ["k"])
+    for v in list_versions(spark, v_path):
+        cols = ["k", "grp", "a_val", "b_val"]
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in scd2_as_of(hist, v).select(cols).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in read_snapshot(spark, v_path, v).select(cols).collect()
+        )
+        assert got == want, f"view version {v}"
