@@ -482,3 +482,45 @@ def test_config_unparseable_file(tmp_path):
         load_config(str(p))
     with pytest.raises(ConfigError):
         load_config(str(tmp_path / "absent.json"))
+
+
+def test_cli_maintain_reports_then_compacts_flagged_only(spark, tmp_path, capsys):
+    """``python -m ua2sql_spark maintain``: report-only by default,
+    --compact rewrites exactly the would_compact set at the given
+    --min-files threshold (the measure-first loop as one CLI verb)."""
+    import json
+
+    from ua2sql_spark.__main__ import main
+    from ua2sql_spark.operators.snapshot import (
+        bootstrap_snapshot,
+        snapshot_layout_health,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, v string")
+    for rows in (
+        [(1, "d1", "a")], [(2, "d1", "b")], [(3, "d1", "c")],
+        [(4, "d2", "d")], [(5, "d2", "e")],
+    ):
+        mk(rows).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    bootstrap_snapshot(spark, path, "day")
+
+    # report-only: no mutation
+    assert main(["maintain", path, "day", "--min-files", "3"], spark=spark) == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
+    assert {r["partition"]: r["would_compact"] for r in out} == {
+        "day=d1": True, "day=d2": False,
+    }
+    h = {r["partition"]: r["n_files"]
+         for r in snapshot_layout_health(spark, path).collect()}
+    assert h == {"day=d1": 3, "day=d2": 2}
+
+    # --compact rewrites only the flagged partition
+    assert main(
+        ["maintain", path, "day", "--min-files", "3", "--compact"], spark=spark
+    ) == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
+    assert out[-1]["compacted"] == ["day=d1"]
+    h = {r["partition"]: r["n_files"]
+         for r in snapshot_layout_health(spark, path).collect()}
+    assert h == {"day=d1": 1, "day=d2": 2}

@@ -66,6 +66,60 @@ def _pipeline_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def _maintain_main(argv: list[str], spark=None) -> int:
+    """``python -m ua2sql_spark maintain <table_path> <partition_col>
+    [--min-files N] [--compact]`` — the measure-first maintenance loop
+    for a CoW snapshot table as a runnable job: print the per-partition
+    layout-health report as JSON lines, then (only with ``--compact``)
+    rewrite EXACTLY the would_compact set via the partitions allowlist.
+    The operator pair guarantees report/rewrite agreement for any
+    ``--min-files``; the default is report-only (dry-run-by-default,
+    same stance as vacuum_orphans)."""
+    import json
+
+    from ua2sql_spark.operators.snapshot import (
+        compact_snapshot,
+        snapshot_layout_health,
+    )
+    from ua2sql_spark.session import get_spark
+
+    min_files = 2
+    compact = False
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--min-files":
+            min_files = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--compact":
+            compact = True
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
+    if len(args) != 2:
+        print(
+            "usage: python -m ua2sql_spark maintain <table_path> "
+            "<partition_col> [--min-files N] [--compact]"
+        )
+        return 1
+    path, partition_col = args
+    spark = spark or get_spark("ua2sql_spark-maintain")
+    health = snapshot_layout_health(spark, path, min_files=min_files)
+    flagged = []
+    for r in health.collect():
+        print(json.dumps(r.asDict()))
+        if r["would_compact"]:
+            flagged.append(r["partition"])
+    if compact and flagged:
+        version, compacted = compact_snapshot(
+            spark, path, partition_col, min_files=min_files,
+            partitions=flagged,
+        )
+        print(json.dumps({"compacted": compacted, "new_version": version}))
+    return 0
+
+
 def main(argv: list[str] | None = None, client=None, spark=None) -> int:
     """Returns a process exit code. ``client``/``spark`` are injectable
     for tests; production builds both from the config."""
@@ -76,6 +130,8 @@ def main(argv: list[str] | None = None, client=None, spark=None) -> int:
         return 1
     if argv[0] == "pipeline":
         return _pipeline_main(argv[1:], spark=spark)
+    if argv[0] == "maintain":
+        return _maintain_main(argv[1:], spark=spark)
     try:
         cfg = load_config(argv[0])
     except ConfigError as exc:
