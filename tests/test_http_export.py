@@ -524,3 +524,16 @@ def test_cli_maintain_reports_then_compacts_flagged_only(spark, tmp_path, capsys
     h = {r["partition"]: r["n_files"]
          for r in snapshot_layout_health(spark, path).collect()}
     assert h == {"day=d1": 1, "day=d2": 2}
+
+
+def test_cli_maintain_malformed_min_files_is_usage_error(capsys):
+    """ADVICE r13 #2: a trailing or non-integer --min-files prints the
+    usage line and returns 1 — never an IndexError/ValueError traceback."""
+    from ua2sql_spark.__main__ import main
+
+    for argv in (
+        ["maintain", "p", "day", "--min-files"],          # trailing flag
+        ["maintain", "p", "day", "--min-files", "lots"],  # non-integer
+    ):
+        assert main(argv, spark=object()) == 1
+        assert "usage:" in capsys.readouterr().out

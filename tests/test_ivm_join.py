@@ -171,3 +171,50 @@ def test_view_is_a_table_scd2_and_feed_compose(spark, tmp_path):
             for r in read_snapshot(spark, v_path, v).select(cols).collect()
         )
         assert got == want, f"view version {v}"
+
+
+def test_value_empty_feed_advances_cursor_without_view_commits(spark, tmp_path):
+    """ADVICE r13 #4: a compaction-only commit on a base advances the
+    base version but its change feed is value-empty — the refresh must
+    advance the cursor WITHOUT committing empty upsert/delete versions
+    on the view (no maintenance-pass version churn)."""
+    from ua2sql_spark.operators.ivm_join import _read_cursor, refresh_join_view
+    from ua2sql_spark.operators.snapshot import compact_snapshot, latest_version
+
+    a_path, b_path, v_path = _setup(spark, tmp_path)
+    # fragment then compact base A: one new base version, zero value change
+    from ua2sql_spark.operators.snapshot import upsert_cow
+
+    upsert_cow(
+        _mk(spark, [(1, "g0", "a1")], "k bigint, grp string, a_val string"),
+        a_path, ["k"], "grp",
+    )  # same values as _setup wrote -> feed for THIS commit is value-empty
+    compact_snapshot(spark, a_path, "grp", min_files=2)
+    va1 = latest_version(spark, a_path)
+
+    v_before = latest_version(spark, v_path)
+    m = refresh_join_view(spark, v_path)
+    assert m == {"upserted": 0, "deleted": 0, "a_version": va1, "b_version": 0}
+    assert latest_version(spark, v_path) == v_before  # zero view commits
+    assert _read_cursor(spark, v_path)["a_version"] == va1  # cursor advanced
+    _assert_view_equals_recompute(spark, a_path, b_path, v_path)
+    # and the advanced cursor makes the NEXT refresh the true no-op path
+    assert refresh_join_view(spark, v_path)["a_version"] == va1
+
+
+def test_cursor_read_fails_closed_on_staged_sidecar(spark, tmp_path):
+    """ADVICE r13 #1: a writer crash between delete and rename leaves
+    only the .tmp- stage; the cursor read must surface the rename-
+    recovery diagnostic (like _tags/_clones), not 'no cursor'."""
+    from ua2sql_spark.operators.ivm_join import _CURSOR_SIDECAR, _read_cursor
+    from ua2sql_spark.operators.snapshot import _jfs, _snap_root
+
+    a_path, b_path, v_path = _setup(spark, tmp_path)
+    jvm, fs, _ = _jfs(spark, v_path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = _snap_root(v_path)
+    final = HPath(root, _CURSOR_SIDECAR)
+    stage = HPath(root, f".tmp-{_CURSOR_SIDECAR}-deadbeef")
+    assert fs.rename(final, stage)  # simulate the crash window
+    with pytest.raises(ValueError, match="crashed between delete and rename"):
+        _read_cursor(spark, v_path)

@@ -83,13 +83,27 @@ def _maintain_main(argv: list[str], spark=None) -> int:
     )
     from ua2sql_spark.session import get_spark
 
+    def _usage() -> int:
+        print(
+            "usage: python -m ua2sql_spark maintain <table_path> "
+            "<partition_col> [--min-files N] [--compact]"
+        )
+        return 1
+
     min_files = 2
     compact = False
     args: list[str] = []
     i = 0
     while i < len(argv):
         if argv[i] == "--min-files":
-            min_files = int(argv[i + 1])
+            # ADVICE r13 #2: a trailing or non-integer --min-files is a
+            # usage error, not an IndexError/ValueError traceback.
+            if i + 1 >= len(argv):
+                return _usage()
+            try:
+                min_files = int(argv[i + 1])
+            except ValueError:
+                return _usage()
             i += 2
         elif argv[i] == "--compact":
             compact = True
@@ -98,11 +112,7 @@ def _maintain_main(argv: list[str], spark=None) -> int:
             args.append(argv[i])
             i += 1
     if len(args) != 2:
-        print(
-            "usage: python -m ua2sql_spark maintain <table_path> "
-            "<partition_col> [--min-files N] [--compact]"
-        )
-        return 1
+        return _usage()
     path, partition_col = args
     spark = spark or get_spark("ua2sql_spark-maintain")
     health = snapshot_layout_health(spark, path, min_files=min_files)

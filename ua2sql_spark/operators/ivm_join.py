@@ -52,9 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ua2sql_spark.operators.snapshot import (
-    _jfs,
-    _read_sidecar_text,
-    _snap_root,
+    _read_sidecar_fail_closed,
     _write_sidecar_atomic,
     delete_cow,
     latest_version,
@@ -67,8 +65,10 @@ _CURSOR_SIDECAR = "_join_view_cursor.json"
 
 
 def _read_cursor(spark: SparkSession, view_path: str) -> dict:
-    jvm, fs, _ = _jfs(spark, view_path)
-    raw = _read_sidecar_text(jvm, fs, _snap_root(view_path), _CURSOR_SIDECAR)
+    # Fail-closed like _tags.json/_clones.json (ADVICE r13 #1): a writer
+    # crash between delete and rename must surface as the staged-sidecar
+    # recovery error, not as "no cursor -> full view rebuild".
+    raw = _read_sidecar_fail_closed(spark, view_path, _CURSOR_SIDECAR)
     if raw is None:
         raise ValueError(
             f"{view_path} has no join-view cursor; build_join_view first"
@@ -82,9 +82,7 @@ def _write_cursor(spark: SparkSession, view_path: str, cur: dict) -> None:
     )
 
 
-def _joined(
-    a: DataFrame, b: DataFrame, key: str, partition_col: str
-) -> DataFrame:
+def _joined(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     """The view's row shape: A's columns plus B's non-key columns
     (name-collision-free by precondition), inner-joined on the key."""
     b_cols = [c for c in b.columns if c != key]
@@ -115,8 +113,7 @@ def build_join_view(
             f"non-key column collision between base tables: {sorted(overlap)}; "
             "rename before building the view"
         )
-    v0, _ = upsert_cow(_joined(a, b, key, partition_col), view_path, [key],
-                       partition_col)
+    v0, _ = upsert_cow(_joined(a, b, key), view_path, [key], partition_col)
     _write_cursor(
         spark, view_path,
         {"a_path": a_path, "b_path": b_path, "key": key,
@@ -150,10 +147,20 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
     # churn-bounded and consumed by three passes (slice semi-joins +
     # the delete anti-join): materialize once
     touched = touched.distinct().localCheckpoint()
+    if touched.rdd.isEmpty():
+        # Bases advanced but the change feed is value-empty (e.g. a
+        # compaction-only commit on a base, ADVICE r13 #4): advance the
+        # cursor without committing an empty upsert/delete pair — the
+        # view's version history stays churn-proportional, not
+        # maintenance-pass-proportional.
+        _write_cursor(spark, view_path, {**cur, "a_version": va1,
+                                         "b_version": vb1})
+        return {"upserted": 0, "deleted": 0, "a_version": va1,
+                "b_version": vb1}
 
     a1 = read_snapshot(spark, cur["a_path"], va1).join(touched, key, "left_semi")
     b1 = read_snapshot(spark, cur["b_path"], vb1).join(touched, key, "left_semi")
-    fresh = _joined(a1, b1, key, part).localCheckpoint()
+    fresh = _joined(a1, b1, key).localCheckpoint()
 
     _, n_up = upsert_cow(fresh, view_path, [key], part)
     # touched keys with no current join row: remove from the view
