@@ -66,63 +66,47 @@ def test_driver_window_families():
     assert len(DRIVER_WINDOW) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     required = {
-        # one per family: relational/joins, temporal, windows, JSON,
-        # streaming mirror, dedup tiers, similarity tiers + recall gate,
-        # text, multimodal, Pandas-UDF surface, training-data pipeline
-        # ops, versioned tables (round-13 rotation #11: registry.py's
-        # rotation comment records which rows moved below the fold and
-        # which family member covers each; every rotated-out row is
-        # driver-green in r12)
-        "q35_asof_join",
-        "q28_json_extract", "q32_date_funcs",  # scalar-family reps
-        "q11_setop_union",  # set ops — the family's only driver row
-        "q15_approx_distinct", "q18_percentiles",  # sketch/percentile reps
-        "x124_zorder_layout", "x133_quantized_recall_contract",
-        "x138_domain_pagerank",
-        "x179_prefix_simjoin",
-        "x155_pr_calibration",  # red r7/r8 — all-integer contract, stays gated
-        "x200_corpus_version_drift",
-        "x202_table_reconcile",  # reconcile family rep (x206/x208 r12-green)
-        "x209_kendall_tau",  # rank-stats rep (x203/x207/x211 r12-green)
-        "q155_lateral_topk",
-        "x194_lsh_index_probe",
-        "x198_ivf_health_report",
-        "x210_benford_digit_audit",
-        "x53_decode_mapinpandas",
-        "x111_pii_scrub",
-        # rotation #11's staleness cohort: the FULL r5-vintage set (the
-        # MAX_STALENESS=7 test starts failing for these in round 14)...
-        "q04_join_inner", "q07_join_semi", "q08_join_anti",
-        "q13_groupby_having", "q16_rollup", "q19_max_by_checkpoint",
-        "q20_collect_set", "q22_window_rank", "q25_topk_per_group",
-        "q26_order_limit", "q28_json_extract", "q34_array_funcs",
-        "q40_tumbling_window", "q86_supplier_wait", "q95_market_share",
-        "x104_global_shuffle", "x127_classifier_scores",
-        "x130_hybrid_search_rrf", "x148_dsir_importance",
-        "x46_ann_bucketed", "x48_token_stats",
-        "x77_zscore_applyinpandas",
-        # ...plus 2 of the r6 cohort, oldest-first by family risk
-        "q05_join_star_broadcast", "x71_ivf_ann",
-        # round-13 first-time gate: the measure-first maintenance trio's
-        # last member (VERDICT r12 #2)
-        "x212_snapshot_layout_health",
-        # x204's hashed frame gained the compaction-idempotence columns
-        # this round (VERDICT r12 #7) — must be re-proven in-window
-        "x204_lsh_index_health",
-        # late-r13 builds, gated from birth: the trend member of the
-        # stats tier (slot from x52 — r12-green, multimodal keeps
-        # x53/x127/x77) and the split-leakage audit (slot from x193 —
-        # r12-green, sampling/split keeps x104/x148)
-        "x213_mann_kendall_trend",
-        "x214_split_leakage_audit",
-        # ...and the second late-r13 pair: OHLC downsampling (slot from
-        # x50 — r12-green, text keeps x48) and the retention-cohort
-        # matrix (slot from x211 — r12-green, stats keeps x209/x213)
-        "x215_ohlc_downsample",
-        "x216_retention_cohorts",
-        # ...and the maintained-join-view row (slot from x201 —
-        # r12-green, X12 keeps x200/x212 + the view row itself)
-        "x217_ivm_join_view",
+        # Rotation #12 (round 14, registry.py's rotation comment records
+        # the full in/out family accounting; every rotated-out row is
+        # driver-green in r13). The window is staleness-driven this
+        # round: the whole r6 cohort (17) + the whole r7 cohort (24)...
+        "q123_hll_union_contract", "q147_recursive_hierarchy",
+        "q150_pipe_syntax", "x136_lang_stats_applyinarrow",
+        "x142_cdc_chunks", "x143_unicode_normalize",
+        "x151_tokenizer_fertility", "x153_exif_probe",
+        "x154_pq_recall_contract", "x170_inverted_index",
+        "x175_column_profile", "x176_copurchase_triangles",
+        "x177_rolling_mad_anomaly", "x178_kmeans_lloyd",
+        "x182_annotator_agreement", "x184_rfm_segmentation",
+        "x97_sequence_pack",
+        "q119_string_agg", "q137_bivariate_stats",
+        "q140_bitmap_exact_distinct", "q144_gap_fill_locf",
+        "q146_histogram_equi_width", "q151_collation_group",
+        "q168_growth_accounting",
+        "x131_temperature_resample", "x146_record_linkage",
+        "x150_epoch_upsample", "x156_stratified_exact_sample",
+        "x157_quality_constraints", "x160_url_canonicalize",
+        "x161_source_diversity", "x163_lang_source_mi",
+        "x164_dup_size_histogram", "x165_event_cooccurrence",
+        "x166_event_path_trigrams", "x167_value_drift_psi",
+        "x169_jl_projection", "x171_phrase_match",
+        "x172_source_overlap", "x183_bot_cadence",
+        # ...plus the round-14 first-time gates, windowed from birth
+        # (the x198/x204/x209 discipline): CIDR longest-prefix-match
+        # enrichment and exact weighted median
+        "x218_cidr_route_enrich", "x219_weighted_median",
+        # ...the late-r14 swap (slot from q152 parameterized-SQL,
+        # r7-green and first in line for rotation #13; the SQL surface
+        # keeps q147 recursive + q150 pipe): the two-hop maintained-
+        # view cascade, gated from birth
+        "x220_ivm_agg_cascade",
+        # ...plus the kept family representatives: the multi-way join
+        # archetype, the as-of join, the set-op family's only driver
+        # row, reconcile, PII, X12 layout health, and the IVM join view
+        # (re-proven after this round's ADVICE fixes)
+        "q95_market_share", "q35_asof_join", "q11_setop_union",
+        "x202_table_reconcile", "x111_pii_scrub",
+        "x212_snapshot_layout_health", "x217_ivm_join_view",
     }
     assert required <= set(DRIVER_WINDOW)
 

@@ -747,6 +747,13 @@ def test_bench_compact_line_survives_driver_tail_capture():
         "canary_cpu_sec": 9999.9999,
         "canary_shuffle_sec": 9999.9999,
         "canary_drift": 9999.9999,
+        # round-14 interleaved canary (the r13 normalization fix):
+        # three more scalars, plus the raw sample LIST that must be
+        # stripped like the maps
+        "canary_il_median_sec": 9999.9999,
+        "canary_il_cv": 9999.9999,
+        "headline_per_canary_il": 9999.99,
+        "canary_il_samples": [9999.9999] * 80,
         # end-of-run canary raws are a MAP — must be stripped like
         # gated_queries
         "canary_end": {"canary_cpu_sec": 9999.9999, "canary_shuffle_sec": 9999.9999},
@@ -759,6 +766,9 @@ def test_bench_compact_line_survives_driver_tail_capture():
     parsed = json.loads(line)
     assert "gated_queries" not in parsed["extras"]
     assert "canary_end" not in parsed["extras"]
+    assert "canary_il_samples" not in parsed["extras"]
+    assert parsed["extras"]["headline_per_canary_il"] == 9999.99
+    assert parsed["extras"]["canary_il_median_sec"] == 9999.9999
     # driver-contract scalars survive worst-case shedding (they are
     # deliberately absent from bench._EXTRAS_SHED_ORDER)
     assert parsed["extras"]["canary_cpu_sec"] == 9999.9999
@@ -910,3 +920,40 @@ def test_retention_cohorts_is_join_free_on_the_corpus_side(spark):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert len(exchanges) <= 3, plan
+
+
+def test_cidr_route_enrich_is_two_broadcast_joins(spark):
+    """x218: CIDR longest-prefix-match is NOT a theta join — each
+    fixed-length tier resolves to one integer grid cell, so the probe is
+    exactly two BROADCAST hash joins (route dims are K-bounded) and the
+    corpus never shuffles before the final label rollup. No nested-loop
+    containment, no Python."""
+    df = all_queries()["x218_cidr_route_enrich"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # the events scan reads only what the ip derivation + rollup need
+    assert "user_id" in plan
+
+
+def test_weighted_median_windows_cells_not_corpus(spark):
+    """x219: the window pass orders |distinct (flag, value)| CELLS, not
+    lineitem — the plan's first exchange is the cell pre-aggregate's
+    hashpartitioning (with a partial_sum below it, so the corpus-sized
+    shuffle moves cell partials), and the cumulative window runs above
+    the aggregate, never directly over the scan. No joins, no Python."""
+    df = all_queries()["x219_weighted_median"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine under the cell agg
+    assert "Window" in plan
+    # window ordering key is the pre-aggregated cell frame's value col:
+    # the Window operator must sit ABOVE a HashAggregate in the tree
+    lines = plan.splitlines()
+    w_idx = min(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg_below = any("HashAggregate" in ln for ln in lines[w_idx:])
+    assert agg_below, plan

@@ -158,6 +158,21 @@ SLOPE_QUERIES = {
     # the view read, the recompute join (tiled documents -> 4x) and a
     # per-source fold -> linear.
     "x217_ivm_join_view": 4 * 1.6,
+    # x218 CIDR LPM enrich (round 14): reads EVENTS, which the tiling
+    # symlinks -> constant at the 4x tile; the two broadcast route
+    # joins are 30-row dims at any sf. Sub-second noise margin.
+    "x218_cidr_route_enrich": 1 * 2.5,
+    # x220 maintained-view cascade (round 14): the two-base build,
+    # both view materializations and both refreshes are fixture-cached
+    # per sf_dir; the timed work is the aggregate-view read (bucket
+    # dirs), the from-scratch recompute join over the tiled documents
+    # (4x) and the symmetric-difference folds -> linear, like x217.
+    "x220_ivm_agg_cascade": 4 * 1.6,
+    # x219 weighted median (round 14): lineitem tiles 4x and
+    # l_extendedprice is near-unique, so the distinct (flag, value)
+    # cell frame scales ~4x with the corpus -> one 4x row scan into
+    # cells + a cell-sized window -> linear.
+    "x219_weighted_median": 4 * 1.6,
 }
 
 pytestmark = pytest.mark.skipif(

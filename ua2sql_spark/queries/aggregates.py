@@ -1460,3 +1460,71 @@ def x213_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 extension: exact WEIGHTED median per group — the selection statistic
+# plain percentiles (q18) cannot express when observations carry
+# multiplicity (row = an order line, weight = its quantity). Lower
+# weighted median: the smallest value v with 2·cumweight(≤v) ≥ total.
+# The reference aggregates nothing (ua2sql.py:223-236 lands raw rows);
+# this is SURVEY §2.11 north-star surface.
+#
+# Scale shape: pre-aggregate to DISTINCT (group, value) cells first —
+# the window pass then orders |distinct values| rows per group, never
+# the corpus; one corpus-sized hash exchange (the cell pre-agg), one
+# cell-sized window exchange. Weights sum in BIGINT (quantities are
+# integral), so the 2·cw ≥ tw boundary is exact integer arithmetic in
+# both engines — no float-order sensitivity at the selection threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "x219_weighted_median",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, v, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM cells
+    )
+    SELECT flag AS l_returnflag,
+           MIN(v) AS w_median,
+           CAST(MAX(tw) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_cells_at_or_above
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY flag
+    ORDER BY l_returnflag
+    """,
+)
+def x219_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    wg = Window.partitionBy("flag")
+    cum = cells.select(
+        "flag",
+        "v",
+        F.sum("w").over(wg.orderBy("v")).alias("cw"),
+        F.sum("w").over(wg).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("v").alias("w_median"),
+            F.max("tw").alias("total_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells_at_or_above"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1238,3 +1238,94 @@ def x216_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# X7/J7 extension: CIDR longest-prefix-match enrichment — the INET-typed
+# analytics the reference stores but never queries (its events land an
+# INET column via createTableColumnTypes, ua2sql.py:51,68; PostgreSQL is
+# left to do any containment math). Route table = two fixed-length tiers
+# derived from the dims: a /5 block per nation (network k*2^27) and a /4
+# block per region in the high half (network 2^31 + r*2^28), so nation
+# routes SHADOW region routes over [2^31, 25*2^27) and longest-prefix
+# must win there. Event IPs derive from user_id via the Knuth
+# multiplicative hash — pure integer arithmetic both engines compute
+# identically.
+#
+# Scale shape: CIDR containment is NOT a theta join here — each tier has
+# a fixed prefix length, so membership is one integer division to the
+# tier's grid cell and the probe becomes two BROADCAST HASH equi-joins
+# (route tables are K-bounded dims; the corpus never shuffles). LPM
+# falls out row-wise as COALESCE in fixed-length-tier order — no
+# per-event aggregation. For an arbitrary-length route table the same
+# plan holds: expand each route into its covering cells at a fixed grid
+# (e.g. /8), broadcast-join on the cell, tie-break max_by(label, plen);
+# the corpus side still never shuffles before the final rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "x218_cidr_route_enrich",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip
+        FROM events
+    ),
+    n AS (SELECT n_nationkey AS blk, n_name AS label FROM nation
+          WHERE n_nationkey < 25),
+    r AS (SELECT r_regionkey AS blk, r_name AS label FROM region)
+    SELECT COALESCE(n.label, r.label, 'unrouted') AS route_label,
+           CAST(CASE WHEN n.label IS NOT NULL THEN 5
+                     WHEN r.label IS NOT NULL THEN 4
+                     ELSE 0 END AS INT) AS prefix_len,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e
+    LEFT JOIN n ON e.ip // 134217728 = n.blk
+    LEFT JOIN r ON e.ip // 268435456 - 8 = r.blk
+    GROUP BY 1, 2
+    ORDER BY n_events DESC, route_label
+    """,
+)
+def x218_cidr_route_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .alias("ip"),
+    )
+    n_routes = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 25)
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("n_blk"),
+            F.col("n_name").alias("n_label"),
+        )
+    )
+    r_routes = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("bigint").alias("r_blk"),
+        F.col("r_name").alias("r_label"),
+    )
+    routed = (
+        e.withColumn("n_key", F.floor(F.col("ip") / F.lit(134217728)))
+        .withColumn("r_key", F.floor(F.col("ip") / F.lit(268435456)) - 8)
+        .join(F.broadcast(n_routes), F.col("n_key") == F.col("n_blk"), "left")
+        .join(F.broadcast(r_routes), F.col("r_key") == F.col("r_blk"), "left")
+    )
+    # fixed-length tiers make COALESCE order the longest-prefix rule:
+    # /5 (nation) beats /4 (region) wherever both contain the ip
+    return (
+        routed.select(
+            F.coalesce("n_label", "r_label", F.lit("unrouted"))
+            .alias("route_label"),
+            F.when(F.col("n_label").isNotNull(), F.lit(5))
+            .when(F.col("r_label").isNotNull(), F.lit(4))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("prefix_len"),
+            "user_id",
+        )
+        .groupBy("route_label", "prefix_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_events"), "route_label")
+    )

@@ -405,96 +405,119 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ivm_join.py: V = A ⋈ B kept current from both bases' change feeds,
 # recompute-equality pinned 0 in the hashed frame; RESTORE is
 # r12-green and X12 keeps x200 drift + x212 layout + the view row).
-# NEXT (rotation #12, round 14): the 17 remaining r6 rows (q123, q147,
-# q150, x136, x142, x143, x151, x153, x154, x170, x175, x176, x177,
-# x178, x182, x184, x97) hit the staleness bound entering r14 — rotate
-# them all, plus the oldest r7 rows as slots allow (the 24-row r7
-# cohort fails entering r15).
+# Round-14 rotation #12 (executed per rotation #11's written NEXT
+# guidance): STALENESS is the driver — the 17-row r6 cohort (fails the
+# MAX_STALENESS=7 test entering r15 unless green in r14) rotates in
+# wholesale (q123/q147/q150/x136/x142/x143/x151/x153/x154/x170/x175/
+# x176/x177/x178/x182/x184/x97), and the FULL 24-row r7 cohort comes
+# with it (q119/q137/q140/q144/q146/q151/q152/q168/x131/x146/x150/
+# x156/x157/x160/x161/x163/x164/x165/x166/x167/x169/x171/x172/x183)
+# — taking all of r7 now, one round early, frees r15/r16 slots to
+# pre-pull the 32-row r10 cohort that would otherwise overflow r18.
+# Plus the round's two first-time gates, windowed from birth (the
+# x198/x204/x209 discipline): x218 CIDR longest-prefix-match
+# enrichment (INET parity with ua2sql.py:51,68 — grid-bucketed
+# broadcast equi-joins, never a theta join) and x219 exact weighted
+# median (cell-preaggregated selection, integer threshold
+# arithmetic).
+# Kept (7): q95 market-share (the multi-way join archetype — the join
+# family's in-window rep while q04-q08/q86 rotate below the fold
+# r13-green), q35 as-of (temporal join), q11 UNION ALL (the set-op
+# family's only driver row), x202 reconcile (family rep; x206/x208
+# r12-green), x111 PII scrub (family's in-window rep; x199 r11-green),
+# x212 snapshot layout health (X12 + the measure-first maintenance
+# trio's rep while x198/x204 rotate out r13-green), x217 IVM join view
+# (X12's churn-maintenance rep, r13-green from birth and re-proven
+# after this round's ADVICE fixes: fail-closed cursor read +
+# value-empty-feed cursor advance).
+# Out (43), every one driver-green in r13, family accounting: joins
+# keep q95/q35 (q04/q05/q07/q08/q86 out); aggs keep incoming q119/
+# q137/q146 (q13/q19/q20 out; grouping-sets family q16 out — below
+# fold r13-green, q17/q68 cover below fold); sketches keep incoming
+# q123 HLL + q140 bitmap (q15 out; q18 percentiles out — selection
+# family keeps incoming q146 histogram + x219 weighted median); scalar
+# funcs keep incoming x143 unicode + x160 url + q144 dates (q28/q32/
+# q34 out); windows keep incoming x177 MAD frames + q168 lag + q144
+# LOCF (q22/q25/q26 out); events keep incoming x131/x150/x165/x166/
+# x183 + kept q35 (q40/x215/x216 out, x215/x216 r13-green from birth);
+# SQL surface keeps incoming q147 recursive + q150 pipe + q152
+# parameterized (q155 out); X12 keeps kept x212/x217 (x200 out); stats
+# keep incoming q137/x163/x167/x182/x177 (x209/x213/x210 out); dedup
+# keeps incoming x146 linkage + x164 + x172 (x179/x194/x204 out — the
+# persisted-LSH-index pair is below fold r13-green); similarity keeps
+# incoming x154 PQ contract + x169 JL (x46/x71/x130/x133/x155/x198
+# out); text keeps incoming x151 fertility + x143 + x171 (x48 out);
+# Python surface keeps incoming x136 applyInArrow (x53/x77/x127 out);
+# layout keeps kept x212 (x124 out); graph/iterative keep incoming
+# x176 triangles + x178 k-means (x138 out); sampling/splits keep
+# incoming x156 exact-stratified + x161 diversity (x104/x148/x214
+# out, x214 r13-green from birth).
+# Late-r14 swap for the operator BUILT this round, gated from birth:
+# q152 parameterized-SQL (r7-green, safe below the fold until r16 and
+# FIRST in line for rotation #13) -> x220 maintained-view cascade
+# (base feeds -> IVM join view -> the view's own feed -> IVM
+# aggregate view, symmetric-difference-vs-recompute pinned 0; the SQL
+# surface keeps q147 recursive + q150 pipe in window).
+# NEXT (rotation #13, round 15): q152 parameterized-SQL (deferred
+# above) + the r8 cohort (18 rows, fails entering r17) plus as many
+# of the 23-row r9 cohort as slots allow; pre-pull r10 rows with any
+# spare slots — r10 holds 32 rows and cannot fit in r18's window
+# alone alongside its own keeps.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core + joins (r5 staleness cohort + the r6 broadcast
-    # archetype)
-    "q04_join_inner",
-    "q05_join_star_broadcast",
-    "q07_join_semi",
-    "q08_join_anti",
-    "q86_supplier_wait",
+    # r6 staleness cohort (17)
+    "q123_hll_union_contract",
+    "q147_recursive_hierarchy",
+    "q150_pipe_syntax",
+    "x136_lang_stats_applyinarrow",
+    "x142_cdc_chunks",
+    "x143_unicode_normalize",
+    "x151_tokenizer_fertility",
+    "x153_exif_probe",
+    "x154_pq_recall_contract",
+    "x170_inverted_index",
+    "x175_column_profile",
+    "x176_copurchase_triangles",
+    "x177_rolling_mad_anomaly",
+    "x178_kmeans_lloyd",
+    "x182_annotator_agreement",
+    "x184_rfm_segmentation",
+    "x97_sequence_pack",
+    # r7 staleness cohort (24), taken one round early in full
+    "q119_string_agg",
+    "q137_bivariate_stats",
+    "q140_bitmap_exact_distinct",
+    "q144_gap_fill_locf",
+    "q146_histogram_equi_width",
+    "q151_collation_group",
+    "q168_growth_accounting",
+    "x131_temperature_resample",
+    "x146_record_linkage",
+    "x150_epoch_upsample",
+    "x156_stratified_exact_sample",
+    "x157_quality_constraints",
+    "x160_url_canonicalize",
+    "x161_source_diversity",
+    "x163_lang_source_mi",
+    "x164_dup_size_histogram",
+    "x165_event_cooccurrence",
+    "x166_event_path_trigrams",
+    "x167_value_drift_psi",
+    "x169_jl_projection",
+    "x171_phrase_match",
+    "x172_source_overlap",
+    "x183_bot_cadence",
+    # round-14 first-time gates, windowed from birth
+    "x218_cidr_route_enrich",
+    "x219_weighted_median",
+    "x220_ivm_agg_cascade",
+    # kept family representatives (see the rotation note)
     "q95_market_share",
-    # aggregates + sketches (r5 cohort; q15/q18 kept so the
-    # approx-sketch and percentile families never leave the window)
-    "q13_groupby_having",
-    "q16_rollup",
-    "q19_max_by_checkpoint",
-    "q20_collect_set",
-    "q15_approx_distinct",
-    "q18_percentiles",
-    # set ops (kept — the family's only driver row)
-    "q11_setop_union",
-    # scalar functions (q28 JSON in from the r5 cohort; q32 dates kept)
-    "q28_json_extract",
-    "q32_date_funcs",
-    "q34_array_funcs",
-    # windows + sorts (r5 cohort)
-    "q22_window_rank",
-    "q25_topk_per_group",
-    "q26_order_limit",
-    # temporal + event analytics (q35 asof kept; q40 in from r5; x215
-    # OHLC downsample + x216 cohort matrix built this round, gated from
-    # birth — slots from x50 and x211, both r12-green)
     "q35_asof_join",
-    "q40_tumbling_window",
-    "x215_ohlc_downsample",
-    "x216_retention_cohorts",
-    # SQL surface
-    "q155_lateral_topk",
-    # versioned tables — X12's driver rows + the round's first-time
-    # gate: snapshot layout health (VERDICT r12 #2, measure-first trio
-    # complete under the gate: x198 IVF / x204 LSH / x212 table layout)
-    "x200_corpus_version_drift",
+    "q11_setop_union",
+    "x202_table_reconcile",
+    "x111_pii_scrub",
     "x212_snapshot_layout_health",
     "x217_ivm_join_view",
-    # reconciliation family representative (x206/x208 below the fold,
-    # driver-green r12)
-    "x202_table_reconcile",
-    # stats: rank/categorical/trend tier representatives (x203/x207
-    # below the fold, driver-green r12; x213 built this round, gated
-    # from birth — slot from x52, multimodal keeps x53/x127/x77)
-    "x209_kendall_tau",
-    "x213_mann_kendall_trend",
-    # dedup tiers: exact-similarity contract + persisted-index family
-    # (x204's hashed frame CHANGED this round — compaction-idempotence
-    # columns — so it must be re-proven)
-    "x179_prefix_simjoin",
-    "x194_lsh_index_probe",
-    "x204_lsh_index_health",
-    # similarity / embedding math: the r5 cohort's bucketed-ANN and RRF
-    # rows + the r6 IVF spine + kept contracts
-    "x46_ann_bucketed",
-    "x71_ivf_ann",
-    "x130_hybrid_search_rrf",
-    "x133_quantized_recall_contract",
-    "x155_pr_calibration",
-    "x198_ivf_health_report",
-    # text analysis / corpus quality (x48 in from the r5 cohort; x50
-    # kept; x210 audit stays)
-    "x48_token_stats",
-    "x210_benford_digit_audit",
-    # multimodal + Python-execution surface (x127 inference seam + x77
-    # applyInPandas in from the r5 cohort; x53 kept; x52's slot taken
-    # by the late-r13 x213 swap, r12-green)
-    "x53_decode_mapinpandas",
-    "x77_zscore_applyinpandas",
-    "x127_classifier_scores",
-    # layout + iterative graph
-    "x124_zorder_layout",
-    "x138_domain_pagerank",
-    # training-data pipeline (r5 cohort: global shuffle, DSIR
-    # importance selection, plus kept PII scrub; x193's slot taken by
-    # the late-r13 x214 swap — the split family keeps x104/x148 and
-    # gains the leakage audit, gated from birth)
-    "x104_global_shuffle",
-    "x148_dsir_importance",
-    "x214_split_leakage_audit",
-    "x111_pii_scrub",
 )
 
 
