@@ -83,3 +83,57 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["score"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     assert set(merged.columns) == {"id", "v", "score"}
+
+
+# ---------------------------------------------------------------------------
+# r14 scan rebalance: a single-row-group parquet file scans as one task,
+# so compute-heavy callers opt in to a round-robin rebalance to
+# defaultParallelism. The rule must (a) fire only when asked, (b) keep
+# filter pushdown and column pruning at the parquet scan, (c) respect
+# the min/max byte guards, and (d) leave results identical.
+# ---------------------------------------------------------------------------
+def _write_orders_like(tmp_path, n=64) -> str:
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(n)), pa.int64()),
+            "o_custkey": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "o_totalprice": pa.array([float(i) for i in range(n)]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_scan_rebalance_opt_in_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    sf_dir = _write_orders_like(tmp_path)
+    spark.conf.set("spark.ua2sql.scan.rebalance.minBytes", "1")
+    try:
+        plain = load_table(spark, sf_dir, "orders")
+        reb = load_table(spark, sf_dir, "orders", rebalance=True)
+        assert "Exchange" not in plain._jdf.queryExecution().executedPlan().toString()
+        plan = reb._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan, "rebalance=True must add a round-robin exchange"
+        # (b) pushdown + pruning survive the repartition
+        filtered = (
+            load_table(spark, sf_dir, "orders", rebalance=True)
+            .filter(F.col("o_orderkey") <= 10)
+            .select("o_custkey")
+        )
+        fplan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "LessThanOrEqual(o_orderkey,10)" in fplan
+        assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in fplan
+        # (d) identical results either way
+        a = sorted(plain.collect())
+        b = sorted(reb.collect())
+        assert a == b
+        # (c) min-bytes guard: tiny table skips the exchange even when asked
+        spark.conf.set("spark.ua2sql.scan.rebalance.minBytes", str(1 << 30))
+        guarded = load_table(spark, sf_dir, "orders", rebalance=True)
+        assert (
+            "Exchange"
+            not in guarded._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.ua2sql.scan.rebalance.minBytes")

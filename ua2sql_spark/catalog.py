@@ -43,6 +43,83 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 MANIFEST_ENABLED_CONF = "spark.ua2sql.manifest.enabled"
 MANIFEST_DIR_CONF = "spark.ua2sql.manifest.dir"
 
+# --- Scale-adaptive scan rebalance (OPTIMIZATION_r14.md §scan) ---------
+# A parquet row group is the unit of scan parallelism: a table written
+# as one file with one row group scans as ONE task no matter how many
+# cores the session has, and every scan-side projection (minhash md5s,
+# cosine folds, decimal casts) serializes behind it. When the caller
+# declares its scan-side work heavy (``load_table(..., rebalance=True)``)
+# AND the file layout yields fewer splits than the session has cores
+# AND the table is small enough that one round-robin exchange is cheap,
+# load_table rebalances the scan to ``defaultParallelism`` partitions.
+# Opt-in per call site because only the query knows its per-row compute
+# weight (guide §8: use what you know that the optimizer does not) —
+# A/B at sf0.1 showed heavy-compute scans gain 0.5-3 s while trivial
+# scans lose the ~0.3 s exchange fixed cost. The trigger is derived
+# from the input layout, not a constant: at 100 TB any real table
+# yields orders of magnitude more splits than cores, so the branch is
+# a no-op there (and the max-bytes guard would refuse the blanket
+# shuffle anyway). Filter pushdown and column pruning are unaffected —
+# Catalyst pushes deterministic predicates and prunes columns through
+# a Repartition node (asserted in tests/test_plans.py).
+SCAN_REBALANCE_CONF = "spark.ua2sql.scan.rebalance"  # default: true
+# Below this, the table is broadcast-dim-sized and scan-side work is
+# trivial; the exchange would be pure overhead (region..customer).
+SCAN_REBALANCE_MIN_BYTES_CONF = "spark.ua2sql.scan.rebalance.minBytes"
+_SCAN_REBALANCE_MIN_BYTES = 512 * 1024
+# Above this, a blanket shuffle of the whole table is no longer "cheap
+# insurance" — real layouts this size carry enough row groups already.
+SCAN_REBALANCE_MAX_BYTES_CONF = "spark.ua2sql.scan.rebalance.maxBytes"
+_SCAN_REBALANCE_MAX_BYTES = 1 << 30
+
+
+def _dir_bytes(path: str) -> tuple[int, int]:
+    """(total_bytes, n_files) for a local file or directory; (0, 0) when
+    the path is not locally stat-able (object store) — the caller then
+    skips rebalance, which is the safe default at cluster scale."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path), 1
+        total, n = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+        return total, n
+    except OSError:
+        return 0, 0
+
+
+def _scan_rebalance(
+    spark: SparkSession, df: DataFrame, path: str, rebalance: bool = True
+) -> DataFrame:
+    if not rebalance:
+        return df
+    if (spark.conf.get(SCAN_REBALANCE_CONF, "true") or "").lower() != "true":
+        return df
+    total, n_files = _dir_bytes(path)
+    min_b = int(
+        spark.conf.get(SCAN_REBALANCE_MIN_BYTES_CONF, str(_SCAN_REBALANCE_MIN_BYTES))
+    )
+    max_b = int(
+        spark.conf.get(SCAN_REBALANCE_MAX_BYTES_CONF, str(_SCAN_REBALANCE_MAX_BYTES))
+    )
+    if total < min_b or total > max_b:
+        return df
+    try:
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    # Upper bound on the split count Spark can extract from this layout
+    # (actual parallelism is further capped by row-group placement).
+    splits = n_files + total // max(max_pb, 1)
+    cores = spark.sparkContext.defaultParallelism
+    if splits >= cores:
+        return df
+    return df.repartition(cores)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -60,6 +137,7 @@ def load_table(
     sf_dir: str,
     name: str,
     where: tuple | None = None,
+    rebalance: bool = False,
 ) -> DataFrame:
     """Load a catalog table; ``where=(col, lo, hi[, cast])`` applies an
     inclusive range predicate — and, when manifest pruning is enabled
@@ -79,7 +157,7 @@ def load_table(
             from pyspark.sql import functions as F
 
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
-        return df
+        return _scan_rebalance(spark, df, table_path(sf_dir, name), rebalance)
     if where is not None:
         from pyspark.sql import functions as F
 
@@ -105,9 +183,24 @@ def load_table(
                             spark.read.parquet(table_path(sf_dir, name))
                             .filter(F.lit(False))
                         )
-                    return spark.read.parquet(*files).filter(pred)
-        return spark.read.parquet(table_path(sf_dir, name)).filter(pred)
-    return spark.read.parquet(table_path(sf_dir, name))
+                    return _scan_rebalance(
+                        spark,
+                        spark.read.parquet(*files).filter(pred),
+                        table_path(sf_dir, name),
+                        rebalance,
+                    )
+        return _scan_rebalance(
+            spark,
+            spark.read.parquet(table_path(sf_dir, name)).filter(pred),
+            table_path(sf_dir, name),
+            rebalance,
+        )
+    return _scan_rebalance(
+        spark,
+        spark.read.parquet(table_path(sf_dir, name)),
+        table_path(sf_dir, name),
+        rebalance,
+    )
 
 
 def _hadoop_exists(spark: SparkSession, path: str) -> bool:

@@ -317,7 +317,7 @@ def q114_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def q123_hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", rebalance=True)
     even = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_custkey"))
     odd = F.when(F.col("o_orderkey") % 2 == 1, F.col("o_custkey"))
     agg = o.groupBy("o_orderpriority").agg(
@@ -370,7 +370,7 @@ def q123_hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q137_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
     sums = li.groupBy("l_returnflag").agg(

@@ -665,7 +665,7 @@ def pagerank_edges(
     """,
 )
 def x138_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     # |domains|-bounded; materialize once, every iteration reuses it.
     edges = pagerank_edges(d).localCheckpoint()
     # |domains| rows; materialized once so the 3 iterations (plus the
@@ -1301,7 +1301,7 @@ _SO_CAP = 16        # max sources sharing a shingle before it's dropped
 def x172_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.functions.text import char_shingles
 
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _SO_N)
+    d = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.length("text") >= _SO_N)
     # materialized once: four legs (capped/sizes/both self-join sides)
     # reuse the explode+distinct subtree (the x138 discipline)
     ss = (

@@ -653,7 +653,7 @@ _CDC_PAT = ("00", "40", "80", "c0")  # 4/256 -> mean chunk ~64 chars
     """,
 )
 def x142_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     t = F.col("text")
     # Guard: Spark's sequence(1, n) DESCENDS for n < 1 (unlike DuckDB's
     # empty range), so texts shorter than the boundary window must get

@@ -946,7 +946,7 @@ def x174_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ua2sql_spark.functions.arrays import dot, sq_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     # Materialized once (norm included, so the per-pair cosine below is
     # one array fold, not three — same float ops as the oracle's
     # formula, see ivf_assign): the assignment feeds BOTH sides of the
@@ -1083,7 +1083,7 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
     """,
 )
 def x175_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", rebalance=True)
     s = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_custkey").alias("nn_ck"),

@@ -76,7 +76,7 @@ def _sql_cosine(a: str, b: str) -> str:
     """,
 )
 def x45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     q = emb.filter(F.col("vec_id") < N_PROBE).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -965,7 +965,7 @@ def _pq_slice(emb: Column, m) -> Column:
     """,
 )
 def x154_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     is_code = (F.col("vec_id") % _PQ_STRIDE == 0) & (F.col("vec_id") < _PQ_MAXCID)
 
     # codeword subvectors (also feeds the broadcast codebook row)

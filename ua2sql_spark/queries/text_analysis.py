@@ -845,7 +845,7 @@ def x171_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x188_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     ws = F.split(F.col("text"), " ")
     base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
     g2 = F.transform(

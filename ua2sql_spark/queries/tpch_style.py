@@ -884,7 +884,7 @@ def q135_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
 def x176_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.operators.graph import triangle_stats
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     lp = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
