@@ -43,6 +43,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _is_int_dtype(series) -> bool:
+    import pandas.api.types as ptypes
+
+    return ptypes.is_integer_dtype(series)
+
+
+def _numpy_cc(a, b):
+    """Vectorized min-label components over integer endpoint arrays.
+
+    Returns ``(verts, labels)``: the sorted unique vertex array and, per
+    vertex, its component's minimum vertex id. Same fixpoint as the
+    distributed rounds (min-label propagation + pointer doubling), but
+    every step is one C-speed numpy pass over the edge remnant — the
+    Python-dict union-find this replaces walked ~2 dict ops per edge
+    per find and dominated x96's driver finish once the corpus's pair
+    graph grew to ~6·10^5 edges (OPTIMIZATION_r14.md §components).
+    Propagation over indices of the SORTED vertex array is exact:
+    min index == min vertex id."""
+    import numpy as np
+
+    verts = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(verts, a)
+    ib = np.searchsorted(verts, b)
+    comp = np.arange(len(verts), dtype=np.int64)
+    while True:
+        np.minimum.at(comp, ia, comp[ib])
+        np.minimum.at(comp, ib, comp[ia])
+        while True:  # pointer doubling to per-round fixpoint
+            nxt = comp[comp]
+            if np.array_equal(nxt, comp):
+                break
+            comp = nxt
+        if np.array_equal(comp[ia], comp[ib]):
+            break
+    return verts, verts[comp]
+
+
 def _union_find_min(pairs) -> dict[int, int]:
     """Driver-side union-find with min-root union over a bounded edge
     remnant (an iterable of (a, b) pairs); returns the non-identity
@@ -111,7 +148,19 @@ def connected_components(
     # distributed jobs with one Arrow collect.
     if base.count() <= driver_finish_max_edges:
         pdf = base.toPandas()
-        a, b = pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()
+        schema = StructType().add("vertex", vtype).add("component", vtype)
+        a_s, b_s = pdf.iloc[:, 0], pdf.iloc[:, 1]
+        if len(pdf) and _is_int_dtype(a_s) and _is_int_dtype(b_s):
+            # Vectorized finish + Arrow-path createDataFrame: both the
+            # union-find and the row materialization ran as Python
+            # loops before (~1 s at 6·10^5 edges); now one numpy pass
+            # and one pandas frame.
+            import pandas as pd
+
+            verts, labels = _numpy_cc(a_s.to_numpy(), b_s.to_numpy())
+            out_pdf = pd.DataFrame({"vertex": verts, "component": labels})
+            return base.sparkSession.createDataFrame(out_pdf, schema=schema)
+        a, b = a_s.tolist(), b_s.tolist()
         root = _union_find_min(
             (p, q) for p, q in zip(a, b) if p != q
         )
@@ -123,7 +172,7 @@ def connected_components(
         ]
         out = base.sparkSession.createDataFrame(
             [(v, root.get(v, v)) for (v,) in rows],
-            schema=StructType().add("vertex", vtype).add("component", vtype),
+            schema=schema,
         )
         return out
 
@@ -149,9 +198,14 @@ def connected_components(
             # Arrow path: a 2-column long frame transfers ~20× cheaper
             # than a collect() of Row objects at the 1M-edge bound.
             pdf = e.toPandas()
-            root = _union_find_min(
-                zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist())
-            )
+            a_s, b_s = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            if _is_int_dtype(a_s) and _is_int_dtype(b_s):
+                verts, labels = _numpy_cc(a_s.to_numpy(), b_s.to_numpy())
+                root = {
+                    int(v): int(r) for v, r in zip(verts, labels) if v != r
+                }
+            else:
+                root = _union_find_min(zip(a_s.tolist(), b_s.tolist()))
             if root:
                 fix = labels.sparkSession.createDataFrame(
                     list(root.items()),
