@@ -1302,33 +1302,42 @@ def x172_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.functions.text import char_shingles
 
     d = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.length("text") >= _SO_N)
-    # materialized once: four legs (capped/sizes/both self-join sides)
-    # reuse the explode+distinct subtree (the x138 discipline)
-    ss = (
-        d.select(
-            "source", F.explode(char_shingles(F.col("text"), _SO_N)).alias("g")
+    # ONE corpus-sized shuffle (r14: replaces distinct + capped
+    # self-join, which shuffled the same (source, shingle) rows three
+    # times — measured 2.2 s -> 1.1 s at sf0.1): collect_set dedups the
+    # repeated (source, shingle) observations map-side AND reduce-side,
+    # so the per-shingle source SET lands in one exchange; the cap
+    # bounds the pair expansion at C(CAP,2) structs per shingle (the
+    # LSH bucket discipline, operators/dedup.py); per-source set sizes
+    # fall out of the SAME materialized frame by re-exploding it —
+    # shingle strings never shuffle a second time.
+    gs = (
+        d.select("source", F.explode(char_shingles(F.col("text"), _SO_N)).alias("g"))
+        .groupBy("g")
+        .agg(F.collect_set("source").alias("ss"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        gs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    # sorted-set slice expansion keeps the src_a < src_b invariant
+    # without a filter (sort_array on distinct sources is total)
+    members = (
+        gs.filter(F.size("ss").between(2, _SO_CAP))
+        .select(F.posexplode(F.array_sort("ss")).alias("__i", "__a"),
+                F.array_sort("ss").alias("__all"))
+        .select(
+            F.col("__a"),
+            F.slice(F.col("__all"), F.col("__i") + F.lit(2), F.size("__all")).alias(
+                "__ps"
+            ),
         )
-        .distinct()
-        .localCheckpoint()
     )
-    capped = (
-        ss.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("nsrc"))
-        .filter(F.col("nsrc").between(2, _SO_CAP))
-        .select("g")
-    )
-    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    # the cap joins BEFORE the self-join (Catalyst without CBO keeps
-    # join order): a stop-shingle shared by M sources would otherwise
-    # materialize ~M^2 rows first and be filtered after the fact
-    ss_c = ss.join(capped, "g")
     pairs = (
-        ss_c.alias("a")
-        .join(ss_c.alias("b"), "g")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
+        members.select(F.col("__a").alias("src_a"), F.explode("__ps").alias("src_b"))
+        .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("inter"))
         .filter(F.col("inter") >= 5)
     )
