@@ -64,9 +64,9 @@ MANIFEST_DIR_CONF = "spark.ua2sql.manifest.dir"
 # a Repartition node (asserted in tests/test_plans.py).
 SCAN_REBALANCE_CONF = "spark.ua2sql.scan.rebalance"  # default: true
 # Below this, the table is broadcast-dim-sized and scan-side work is
-# trivial; the exchange would be pure overhead (region..customer).
+# trivial; the exchange would be pure overhead (region..part).
 SCAN_REBALANCE_MIN_BYTES_CONF = "spark.ua2sql.scan.rebalance.minBytes"
-_SCAN_REBALANCE_MIN_BYTES = 512 * 1024
+_SCAN_REBALANCE_MIN_BYTES = 256 * 1024
 # Above this, a blanket shuffle of the whole table is no longer "cheap
 # insurance" — real layouts this size carry enough row groups already.
 SCAN_REBALANCE_MAX_BYTES_CONF = "spark.ua2sql.scan.rebalance.maxBytes"

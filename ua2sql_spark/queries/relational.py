@@ -426,7 +426,11 @@ def q116_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x146_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    a = c.select(
+    # the blocked pair expansion computes ~|block|^2/2 levenshtein DPs
+    # in the STREAMED side's stage — rebalance so it isn't pinned to a
+    # single-row-group scan task (r14; the build side broadcasts and
+    # needs no exchange)
+    a = load_table(spark, sf_dir, "customer", rebalance=True).select(
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
         F.col("c_nationkey").alias("nation"),
