@@ -145,6 +145,37 @@ def _median_of(fn, n: int = 3) -> float:
     return round(statistics.median(runs), 4)
 
 
+def _canary_cpu(spark) -> None:
+    """The fixed CPU-bound probe shared by the bracketing canary and the
+    r14 interleaved canary — constant work at every scale factor."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 32_000_000, 1, 32)
+        .select(
+            (
+                (F.col("id") * F.lit(2654435761) + F.lit(1140071481932319848))
+                % F.lit(1000003)
+            ).alias("h")
+        )
+        .agg(F.sum("h").alias("s"), F.max("h").alias("m"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
+def canary_probe_once(spark) -> float:
+    """One single-shot timed cpu probe (r14, PLANS.md bench-mapping
+    note): fired after EVERY measured row so the sample median
+    co-samples the exact wall-clock window being normalized. The
+    two-point bracketing canary mis-normalized r13's driver run (564
+    hl/canary vs 138-140 steady-state) because the box's throughput
+    swung DURING the measured section, which instantaneous start/end
+    probes cannot see."""
+    t0 = time.perf_counter()
+    _canary_cpu(spark)
+    return round(time.perf_counter() - t0, 4)
+
+
 def measure_canary(spark) -> dict:
     """Machine-speed canary (VERDICT r11 #2): a fixed CPU-bound
     microbench — constant work at EVERY scale factor, no I/O — so a
@@ -169,17 +200,7 @@ def measure_canary(spark) -> dict:
     from pyspark.sql import functions as F
 
     def cpu():
-        (
-            spark.range(0, 32_000_000, 1, 32)
-            .select(
-                (
-                    (F.col("id") * F.lit(2654435761) + F.lit(1140071481932319848))
-                    % F.lit(1000003)
-                ).alias("h")
-            )
-            .agg(F.sum("h").alias("s"), F.max("h").alias("m"))
-            .write.format("noop").mode("overwrite").save()
-        )
+        _canary_cpu(spark)
 
     def shuffle():
         (
@@ -360,6 +381,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    il_samples: list[float] = []  # r14 interleaved canary, one per row
     for name in names:
         execute(name)  # per-query untimed warm-up (plan + codegen)
         runs = []
@@ -369,6 +391,7 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 4))
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 4)
+        il_samples.append(canary_probe_once(spark))
 
     # Driver-gated rows outside the headline: 1 warm-up + 1 timed run.
     # Write-path rows rebuild their table EVERY execution (idempotence
@@ -396,6 +419,7 @@ def main() -> None:
         t0 = time.perf_counter()
         execute(name)
         gated[name] = round(time.perf_counter() - t0, 4)
+        il_samples.append(canary_probe_once(spark))
 
     extras = measure_extras(spark)
     extras["gated_queries"] = gated
@@ -424,6 +448,17 @@ def main() -> None:
     # it when canary_valid = 0).
     drift = extras["canary_drift"]
     extras["canary_valid"] = 1 if abs(drift - 1.0) <= 0.15 else 0
+    # r14 interleaved canary (PLANS.md bench-mapping note): the median
+    # of the per-row probes co-samples the exact wall-clock window the
+    # headline total was measured in, so headline_per_canary_il stays a
+    # meaningful cross-round comparator even when canary_valid = 0.
+    il_med = statistics.median(il_samples) if il_samples else 0.0
+    il_mean = statistics.fmean(il_samples) if il_samples else 0.0
+    extras["canary_il_median_sec"] = round(il_med, 4)
+    extras["canary_il_cv"] = round(
+        statistics.pstdev(il_samples) / il_mean, 4
+    ) if il_samples and il_mean > 0 else 0.0
+    extras["canary_il_samples"] = il_samples  # map/list: detail line only
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -439,6 +474,12 @@ def main() -> None:
         canary_start["canary_cpu_sec"] + canary_end["canary_cpu_sec"]
     ) / 2
     extras["headline_per_canary"] = round(total / max(mean_canary, 1e-9), 2)
+    # The r14-preferred comparator (PLANS.md): normalized by the median
+    # of the probes fired INSIDE the measured section. Read this first
+    # from r14 on; headline_per_canary remains for pre-r14 records.
+    extras["headline_per_canary_il"] = round(
+        total / max(extras["canary_il_median_sec"], 1e-9), 2
+    )
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
