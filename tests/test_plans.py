@@ -5,6 +5,8 @@ regression fails here instead of on a cluster.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ua2sql_spark.catalog import load_table
@@ -939,18 +941,25 @@ def test_cidr_route_enrich_is_two_broadcast_joins(spark):
     assert "user_id" in plan
 
 
-def test_weighted_median_windows_cells_not_corpus(spark):
-    """x219: the window pass orders |distinct (flag, value)| CELLS, not
-    lineitem — the plan's first exchange is the cell pre-aggregate's
-    hashpartitioning (with a partial_sum below it, so the corpus-sized
-    shuffle moves cell partials), and the cumulative window runs above
-    the aggregate, never directly over the scan. No joins, no Python."""
+def test_weighted_median_two_level_prefix_sum(spark):
+    """x219: the cumulative pass is a two-level prefix sum over the
+    distinct (flag, value) CELL frame, never the corpus — the
+    corpus-sized shuffle moves cell partials (partial_sum below the
+    cell pre-aggregate's hashpartitioning), the local cumulative
+    window is keyed by (flag, bucket) so no single task ever sorts a
+    whole flag, and the bucket offsets come back through broadcast
+    joins only (no shuffled join of any kind). No Python."""
     df = all_queries()["x219_weighted_median"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "Join" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
     assert "partial_sum" in plan, plan  # map-side combine under the cell agg
-    assert "Window" in plan
+    # the big-side cumulative window partitions by (flag, bucket):
+    assert re.search(r"windowspecdefinition\(flag#\d+, b#\d+, v#\d+ ASC", plan), plan
+    # offsets are rolled up over the tiny bucket-total frame and
+    # broadcast back onto the cells:
+    assert "BroadcastHashJoin" in plan, plan
     # window ordering key is the pre-aggregated cell frame's value col:
     # the Window operator must sit ABOVE a HashAggregate in the tree
     lines = plan.splitlines()

@@ -1471,11 +1471,20 @@ def x213_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this is SURVEY §2.11 north-star surface.
 #
 # Scale shape: pre-aggregate to DISTINCT (group, value) cells first —
-# the window pass then orders |distinct values| rows per group, never
-# the corpus; one corpus-sized hash exchange (the cell pre-agg), one
-# cell-sized window exchange. Weights sum in BIGINT (quantities are
-# integral), so the 2·cw ≥ tw boundary is exact integer arithmetic in
-# both engines — no float-order sensitivity at the selection threshold.
+# the cumulative pass then covers |distinct values| rows per group,
+# never the corpus — and compute the cumulative sum as a TWO-LEVEL
+# prefix sum: a plain by-group window would sort every cell of a group
+# in a single task (3 tasks here; millions of cells per task at
+# 100 TB). Instead each group is sliced into contiguous equi-width
+# value ranges (bucket id monotone in v, so bucket order == value
+# order), the cumulative sum runs inside each (group, bucket) in
+# parallel, and a window over the tiny bucket-total set produces the
+# per-bucket offsets that are broadcast back. Weights sum in BIGINT
+# (quantities are integral) and lcw + offset is exact integer
+# arithmetic, so the 2·cw ≥ tw boundary stays bit-identical to the
+# single-window form in both engines — only the bucket *assignment*
+# uses doubles, and monotone FP ops keep ranges contiguous, which is
+# all the decomposition needs.
 # ---------------------------------------------------------------------------
 @query(
     "x219_weighted_median",
@@ -1511,12 +1520,46 @@ def x219_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
     )
-    wg = Window.partitionBy("flag")
-    cum = cells.select(
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
+    rng = cells.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    width = (
+        F.col("vmax").cast("double") - F.col("vmin").cast("double")
+    ) / F.lit(float(n_buckets))
+    bucketed = (
+        cells.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "b",
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v").cast("double") - F.col("vmin").cast("double"))
+                        / F.greatest(width, F.lit(1e-9))
+                    ),
+                ),
+            ).cast("int"),
+        )
+        .drop("vmin", "vmax")
+    )
+    loc = bucketed.select(
         "flag",
         "v",
-        F.sum("w").over(wg.orderBy("v")).alias("cw"),
-        F.sum("w").over(wg).alias("tw"),
+        "b",
+        F.sum("w").over(Window.partitionBy("flag", "b").orderBy("v")).alias("lcw"),
+    )
+    wf = Window.partitionBy("flag")
+    offs = bucketed.groupBy("flag", "b").agg(F.sum("w").alias("bw")).select(
+        "flag",
+        "b",
+        (F.sum("bw").over(wf.orderBy("b")) - F.col("bw")).alias("off"),
+        F.sum("bw").over(wf).alias("tw"),
+    )
+    cum = loc.join(F.broadcast(offs), ["flag", "b"]).select(
+        "flag",
+        "v",
+        (F.col("lcw") + F.col("off")).alias("cw"),
+        "tw",
     )
     return (
         cum.filter(2 * F.col("cw") >= F.col("tw"))
