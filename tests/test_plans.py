@@ -941,6 +941,21 @@ def test_cidr_route_enrich_is_two_broadcast_joins(spark):
     assert "user_id" in plan
 
 
+def test_column_profile_no_expand(spark):
+    """x175: five exact COUNT(DISTINCT)s must NOT plan as one
+    multi-distinct aggregate (a 6x Expand row multiplication) — each
+    distinct count runs as its own narrow two-level hash aggregate and
+    the 1-row results recombine through broadcast nested-loop joins."""
+    df = all_queries()["x175_column_profile"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # every distinct branch aggregates a single pruned column
+    assert plan.count("partial_count(distinct") >= 5, plan
+
+
 def test_weighted_median_two_level_prefix_sum(spark):
     """x219: the cumulative pass is a two-level prefix sum over the
     distinct (flag, value) CELL frame, never the corpus — the

@@ -1084,31 +1084,39 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 )
 def x175_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders", rebalance=True)
+    # Five exact COUNT(DISTINCT)s in one aggregate would plan as a 6x
+    # Expand (one row copy per distinct column); splitting each into
+    # its own single-distinct aggregate keeps every branch a plain
+    # two-level hash aggregate over ONE narrow column, and the 1-row
+    # results recombine for free via broadcast nested-loop joins.
     s = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_custkey").alias("nn_ck"),
-        F.countDistinct("o_custkey").alias("nd_ck"),
         F.min("o_custkey").alias("mn_ck"),
         F.max("o_custkey").alias("mx_ck"),
         dsum("o_custkey").alias("s_ck"),
         F.count("o_orderstatus").alias("nn_st"),
-        F.countDistinct("o_orderstatus").alias("nd_st"),
         F.min("o_orderstatus").alias("mn_st"),
         F.max("o_orderstatus").alias("mx_st"),
         F.count("o_totalprice").alias("nn_tp"),
-        F.countDistinct("o_totalprice").alias("nd_tp"),
         F.min("o_totalprice").alias("mn_tp"),
         F.max("o_totalprice").alias("mx_tp"),
         dsum("o_totalprice").alias("s_tp"),
         F.count("o_orderdate").alias("nn_od"),
-        F.countDistinct("o_orderdate").alias("nd_od"),
         F.date_format(F.min("o_orderdate"), _TS_FMT_SPARK).alias("mn_od"),
         F.date_format(F.max("o_orderdate"), _TS_FMT_SPARK).alias("mx_od"),
         F.count("o_orderpriority").alias("nn_op"),
-        F.countDistinct("o_orderpriority").alias("nd_op"),
         F.min("o_orderpriority").alias("mn_op"),
         F.max("o_orderpriority").alias("mx_op"),
     )
+    for col, alias in [
+        ("o_custkey", "nd_ck"),
+        ("o_orderstatus", "nd_st"),
+        ("o_totalprice", "nd_tp"),
+        ("o_orderdate", "nd_od"),
+        ("o_orderpriority", "nd_op"),
+    ]:
+        s = s.crossJoin(F.broadcast(o.agg(F.countDistinct(col).alias(alias))))
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
 
