@@ -99,7 +99,11 @@ def minhash_lsh_pairs(
     hash-independent, so false positives are impossible under either
     family; only which true pairs LSH *surfaces* varies, and only for
     jaccard < 1 (identical token sets collide in every band under any
-    hash)."""
+    hash).
+
+    ``tokenizer`` must emit DISTINCT-element arrays (the built-ins —
+    ``word_set``, ``char_shingles`` — do): the verify stage computes
+    |A∪B| as |A|+|B|−|A∩B|, which is exact only for sets."""
     assert num_hashes % band_size == 0
     assert hash_family in ("md5", "xxhash64")
     tokenizer = tokenizer or word_set
@@ -250,13 +254,35 @@ def minhash_lsh_pairs(
     sets = df.select(F.col(id_col), tokenizer(F.col(text_col)).alias("__ws"))
     x = sets.select(F.col(id_col).alias("__xid"), F.col("__ws").alias("__ws_a"))
     y = sets.select(F.col(id_col).alias("__yid"), F.col("__ws").alias("__ws_b"))
-    jaccard = F.size(F.array_intersect("__ws_a", "__ws_b")).cast("double") / F.size(
-        F.array_union("__ws_a", "__ws_b")
-    )
+    # |A∪B| = |A| + |B| - |A∩B| exactly (word_set/char_shingles emit
+    # DISTINCT arrays), so the per-pair array_union — a second hash-set
+    # build plus a materialized up-to-|A|+|B| array on every candidate —
+    # is replaced by two cheap size() calls. The division operands are
+    # the same integers, so the emitted jaccard double is bit-identical
+    # (the threshold stays a double-division compare on purpose: an
+    # integer rearrangement of a FLOAT threshold could flip boundary
+    # rows vs the oracle). Catalyst pushes the filter into the join
+    # condition, inlining the aliases, so the condition evaluates the
+    # intersect twice and the survivor projection once — still strictly
+    # fewer hash-set builds than the union form (2 intersects vs
+    # intersect+union per pruned candidate) and no union-array copy.
+    inter = F.size(F.array_intersect("__ws_a", "__ws_b"))
     return (
         cand.join(x, F.col("id_a") == F.col("__xid"))
         .join(y, F.col("id_b") == F.col("__yid"))
-        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("__i"),
+            (F.size("__ws_a") + F.size("__ws_b")).alias("__s"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

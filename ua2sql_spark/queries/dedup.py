@@ -902,8 +902,25 @@ def _prefix_sim_pairs(d: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ga = sets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
-    gb = sets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
+    ga = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gs").alias("ga"),
+        F.size("gs").alias("__sa"),
+    )
+    gb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("gs").alias("gb"),
+        F.size("gs").alias("__sb"),
+    )
+    # u = |A∪B| = |A| + |B| - |A∩B| exactly (gs is array_distinct), so
+    # the per-candidate array_union — a second hash-set build plus a
+    # materialized concat array — disappears; i and the emitted u are
+    # the same integers as before. The threshold DEN·i ≥ NUM·u is
+    # rearranged over u = sa+sb-i into (DEN+NUM)·i ≥ NUM·(sa+sb) —
+    # exact integer algebra — so that when Catalyst pushes the filter
+    # into the join condition (it inlines the aliases), the condition
+    # references array_intersect ONCE, not twice; survivors pay one
+    # more intersect in the output projection of i and u.
     verified = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
@@ -911,9 +928,15 @@ def _prefix_sim_pairs(d: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("ga", "gb")).alias("i"),
-            F.size(F.array_union("ga", "gb")).alias("u"),
+            (F.col("__sa") + F.col("__sb")).alias("__s"),
         )
-        .filter(F.lit(_PSJ_DEN) * F.col("i") >= F.lit(_PSJ_NUM) * F.col("u"))
+        .filter(
+            F.lit(_PSJ_DEN + _PSJ_NUM) * F.col("i")
+            >= F.lit(_PSJ_NUM) * F.col("__s")
+        )
+        .select(
+            "doc_a", "doc_b", "i", (F.col("__s") - F.col("i")).alias("u")
+        )
     )
     return verified
 
@@ -1112,14 +1135,29 @@ def x194_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws")
     )
-    ga = sets.select(F.col("doc_id").alias("index_id"), F.col("ws").alias("ga"))
-    gb = sets.select(F.col("doc_id").alias("batch_id"), F.col("ws").alias("gb"))
+    ga = sets.select(
+        F.col("doc_id").alias("index_id"),
+        F.col("ws").alias("ga"),
+        F.size("ws").alias("__sa"),
+    )
+    gb = sets.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("ws").alias("gb"),
+        F.size("ws").alias("__sb"),
+    )
+    # |A∪B| = |A|+|B|-|A∩B| exactly (ws is array_distinct), and the
+    # integer threshold DEN·i ≥ NUM·(sa+sb−i) rearranges to
+    # (DEN+NUM)·i ≥ NUM·(sa+sb): the filter Catalyst pushes into the
+    # join condition evaluates array_intersect ONCE per candidate —
+    # the old union form built two hash sets and materialized the
+    # concatenated union array per candidate.
     verified = (
         cand.join(ga, "index_id")
         .join(gb, "batch_id")
         .filter(
-            F.lit(_PSJ_DEN) * F.size(F.array_intersect("ga", "gb"))
-            >= F.lit(_PSJ_NUM) * F.size(F.array_union("ga", "gb"))
+            F.lit(_PSJ_DEN + _PSJ_NUM)
+            * F.size(F.array_intersect("ga", "gb"))
+            >= F.lit(_PSJ_NUM) * (F.col("__sa") + F.col("__sb"))
         )
         .select("index_id", "batch_id")
     )

@@ -885,16 +885,27 @@ def x176_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.operators.graph import triangle_stats
 
     li = load_table(spark, sf_dir, "lineitem", rebalance=True)
-    lp = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # Per-order pair expansion WITHOUT the lp self-join (r14, the x172
+    # set-pair reshape): one groupBy(orderkey).collect_set exchange —
+    # collect_set dedups map- and reduce-side, so the old (ok, pk)
+    # pre-distinct is free — then sorted-array slice expansion emits
+    # exactly the u < v pairs the join produced (order width ≤ 13 parts
+    # bounds the per-row explode at C(13,2)); the per-(u, v) distinct is
+    # unchanged. Saves the distinct exchange on (ok, pk) plus the join's
+    # two exchanges: (ok, pk) rows now cross the wire once, not three
+    # times.
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__p")
+    )
+    p = F.col("__p")
     edges = (
-        lp.alias("a")
-        .join(
-            lp.alias("b"),
-            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        parts.select(F.posexplode(p).alias("__i", "u"), p)
+        .select(
+            "u",
+            F.explode(
+                F.slice(p, F.col("__i") + F.lit(2), F.size(p))
+            ).alias("v"),
         )
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
     # operators/graph.py owns the orientation/wedge plan (materialized-
