@@ -122,9 +122,18 @@ def minhash_lsh_pairs(
     # (2) Only when the sample stays within capacity do we pay the exact
     # corpus-wide distinct — still capped at max_vocab+1 rows — because
     # the bitmask map must cover *every* token to be correct.
-    sample_vocab = df.select(
-        F.explode(tokenizer(F.col(text_col))).alias("__tok")
-    ).limit(4096).distinct().limit(bitmask_max_vocab + 1).collect()
+    # The sample's distinct runs driver-side over the collected 4096
+    # tokens (≤ ~40 KB of strings): a CollectLimit executeTake with NO
+    # exchange, one job instead of a shuffle stage pair — the decision
+    # (|sample vocab| > capacity) is identical to the former
+    # limit(4096).distinct().limit(cap+1) form because both distinct
+    # the same first-4096-token sample.
+    sample_vocab = {
+        r["__tok"]
+        for r in df.select(F.explode(tokenizer(F.col(text_col))).alias("__tok"))
+        .limit(4096)
+        .collect()
+    }
     if len(sample_vocab) > bitmask_max_vocab:
         vocab = [None] * (bitmask_max_vocab + 1)  # force the array branch
     else:
