@@ -509,18 +509,24 @@ def main() -> None:
     print(line)
 
 
-# When the compact line would exceed its budget, extras are shed in
-# THIS order (least cross-round-critical first) until it fits — every
-# shed key still rides bench_runs.json and the BENCH_RUNS_DETAIL line.
-# The driver-contract keys (queries map, gated totals, canary drift/
-# validity/normalization) are never in this list.
+# Extras that ride ONLY bench_runs.json / the BENCH_RUNS_DETAIL line,
+# never the compact line (VERDICT r14 #2: the r14 canary keys pushed
+# `join_bucketed_sec`/`scan_prune_decision_sec` off the driver-parsed
+# line via the shed order, losing two cross-round lakehouse
+# comparators). `headline_per_canary_il` superseded `headline_per_canary`
+# as the preferred normalizer from r14 on, and `canary_il_cv` is a
+# dispersion diagnostic — both are detail-grade, the lakehouse pairs
+# are driver-record-grade.
+_DETAIL_ONLY_EXTRAS = frozenset({"canary_il_cv", "headline_per_canary"})
+
+# Last-resort shed order when the compact line would STILL exceed its
+# budget (least cross-round-critical first); every shed key still rides
+# bench_runs.json and the BENCH_RUNS_DETAIL line. The driver-contract
+# comparators (queries map, gated totals, canary cpu/drift/validity/
+# interleaved normalization, both lakehouse pairs, the prune decision,
+# pipeline e2e) are never in this list — pinned by
+# tests/test_plans.py::test_bench_compact_line_survives_driver_tail_capture.
 _EXTRAS_SHED_ORDER = [
-    "scan_prune_decision_sec",
-    "join_bucketed_sec",
-    "join_shuffle_sec",
-    "scan_manifest_pruned_sec",
-    "scan_full_sec",
-    "pipeline_e2e_sec",
     "canary_shuffle_sec",
 ]
 
@@ -534,13 +540,19 @@ def compact_line(total, timings, extras, n_runs, sf_val) -> str:
     shipping a line the driver's 2000-char tail capture would clip
     mid-JSON."""
     scalar_extras = {
-        k: v for k, v in extras.items() if isinstance(v, (int, float, str))
+        k: v
+        for k, v in extras.items()
+        if isinstance(v, (int, float, str)) and k not in _DETAIL_ONLY_EXTRAS
     }
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # Medians at 3dp on the compact line only (1 ms precision on
+        # seconds-scale rows; 4dp stays in bench_runs.json/DETAIL) —
+        # ~40 chars of headroom so a degraded-box run with double-digit
+        # medians never pushes the lakehouse comparators off the line.
+        "queries": {k: round(v, 3) for k, v in timings.items()},
         "extras": scalar_extras,
         "n_runs": n_runs,
         "sf": sf_val,
