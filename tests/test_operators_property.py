@@ -194,13 +194,17 @@ def test_minhash_verify_branches_agree(spark, texts):
     def rows(res):
         return sorted(map(tuple, res.toPandas().values.tolist()))
 
-    a = rows(minhash_lsh_pairs(df, id_col="doc_id", text_col="text", threshold=0.5))
-    b = rows(
-        minhash_lsh_pairs(
-            df, id_col="doc_id", text_col="text", threshold=0.5, bitmask_max_vocab=0
+    # 0.5 exercises the r15 size gate's double bound (least/greatest ≥ t
+    # must drop ONLY pairs the exact verify rejects); 1.0 exercises its
+    # degenerate |A| == |B| form (the x101/x115 exact tier).
+    for t in (0.5, 1.0):
+        a = rows(minhash_lsh_pairs(df, id_col="doc_id", text_col="text", threshold=t))
+        b = rows(
+            minhash_lsh_pairs(
+                df, id_col="doc_id", text_col="text", threshold=t, bitmask_max_vocab=0
+            )
         )
-    )
-    assert a == b
+        assert a == b, f"threshold {t}"
 
 
 def test_ivf_assignment_deterministic_and_total(spark):

@@ -173,7 +173,15 @@ def minhash_lsh_pairs(
         )
         proj.append(mask.alias("__mask"))
     hashed = df.select(*proj)
-    carry = [F.col(id_col)] + ([F.col("__mask")] if use_bitmask else [])
+    # In the general branch the token-set size rides the band shuffle
+    # (4 bytes/doc, like the bitmask branch's 8-byte __mask) so the
+    # verify tier can drop size-incompatible candidates BEFORE the pair
+    # distinct and the sets join (guide §2.3: shuffle metadata, decide
+    # early). |__th| = |token set| because the tokenizers emit distinct
+    # arrays (documented precondition above).
+    carry = [F.col(id_col)] + (
+        [F.col("__mask")] if use_bitmask else [F.size("__th").alias("__sz")]
+    )
     mh = hashed.select(*carry, *minhash_array_columns(F.col("__th"), num_hashes))
     if hash_family == "md5":
         band_hash = [
@@ -195,7 +203,9 @@ def minhash_lsh_pairs(
     member = (
         F.struct(F.col(id_col).alias("i"), F.col("__mask").alias("m"))
         if use_bitmask
-        else F.struct(F.col(id_col).alias("i"))
+        # ids are unique, so adding the size field never changes the
+        # struct sort order (first-field compare decides)
+        else F.struct(F.col(id_col).alias("i"), F.col("__sz").alias("s"))
     )
     bands = mh.select(
         member.alias("__member"),
@@ -231,7 +241,11 @@ def minhash_lsh_pairs(
     )
     pairs = members.select(
         F.col("__a.i").alias("id_a"),
-        *([F.col("__a.m").alias("__mask_a")] if use_bitmask else []),
+        *(
+            [F.col("__a.m").alias("__mask_a")]
+            if use_bitmask
+            else [F.col("__a.s").alias("__sz_a")]
+        ),
         F.explode("__partners").alias("__b"),
     )
 
@@ -259,7 +273,24 @@ def minhash_lsh_pairs(
     # scale), and at corpus scale AQE's runtime stats broadcast-convert
     # the small candidate side instead — the decision this join needs is
     # exactly the one AQE makes from real sizes.
-    cand = pairs.select("id_a", F.col("__b.i").alias("id_b")).distinct()
+    #
+    # Size gate (r15, guide §1.2 step 2): |A∩B| ≤ min(|A|,|B|) and
+    # |A|+|B|−min = max, so exact jaccard ≤ min/max. Division of
+    # exactly-representable ints is correctly rounded, hence monotone:
+    # fl(i/(sa+sb−i)) ≥ t implies fl(min/max) ≥ t, so dropping
+    # fl(min/max) < t candidates here — before the pair distinct and
+    # the sets join — removes ONLY pairs the final jaccard filter
+    # provably rejects, for any double threshold. (At threshold 1.0 —
+    # the x101/x115 exact tier — the gate degenerates to |A| = |B|.)
+    cand = (
+        pairs.filter(
+            F.least(F.col("__sz_a"), F.col("__b.s")).cast("double")
+            / F.greatest(F.col("__sz_a"), F.col("__b.s"))
+            >= F.lit(threshold)
+        )
+        .select("id_a", F.col("__b.i").alias("id_b"))
+        .distinct()
+    )
     sets = df.select(F.col(id_col), tokenizer(F.col(text_col)).alias("__ws"))
     x = sets.select(F.col(id_col).alias("__xid"), F.col("__ws").alias("__ws_a"))
     y = sets.select(F.col(id_col).alias("__yid"), F.col("__ws").alias("__ws_b"))

@@ -1150,14 +1150,25 @@ def x194_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DEN+NUM)·i ≥ NUM·(sa+sb): the filter Catalyst pushes into the
     # join condition evaluates array_intersect ONCE per candidate —
     # the old union form built two hash sets and materialized the
-    # concatenated union array per candidate.
+    # concatenated union array per candidate. The leading size gate
+    # (r15) is the same bound x179's candidate join carries —
+    # i ≤ min(sa,sb) makes DEN·min ≥ NUM·max necessary — evaluated
+    # first so the And short-circuits past the intersect for
+    # size-incompatible candidates; integer-exact, drops only pairs
+    # the intersect conjunct provably rejects.
     verified = (
         cand.join(ga, "index_id")
         .join(gb, "batch_id")
         .filter(
-            F.lit(_PSJ_DEN + _PSJ_NUM)
-            * F.size(F.array_intersect("ga", "gb"))
-            >= F.lit(_PSJ_NUM) * (F.col("__sa") + F.col("__sb"))
+            (
+                F.lit(_PSJ_DEN) * F.least("__sa", "__sb")
+                >= F.lit(_PSJ_NUM) * F.greatest("__sa", "__sb")
+            )
+            & (
+                F.lit(_PSJ_DEN + _PSJ_NUM)
+                * F.size(F.array_intersect("ga", "gb"))
+                >= F.lit(_PSJ_NUM) * (F.col("__sa") + F.col("__sb"))
+            )
         )
         .select("index_id", "batch_id")
     )

@@ -346,14 +346,29 @@ def neardup_ingest_batch(
                 F.col(id_col).alias("batch_id"),
                 tok(F.col(text_col)).alias("__bs"),
             )
+            # |A∪B| = |A|+|B|−|A∩B| exactly — tokenizers emit DISTINCT
+            # arrays (the minhash_lsh_pairs precondition; this path
+            # feeds the same tokenizer into the index's signatures), so
+            # den·i ≥ num·u rearranges to (den+num)·i ≥ num·(|A|+|B|)
+            # with no per-pair union array. The leading size gate
+            # (i ≤ min ⇒ den·min ≥ num·max is necessary) short-circuits
+            # the intersect for size-incompatible candidates —
+            # integer-exact, drops only pairs the intersect conjunct
+            # provably rejects (r15, the x179/x194 treatment).
+            sa, sb = F.size("__hs"), F.size("__bs")
             hits = (
                 cand.join(hist, "index_id")
                 .join(bset, "batch_id")
                 .filter(
-                    F.lit(threshold_den)
-                    * F.size(F.array_intersect("__hs", "__bs"))
-                    >= F.lit(threshold_num)
-                    * F.size(F.array_union("__hs", "__bs"))
+                    (
+                        F.lit(threshold_den) * F.least(sa, sb)
+                        >= F.lit(threshold_num) * F.greatest(sa, sb)
+                    )
+                    & (
+                        F.lit(threshold_den + threshold_num)
+                        * F.size(F.array_intersect("__hs", "__bs"))
+                        >= F.lit(threshold_num) * (sa + sb)
+                    )
                 )
             )
         # Checkpoint BEFORE counting: the count and the anti-join below
