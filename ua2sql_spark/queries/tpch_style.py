@@ -838,6 +838,49 @@ def q135_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
 # is |nodes|-bounded and broadcast onto the edge list. Everything is
 # exact integers; transitivity is one double division rounded at 6dp.
 # ---------------------------------------------------------------------------
+def _x176_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x176's co-purchase edge list (u < v, distinct) — shared with
+    tests/test_plans.py's partition-pin test so the pin can never
+    silently drift from what the query runs."""
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
+    # Per-order pair expansion WITHOUT the lp self-join (r14, the x172
+    # set-pair reshape): one groupBy(orderkey).collect_set exchange —
+    # collect_set dedups map- and reduce-side, so the old (ok, pk)
+    # pre-distinct is free — then sorted-array slice expansion emits
+    # exactly the u < v pairs the join produced (order width ≤ 13 parts
+    # bounds the per-row explode at C(13,2)); the per-(u, v) distinct is
+    # unchanged. Saves the distinct exchange on (ok, pk) plus the join's
+    # two exchanges: (ok, pk) rows now cross the wire once, not three
+    # times.
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__p")
+    )
+    p = F.col("__p")
+    raw_pairs = parts.select(F.posexplode(p).alias("__i", "u"), p).select(
+        "u",
+        F.explode(
+            F.slice(p, F.col("__i") + F.lit(2), F.size(p))
+        ).alias("v"),
+    )
+    # Pin the distinct's exchange at core count when the input layout is
+    # compute-heavy-small (r15; VERDICT r14 #3). The distinct's AQE-
+    # coalesced output (1 MiB floor → 10/32 partitions at sf0.1) is
+    # CAPTURED by triangle_stats' localCheckpoints, so the per-edge
+    # intersect stage — the gated window's most expensive compute —
+    # inherited the under-parallel layout. repartition(n, u, v) REPLACES
+    # the distinct's own exchange (same clustering keys, so the final
+    # aggregate reuses it — Exchange count unchanged) and
+    # REPARTITION_BY_NUM is exempt from AQE coalescing, so every
+    # checkpointed frame downstream runs at core count. The guard
+    # no-ops at 100 TB (splits ≫ cores ⇒ None), leaving AQE in control.
+    from ua2sql_spark.catalog import rebalance_partition_count, table_path
+
+    pin = rebalance_partition_count(spark, table_path(sf_dir, "lineitem"))
+    if pin:
+        raw_pairs = raw_pairs.repartition(pin, "u", "v")
+    return raw_pairs.distinct()
+
+
 @query(
     "x176_copurchase_triangles",
     oracle="""
@@ -884,30 +927,7 @@ def q135_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
 def x176_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ua2sql_spark.operators.graph import triangle_stats
 
-    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
-    # Per-order pair expansion WITHOUT the lp self-join (r14, the x172
-    # set-pair reshape): one groupBy(orderkey).collect_set exchange —
-    # collect_set dedups map- and reduce-side, so the old (ok, pk)
-    # pre-distinct is free — then sorted-array slice expansion emits
-    # exactly the u < v pairs the join produced (order width ≤ 13 parts
-    # bounds the per-row explode at C(13,2)); the per-(u, v) distinct is
-    # unchanged. Saves the distinct exchange on (ok, pk) plus the join's
-    # two exchanges: (ok, pk) rows now cross the wire once, not three
-    # times.
-    parts = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("__p")
-    )
-    p = F.col("__p")
-    edges = (
-        parts.select(F.posexplode(p).alias("__i", "u"), p)
-        .select(
-            "u",
-            F.explode(
-                F.slice(p, F.col("__i") + F.lit(2), F.size(p))
-            ).alias("v"),
-        )
-        .distinct()
-    )
+    edges = _x176_edges(spark, sf_dir)
     # operators/graph.py owns the orientation/wedge plan (materialized-
     # once edge list + degree broadcast) and is property-tested against
     # brute force — the query only derives edges and adds transitivity
