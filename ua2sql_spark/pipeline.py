@@ -87,6 +87,10 @@ def corpus_pipeline(
     """Run the full pipeline; returns stage counts + the export
     manifest rows. Materializing the export IS the run — callers time
     this function for the e2e number."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target as itt
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
@@ -94,29 +98,49 @@ def corpus_pipeline(
     # persisted: 4 downstream consumers, one Python normalize pass
     gated = gated.persist()
     try:
-        n_gated = gated.count()
+        # Independent jobs are only sequential because driver code calls
+        # their actions sequentially (guide §2.6): submit them from a
+        # small pool so the next job's tasks back-fill executors freed
+        # by the current job's stragglers. Every job computes exactly
+        # what it did before — the persist's per-partition block locks
+        # make concurrent materialization compute each partition once —
+        # so all counts and the export are byte-identical; only the
+        # wall-clock overlaps.
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            # raw count: an independent parquet scan, fully overlapped
+            f_raw = pool.submit(itt(docs.count))
+            # gated count materializes the persist while the LSH probe
+            # job (plan-time, inside neardup_dedup below) and the
+            # survivor chain start against the same persist
+            f_gated = pool.submit(itt(gated.count))
 
-        exact = exact_dedup(gated, ["text"], "doc_id")
-        survivors = neardup_dedup(
-            exact,
-            id_col="doc_id",
-            text_col="text",
-            threshold=neardup_threshold,
-        ).persist()
-        n_survivors = survivors.count()
+            exact = exact_dedup(gated, ["text"], "doc_id")
+            survivors = neardup_dedup(
+                exact,
+                id_col="doc_id",
+                text_col="text",
+                threshold=neardup_threshold,
+            ).persist()
+            n_survivors = survivors.count()
+            n_gated = f_gated.result()
 
-        # token accounting + packing plan (how many max_len sequences
-        # the surviving corpus fills — the number a training run needs)
-        ntok = survivors.select(
-            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-        )
-        packed = pack_sequences(ntok, "doc_id", "n_tokens", max_len)
-        n_sequences = packed.select("seq_id").distinct().count()
+            # token accounting + packing plan (how many max_len
+            # sequences the surviving corpus fills — the number a
+            # training run needs): independent of the export, overlapped
+            ntok = survivors.select(
+                "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+            )
+            packed = pack_sequences(ntok, "doc_id", "n_tokens", max_len)
+            f_seq = pool.submit(
+                itt(packed.select("seq_id").distinct().count)
+            )
 
-        manifest = write_webdataset(
-            survivors.select("doc_id", "text"), out_dir, n_shards
-        ).collect()
-        n_exported = sum(r["n_samples"] for r in manifest)
+            manifest = write_webdataset(
+                survivors.select("doc_id", "text"), out_dir, n_shards
+            ).collect()
+            n_exported = sum(r["n_samples"] for r in manifest)
+            n_sequences = f_seq.result()
+            n_raw = f_raw.result()
     finally:
         gated.unpersist()
         try:
@@ -125,7 +149,7 @@ def corpus_pipeline(
             pass
 
     return {
-        "n_raw": docs.count(),
+        "n_raw": n_raw,
         "n_gated": n_gated,
         "n_survivors": n_survivors,
         "n_sequences": n_sequences,
