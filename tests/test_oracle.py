@@ -10,15 +10,28 @@ import os
 
 import pytest
 
-from ua2sql_spark.registry import all_queries
+from ua2sql_spark.registry import DRIVER_WINDOW, all_queries
 from tests.conftest import SF_DIR, TABLES, assert_oracle_match
 
 SPECS = all_queries()
 WITH_ORACLE = [name for name, spec in SPECS.items() if spec.oracle is not None]
 ROWS_ONLY = [name for name, spec in SPECS.items() if spec.oracle is None]
 
+# Lane split (r15, VERDICT r14 #1): the default lane runs exactly what
+# the driver's correctness gate samples — the 50 DRIVER_WINDOW rows —
+# plus every meta/contract test below; the other ~176 below-fold rows
+# (each one driver-green in a past round, re-scheduled by the rotation)
+# run in the builder lane. The FULL registry sweep remains one command:
+# SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/test_oracle.py
+_ORACLE_PARAMS = [
+    name
+    if name in DRIVER_WINDOW
+    else pytest.param(name, marks=pytest.mark.slow)
+    for name in WITH_ORACLE
+]
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+
+@pytest.mark.parametrize("name", _ORACLE_PARAMS)
 def test_oracle_match(spark, duck, name):
     assert_oracle_match(spark, duck, SPECS[name])
 
