@@ -862,22 +862,16 @@ def _x176_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(p, F.col("__i") + F.lit(2), F.size(p))
         ).alias("v"),
     )
-    # Pin the distinct's exchange at core count when the input layout is
-    # compute-heavy-small (r15; VERDICT r14 #3). The distinct's AQE-
-    # coalesced output (1 MiB floor → 10/32 partitions at sf0.1) is
-    # CAPTURED by triangle_stats' localCheckpoints, so the per-edge
-    # intersect stage — the gated window's most expensive compute —
-    # inherited the under-parallel layout. repartition(n, u, v) REPLACES
-    # the distinct's own exchange (same clustering keys, so the final
-    # aggregate reuses it — Exchange count unchanged) and
-    # REPARTITION_BY_NUM is exempt from AQE coalescing, so every
-    # checkpointed frame downstream runs at core count. The guard
-    # no-ops at 100 TB (splits ≫ cores ⇒ None), leaving AQE in control.
-    from ua2sql_spark.catalog import rebalance_partition_count, table_path
-
-    pin = rebalance_partition_count(spark, table_path(sf_dir, "lineitem"))
-    if pin:
-        raw_pairs = raw_pairs.repartition(pin, "u", "v")
+    # MEASURED AND REJECTED (r15, the third x176 parallelism rejection
+    # after r14's AQE-floor and de-spread ones): pinning the distinct's
+    # exchange at core count — repartition(cores, u, v) replacing the
+    # distinct's own exchange (REPARTITION_BY_NUM, AQE-coalesce-exempt),
+    # guarded by catalog.rebalance_partition_count — spread every
+    # checkpoint-captured frame 10 → 32 partitions, but ran 1.47x WORSE
+    # (interleaved A/B median 3.67 → 5.38 s, scripts/r15_ab_x176.py):
+    # 3x the tasks across triangle_stats' many checkpoint-materialized
+    # stages cost more in fixed task latency than the intersect's extra
+    # parallelism buys at this scale. The AQE-coalesced distinct stands.
     return raw_pairs.distinct()
 
 
