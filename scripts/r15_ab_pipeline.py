@@ -54,7 +54,18 @@ _, mb = run(pipe_b)
 ka = {k: ma[k] for k in ("n_raw", "n_gated", "n_survivors", "n_sequences", "n_exported")}
 kb = {k: mb[k] for k in ("n_raw", "n_gated", "n_survivors", "n_sequences", "n_exported")}
 assert ka == kb, f"metrics differ: {ka} vs {kb}"
-assert sorted(map(str, ma["manifest"])) == sorted(map(str, mb["manifest"]))
+
+
+def shard_key(rows):
+    # path-independent manifest compare (each run exports into a fresh
+    # scratch dir, so the path column necessarily differs)
+    return sorted(
+        tuple(sorted((k, v) for k, v in r.items() if "path" not in k))
+        for r in rows
+    )
+
+
+assert shard_key(ma["manifest"]) == shard_key(mb["manifest"])
 print("results identical:", ka, flush=True)
 
 ta, tb = [], []

@@ -121,8 +121,11 @@ def corpus_pipeline(
                 text_col="text",
                 threshold=neardup_threshold,
             ).persist()
-            n_survivors = survivors.count()
-            n_gated = f_gated.result()
+            # all three survivor consumers — the count, the packing
+            # plan, the export — race the persist's first
+            # materialization together; block locks compute each
+            # partition exactly once whichever job gets there first
+            f_surv = pool.submit(itt(survivors.count))
 
             # token accounting + packing plan (how many max_len
             # sequences the surviving corpus fills — the number a
@@ -139,7 +142,9 @@ def corpus_pipeline(
                 survivors.select("doc_id", "text"), out_dir, n_shards
             ).collect()
             n_exported = sum(r["n_samples"] for r in manifest)
+            n_survivors = f_surv.result()
             n_sequences = f_seq.result()
+            n_gated = f_gated.result()
             n_raw = f_raw.result()
     finally:
         gated.unpersist()
