@@ -5,10 +5,11 @@ by contract (NOT touched); this measures whether runtime confs can
 shave the floor ITSELF, interleaved per conf-set on 5 representative
 tail rows.
 
-Conf sets tried (all runtime-mutable, restored between sets):
+Conf sets tried (all runtime-mutable, restored between sets;
+spark.locality.wait was considered and dropped — it is a core conf,
+not runtime-mutable, and a no-op in local mode where every task is
+PROCESS_LOCAL on the one executor):
   base     — session defaults (the shipped configuration)
-  locality — spark.locality.wait=0 (local mode: every task is
-             PROCESS_LOCAL already; measures scheduler wait overhead)
   noaqe    — spark.sql.adaptive.enabled=false (attribution only: how
              much of the floor is AQE's stage-by-stage replanning;
              NOT a shippable config — AQE is the scale story)
@@ -40,7 +41,6 @@ ROWS = [
 
 CONF_SETS = {
     "base": {},
-    "locality": {"spark.locality.wait": "0"},
     "noaqe": {"spark.sql.adaptive.enabled": "false"},
     "bigbatch": {"spark.sql.execution.arrow.maxRecordsPerBatch": "65536"},
 }

@@ -127,7 +127,11 @@ def minhash_lsh_pairs(
     # exchange, one job instead of a shuffle stage pair — the decision
     # (|sample vocab| > capacity) is identical to the former
     # limit(4096).distinct().limit(cap+1) form because both distinct
-    # the same first-4096-token sample.
+    # the same first-4096-token sample — assuming STRING tokens (the
+    # built-ins emit strings; a custom tokenizer emitting e.g. NaN
+    # floats could make Python-set and Spark-distinct counts differ by
+    # one, ADVICE r14 — harmless here because both verify branches are
+    # result-identical either way, but noted against the over-claim).
     sample_vocab = {
         r["__tok"]
         for r in df.select(F.explode(tokenizer(F.col(text_col))).alias("__tok"))
